@@ -1,0 +1,144 @@
+"""Scalar transform library (SURVEY.md §2.8, F1-F18).
+
+Every function here is a pure Column expression — JVM-side, codegen-friendly,
+no Python UDFs — so they stay inside whole-stage codegen in the hot path.
+Each docstring cites the reference behavior it re-implements
+(file:line relative to /root/reference).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def to_cents(col: Column) -> Column:
+    """Parse a price string into integer cents.
+
+    Reference: tasks/steam_tasks_improved.py:322-339 and
+    etl/transform/steam_transform_price.py:9-30 — accepts EU comma decimals
+    ("12,34" -> 1234), dot decimals ("12.34" -> 1234), bare ints ("12" ->
+    1200), and returns null for None/''/garbage.
+    """
+    normalized = F.regexp_replace(F.trim(col.cast("string")), ",", ".")
+    as_num = normalized.cast("decimal(18,6)")
+    return F.when(as_num.isNull(), F.lit(None).cast("long")).otherwise(
+        F.round(as_num * 100).cast("long")
+    )
+
+
+def format_cents(col: Column) -> Column:
+    """Integer cents -> "E,CC" EU display string (integer div/mod 100).
+
+    Reference: tasks/steam_tasks_improved.py:341-347.
+    """
+    return F.format_string("%d,%02d", (col / 100).cast("long"), col % 100)
+
+
+def parse_discount(col: Column) -> Column:
+    """Strip '%', comma->dot, cast float, default 0.0 on failure.
+
+    Reference: tasks/steam_tasks_improved.py:349-357.
+    """
+    cleaned = F.regexp_replace(
+        F.regexp_replace(F.trim(col.cast("string")), "%", ""), ",", "."
+    )
+    return F.coalesce(cleaned.cast("double"), F.lit(0.0))
+
+
+def initial_price_cents(current_cents: Column, discount_pct: Column) -> Column:
+    """Pre-discount price in cents with the reference's guard rails.
+
+    Reference: tasks/steam_tasks_improved.py:359-371 and
+    etl/transform/steam_transform_price.py:50-63 —
+    ``current<=0 -> 0``; ``discount<=0 -> current``; ``denominator<=0 ->
+    current``; else ``round(current / (1 - d/100))``.
+    """
+    denom = 1.0 - discount_pct / 100.0
+    return (
+        F.when(current_cents <= 0, F.lit(0))
+        .when(discount_pct <= 0, current_cents)
+        .when(denom <= 0, current_cents)
+        .otherwise(F.round(current_cents / denom).cast("long"))
+    )
+
+
+def initial_price(price: Column, discount_pct: Column) -> Column:
+    """Float variant used in the live pipeline:
+    ``price/(1-discount/100) if discount>0 else price``.
+
+    Reference: tasks/steam_tasks_improved.py:232-239.
+    """
+    return F.when(
+        discount_pct > 0, price / (1.0 - discount_pct / 100.0)
+    ).otherwise(price)
+
+
+def parse_release_date(col: Column) -> Column:
+    """Parse '"12 Aug, 2020"'-style dates; null on failure.
+
+    Reference: etl/transform/transform_game.py:21 (pandas
+    ``to_datetime(format='%d %b, %Y', errors='coerce')``).
+    """
+    return F.to_date(col, "d MMM, yyyy")
+
+
+def clean_array_string(col: Column, *, language_mode: bool = False) -> Column:
+    """Strip ``[ ] '`` characters and collapse whitespace from a stringified
+    list; ``language_mode`` additionally strips ``*`` and re-joins trimmed
+    CSV items.
+
+    Reference: etl/transform/transform_game.py:8-18.
+    """
+    stripped = F.regexp_replace(col, r"[\[\]']", "")
+    if language_mode:
+        stripped = F.regexp_replace(stripped, r"\*", "")
+    collapsed = F.trim(F.regexp_replace(stripped, r"\s+", " "))
+    if language_mode:
+        items = F.split(collapsed, r",\s*")
+        return F.array_join(F.transform(items, lambda x: F.trim(x)), ", ")
+    return collapsed
+
+
+def comma_split(col: Column) -> Column:
+    """``"A, B"`` -> ``["A","B"]`` for genres/languages/developers/publishers.
+
+    Reference: kafka/producers/kafka_producer_info.py:36-39,
+    etl/load/load_game_mysql.py:96-129.
+    """
+    return F.split(F.trim(col), r",\s*")
+
+
+def html_strip(col: Column) -> Column:
+    """Drop HTML tags and collapse the result, mirroring BeautifulSoup
+    ``get_text`` for the simple markup in the crawled requirement fields.
+
+    Reference: etl/extract/steam_crawl_info.py:41-61,
+    etl/extract/steam_game_crawler.py:88-93.
+    """
+    no_tags = F.regexp_replace(col, r"<[^>]+>", " ")
+    return F.trim(F.regexp_replace(no_tags, r"\s+", " "))
+
+
+def epoch_seconds_to_ts(col: Column) -> Column:
+    """Epoch-seconds -> timestamp (reference FROM_UNIXTIME / fromtimestamp;
+    models/staging/stg_reviews.sql:8, tasks/steam_tasks_improved.py:461)."""
+    return F.timestamp_seconds(col)
+
+
+def epoch_millis_to_ts(col: Column) -> Column:
+    """Epoch-millis -> timestamp (Debezium CDC ``after.timestamp/1000``;
+    tasks/steam_tasks_improved.py:586)."""
+    return F.timestamp_millis(col.cast("long"))
+
+
+def date_partition_key(ts: Column | None = None) -> Column:
+    """``DDMMYYYY`` date-string partition key in tz Asia/Ho_Chi_Minh.
+
+    Reference: utils/common.py:142-144. The session runs in UTC; only this
+    partition key keeps the reference's local timezone.
+    """
+    base = ts if ts is not None else F.current_timestamp()
+    return F.date_format(
+        F.from_utc_timestamp(base, "Asia/Ho_Chi_Minh"), "ddMMyyyy"
+    )

@@ -1,0 +1,31 @@
+from .dedup import (
+    exact_dedup,
+    minhash_signatures,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+)
+from .merge import insert_ignore, merge_monotone_max, upsert_last_wins
+from .sessionize import sessionize
+from .similarity import brute_force_cosine_topk, lsh_bucket_cosine_topk
+from .textstats import doc_fingerprint, language_id, text_quality
+from .topk import latest_per_key, top_k
+
+__all__ = [
+    "exact_dedup",
+    "minhash_signatures",
+    "minhash_lsh_candidates",
+    "ngram_jaccard_pairs",
+    "simhash_fingerprints",
+    "insert_ignore",
+    "merge_monotone_max",
+    "upsert_last_wins",
+    "sessionize",
+    "brute_force_cosine_topk",
+    "lsh_bucket_cosine_topk",
+    "doc_fingerprint",
+    "language_id",
+    "text_quality",
+    "latest_per_key",
+    "top_k",
+]

@@ -1,0 +1,129 @@
+"""Text analysis operators for corpus pipelines.
+
+All pure Column expressions (whole-stage codegen; no UDFs):
+- text_quality:  token counts, distinct-token ratio, punctuation/stopword
+                 ratios, and a composite quality score.
+- language_id:   marker-stopword n-gram heuristic over a small per-language
+                 lexicon; returns argmax language with deterministic ties.
+- doc_fingerprint: md5 content fingerprint over normalized text + coarse
+                 length bucket (cheap join key for incremental dedup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny public marker lexicons (most-frequent function words).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "nicht", "das"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "los", "que", "y", "las"],
+    "zh": ["的", "了", "是", "我", "不"],
+}
+
+
+def _norm_text(col: Column) -> Column:
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def _count_matches(col: Column, pattern: str) -> Column:
+    """Number of regexp matches via split-length (portable counting trick)."""
+    return F.size(F.split(col, pattern)) - 1
+
+
+def token_count(col: Column) -> Column:
+    norm = _norm_text(col)
+    return F.when(norm == "", F.lit(0)).otherwise(F.size(F.split(norm, " ")))
+
+
+def text_quality(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document quality features + composite score.
+
+    Returns (id, n_chars, n_tokens, n_distinct_tokens, distinct_ratio,
+    avg_token_len, punct_ratio, stopword_ratio, quality_score). The score is
+    a simple interpretable blend: high distinct ratio and moderate token
+    length up, punctuation floods down.
+    """
+    norm = _norm_text(F.col(text_col))
+    tokens = F.split(norm, " ")
+    n_tokens = token_count(F.col(text_col))
+    n_distinct = F.size(F.array_distinct(tokens))
+    n_chars = F.length(F.col(text_col))
+    punct = _count_matches(F.col(text_col), r"[!?.,;:]")
+    stop = F.size(
+        F.filter(tokens, lambda t: t.isin(*LANG_MARKERS["en"]))
+    )
+    out = df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        F.round(n_distinct / F.greatest(n_tokens, F.lit(1)), 6).alias("distinct_ratio"),
+        F.round(
+            (F.length(norm) - (n_tokens - 1)) / F.greatest(n_tokens, F.lit(1)), 6
+        ).alias("avg_token_len"),
+        F.round(punct / F.greatest(n_chars, F.lit(1)), 6).alias("punct_ratio"),
+        F.round(stop / F.greatest(n_tokens, F.lit(1)), 6).alias("stopword_ratio"),
+    )
+    return out.withColumn(
+        "quality_score",
+        F.round(
+            F.least(F.col("distinct_ratio") * 2, F.lit(1.0)) * 0.5
+            + F.when((F.col("avg_token_len") >= 3) & (F.col("avg_token_len") <= 10), 0.3)
+            .otherwise(0.0)
+            + F.when(F.col("punct_ratio") <= 0.1, 0.2).otherwise(0.0),
+            6,
+        ),
+    )
+
+
+def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Heuristic language ID: count marker-word hits per language over the
+    token set; argmax wins, ties broken by language code ascending;
+    0 hits everywhere -> 'und'.
+
+    Returns (id, predicted_lang, marker_hits).
+    """
+    norm = _norm_text(F.col(text_col))
+    tokens = F.split(norm, " ")
+    scores = [
+        F.struct(
+            F.size(F.filter(tokens, lambda t: t.isin(*words))).alias("hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, words in sorted(LANG_MARKERS.items())
+    ]
+    # argmax with deterministic ties: sort by (hits desc, lang asc) = max of
+    # struct(hits, negated-lexicographic lang) — do it with array_sort.
+    arr = F.array(*scores)
+    best = F.array_sort(
+        arr,
+        lambda a, b: F.when(a["hits"] > b["hits"], -1)
+        .when(a["hits"] < b["hits"], 1)
+        .when(a["lang"] < b["lang"], -1)
+        .when(a["lang"] > b["lang"], 1)
+        .otherwise(0),
+    )[0]
+    return df.select(
+        F.col(id_col),
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias(
+            "predicted_lang"
+        ),
+        best["hits"].alias("marker_hits"),
+    )
+
+
+def doc_fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Content fingerprint: md5 of normalized text + pow-2 length bucket.
+
+    Returns (id, fingerprint, len_bucket)."""
+    norm = _norm_text(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.md5(norm).alias("fingerprint"),
+        F.floor(F.log2(F.greatest(F.length(norm), F.lit(1)))).cast("int").alias(
+            "len_bucket"
+        ),
+    )

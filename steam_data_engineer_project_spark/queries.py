@@ -1,0 +1,1163 @@
+"""Query registry: SURVEY.md §2 operator inventory over the driver testdata.
+
+Each entry pairs a Spark DataFrame builder ``(spark, sf_dir) -> DataFrame``
+with an equivalent DuckDB oracle SQL string. The driver (and
+tests/test_oracle_parity.py) runs both and compares row count, schema, and an
+order-insensitive value hash — so every pair is written for *bit-identical*
+results across engines:
+
+- money/quantity sums go through DECIMAL (exact, order-independent), then
+  cast to double and rounded identically on both sides;
+- timestamps are emitted as epoch microseconds (bigint), never as raw
+  timestamp columns;
+- every integer output is cast to bigint (Spark int vs DuckDB bigint widths);
+- double-ordered top-k orders by the *rounded* score with an id tiebreak so
+  both engines select the same rows;
+- string aggregation is canonicalized (sort_array before concat) per
+  SURVEY.md §4's determinism note.
+
+Docstrings cite the reference operator each query re-expresses
+(file:line under /root/reference).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+)
+from .operators.sessionize import sessionize
+from .operators.similarity import cosine_similarity, lsh_bucket_id
+from .operators.textstats import doc_fingerprint, language_id, text_quality
+from .operators.topk import latest_per_key, top_k
+from .session import load_tables
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None => genuinely non-SQL-expressible; rows-only check
+    doc: str
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read a driver parquet table.
+
+    ``events.ts`` is physically TIMESTAMP(NANOS) which Spark's parquet reader
+    rejects; read it as raw nanos (legacy conf, runtime-settable) and truncate
+    to microseconds — matching DuckDB's ``epoch_us`` truncation of the same
+    column, so both engines see identical µs-precision event times.
+    """
+    import os
+
+    # The caller may hand us an untuned session (the driver does); pin the
+    # two semantics-bearing confs every query depends on. Both are
+    # runtime-settable. UTC makes from_unixtime/epoch outputs match the
+    # (timezone-naive) DuckDB oracle regardless of host TZ.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark.read.parquet(path).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+        )
+    return spark.read.parquet(path)
+
+
+def _dsum(col, scale: int = 2, prec: int = 18):
+    """Exact decimal sum -> double, rounded to `scale` (order-independent)."""
+    return F.round(
+        F.sum(col.cast(f"decimal({prec},{scale})")).cast("double"), scale
+    )
+
+
+def _davg(col):
+    """Average truncated to 6 decimals via exact integer floor-division.
+
+    ``ROUND(sum::double / count, 6)`` is NOT engine-portable: when the exact
+    quotient lands on a .5 tie (common when count is a power of two), Spark's
+    BigDecimal HALF_UP and DuckDB's float rounding disagree. Instead compute
+    ``(sum_in_micro_units DIV count) / 1e6`` — integer arithmetic end to end,
+    so both engines produce the identical double. Positive-domain only
+    (floor-division conventions differ for negatives).
+    """
+    num = (F.sum(col.cast("decimal(24,2)")) * 1000000).cast("long")
+    cnt = F.count(col)
+    return F.when(
+        cnt > 0, ((num - F.pmod(num, cnt)) / cnt) / F.lit(1000000.0)
+    ).otherwise(F.lit(None).cast("double"))
+
+
+# --------------------------------------------------------------------------
+# Relational core (SURVEY §2.2-§2.8 mapped onto the TPC-H-ish testdata)
+# --------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship scan→filter→hash-agg (reference A2 shape,
+    game_quality_metrics.sql:3-15, at TPC-H Q1 structure)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(14,2)")
+                    * (F.lit(1.00).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)"))
+                ).cast("double"),
+                2,
+            ).alias("sum_disc_price"),
+            _davg(F.col("l_quantity")).alias("avg_qty"),
+            _davg(F.col("l_extendedprice")).alias("avg_price"),
+            _davg(F.col("l_discount")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE), 2) AS sum_disc_price,
+       CASE WHEN COUNT(l_quantity) > 0 THEN (CAST(SUM(CAST(l_quantity AS DECIMAL(24,2))) * 1000000 AS BIGINT) // COUNT(l_quantity)) / 1000000.0 ELSE NULL END AS avg_qty,
+       CASE WHEN COUNT(l_extendedprice) > 0 THEN (CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,2))) * 1000000 AS BIGINT) // COUNT(l_extendedprice)) / 1000000.0 ELSE NULL END AS avg_price,
+       CASE WHEN COUNT(l_discount) > 0 THEN (CAST(SUM(CAST(l_discount AS DECIMAL(24,2))) * 1000000 AS BIGINT) // COUNT(l_discount)) / 1000000.0 ELSE NULL END AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def stg_projection_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: staging projection+filter (models/staging/stg_games.sql:3-14)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("game_id"),
+        F.col("c_name").alias("title"),
+        F.col("c_mktsegment").alias("segment"),
+    ).filter(F.col("c_name").isNotNull() & (F.col("c_name") != ""))
+
+
+STG_PROJECTION_ORACLE = """
+SELECT c_custkey AS game_id, c_name AS title, c_mktsegment AS segment
+FROM customer WHERE c_name IS NOT NULL AND c_name <> ''
+"""
+
+
+def range_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: conjunctive range predicates (models/staging/stg_prices.sql:3-11)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_extendedprice") >= 0)
+        & (F.col("l_discount") >= 0)
+        & (F.col("l_discount") <= 0.10)
+        & (F.col("l_quantity") >= 1)
+    ).select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_discount").alias("discount"),
+    )
+
+
+RANGE_PRED_ORACLE = """
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       l_extendedprice AS price, l_discount AS discount
+FROM lineitem
+WHERE l_extendedprice >= 0 AND l_discount >= 0 AND l_discount <= 0.10 AND l_quantity >= 1
+"""
+
+
+def regex_exclusion_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: regex exclusion (etl/extract/steam_crawl_more_info.py:55-60 —
+    `(?i)\\b(DLC|Demo|...)\\b` against names)."""
+    p = _t(spark, sf_dir, "part")
+    return p.filter(~F.col("p_name").rlike(r"(?i)\b(ring|bolt|gear)\b")).select(
+        "p_partkey", "p_name", "p_brand"
+    )
+
+
+REGEX_EXCL_ORACLE = r"""
+SELECT p_partkey, p_name, p_brand
+FROM part WHERE NOT regexp_matches(p_name, '(?i)\b(ring|bolt|gear)\b')
+"""
+
+
+def type_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: keep only one record type (etl/extract/steam_game_crawler.py:76-78)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "value"
+    )
+
+
+TYPE_FILTER_ORACLE = """
+SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase'
+"""
+
+
+def nan_empty_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10: sentinel/NaN normalization (kafka/producers/kafka_producer_info.py:16-28)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.coalesce(F.nullif(F.col("event_type"), F.lit("error")), F.lit("")).alias(
+            "event_type_clean"
+        ),
+        F.coalesce(F.col("value"), F.lit(0.0)).alias("value_filled"),
+    )
+
+
+NAN_NORM_ORACLE = """
+SELECT event_id,
+       COALESCE(NULLIF(event_type, 'error'), '') AS event_type_clean,
+       COALESCE(value, 0.0) AS value_filled
+FROM events
+"""
+
+
+def dim_star_denorm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1+A1: chained LEFT joins + deterministic GROUP_CONCAT
+    (models/marts/core/dim_games.sql:9-22). Dims broadcast automatically."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+
+    brands = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_set("p_brand"))).alias("brands")
+        )
+    )
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "left")
+        .join(nation, customer.c_nationkey == nation.n_nationkey, "left")
+        .join(region, nation.n_regionkey == region.r_regionkey, "left")
+        .join(brands, orders.o_orderkey == brands.l_orderkey, "left")
+        .select(
+            "o_orderkey",
+            F.col("c_name").alias("customer_name"),
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+            "brands",
+        )
+    )
+
+
+DIM_STAR_ORACLE = """
+SELECT o_orderkey, c_name AS customer_name, n_name AS nation, r_name AS region, bp.brands
+FROM orders o
+LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+LEFT JOIN (
+    SELECT l_orderkey, array_to_string(list_sort(list(DISTINCT p_brand)), ',') AS brands
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY l_orderkey
+) bp ON o.o_orderkey = bp.l_orderkey
+"""
+
+
+def quality_metrics_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2+A2: two-level LEFT join then aggregate, preserving the join-fanout
+    AVG semantics exactly (models/marts/business/game_quality_metrics.sql:3-15
+    — the AVG runs over the reviews×prices fanout, deliberately)."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    joined = customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left"
+    ).join(li, orders.o_orderkey == li.l_orderkey, "left")
+    return joined.groupBy("c_custkey", "c_name").agg(
+        _davg(F.col("o_totalprice")).alias("avg_order_price"),
+        F.min("o_totalprice").alias("min_order_price"),
+        _davg(F.col("l_discount")).alias("avg_discount"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+QUALITY_FANOUT_ORACLE = """
+SELECT c_custkey, c_name,
+       CASE WHEN COUNT(o_totalprice) > 0 THEN (CAST(SUM(CAST(o_totalprice AS DECIMAL(24,2))) * 1000000 AS BIGINT) // COUNT(o_totalprice)) / 1000000.0 ELSE NULL END AS avg_order_price,
+       MIN(o_totalprice) AS min_order_price,
+       CASE WHEN COUNT(l_discount) > 0 THEN (CAST(SUM(CAST(l_discount AS DECIMAL(24,2))) * 1000000 AS BIGINT) // COUNT(l_discount)) / 1000000.0 ELSE NULL END AS avg_discount,
+       COUNT(*) AS n_rows
+FROM customer
+LEFT JOIN orders ON c_custkey = o_custkey
+LEFT JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY c_custkey, c_name
+"""
+
+
+def fk_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/Q3: FK-violation anti-join (tests/assert_foreign_key_crawl_state.sql:1-4)."""
+    ev = _t(spark, sf_dir, "events")
+    customer = _t(spark, sf_dir, "customer")
+    return (
+        ev.join(customer, ev.user_id == customer.c_custkey, "left_anti")
+        .select("user_id")
+        .distinct()
+    )
+
+
+FK_ANTI_ORACLE = """
+SELECT DISTINCT user_id FROM events e
+WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
+"""
+
+
+def semi_join_existence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: existence check as a set-oriented semi-join
+    (tasks/steam_tasks_improved.py:469-472 row-at-a-time SELECT)."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+SEMI_JOIN_ORACLE = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def outer_union_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: full-outer key-merge (kafka/producers/kafka_producer_info.py:13
+    pandas outer merge)."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_clicks"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(_dsum(F.col("value")).alias("purchase_value"))
+    )
+    return (
+        clicks.join(purchases, "user_id", "outer")
+        .select("user_id", "n_clicks", "purchase_value")
+    )
+
+
+OUTER_MERGE_ORACLE = """
+SELECT COALESCE(a.user_id, b.user_id) AS user_id, a.n_clicks, b.purchase_value
+FROM (SELECT user_id, COUNT(*) AS n_clicks FROM events WHERE event_type='click' GROUP BY user_id) a
+FULL JOIN (SELECT user_id, ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS purchase_value
+           FROM events WHERE event_type='purchase' GROUP BY user_id) b
+ON a.user_id = b.user_id
+"""
+
+
+def get_or_create_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: get-or-create dimension as distinct + dense_rank surrogate key
+    (etl/load/load_game_mysql.py:37-58 row loop, set-oriented)."""
+    p = _t(spark, sf_dir, "part")
+    distinct = p.select(F.col("p_type").alias("name")).distinct()
+    return distinct.select(
+        "name",
+        F.dense_rank().over(Window.orderBy("name")).cast("long").alias("type_id"),
+    )
+
+
+GET_OR_CREATE_ORACLE = """
+SELECT name, CAST(dense_rank() OVER (ORDER BY name) AS BIGINT) AS type_id
+FROM (SELECT DISTINCT p_type AS name FROM part)
+"""
+
+
+def latest_row_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8/T2/A5: latest row per key (ORDER BY ts DESC LIMIT 1 —
+    kafka/consumers/kafka_consumer_prices.py:37-42; dedup keep-last —
+    utils/your_module.py:129)."""
+    ev = _t(spark, sf_dir, "events")
+    latest = latest_per_key(ev, ["user_id"], "ts", "event_id")
+    return latest.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+
+
+LATEST_PER_KEY_ORACLE = """
+SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+"""
+
+
+def window_partition_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: COUNT(*) OVER (PARTITION BY key) (models/marts/core/fact_reviews.sql:9)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        F.count("*").over(Window.partitionBy("l_orderkey")).alias("order_line_count"),
+    )
+
+
+WINDOW_COUNT_ORACLE = """
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       COUNT(*) OVER (PARTITION BY l_orderkey) AS order_line_count
+FROM lineitem
+"""
+
+
+def price_change_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2/ST4: previous-value lookup + change detection
+    (kafka/consumers/kafka_consumer_prices.py:37-67 — notify only on diff)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_value", F.lag("value").over(w))
+        .filter(F.col("prev_value").isNotNull() & (F.col("value") != F.col("prev_value")))
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "value",
+            "prev_value",
+        )
+    )
+
+
+PRICE_CHANGE_ORACLE = """
+SELECT user_id, event_id, epoch_us(ts) AS ts_us, value, prev_value
+FROM (SELECT user_id, event_id, ts, value,
+             lag(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_value
+      FROM events WHERE event_type = 'purchase')
+WHERE prev_value IS NOT NULL AND value <> prev_value
+"""
+
+
+def topk_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: global top-K (top-2000 by player count —
+    realtime/steam-crawl-playercount.py:72-90; intended semantics, the
+    reference's sort-key bug deliberately not replicated per SURVEY §7)."""
+    ev = _t(spark, sf_dir, "events")
+    return top_k(ev, "value", 100, "event_id").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
+TOPK_ORACLE = """
+SELECT event_id, user_id, event_type, value
+FROM events ORDER BY value DESC, event_id LIMIT 100
+"""
+
+
+def duplicate_key_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/Q1: GROUP BY HAVING COUNT(*)>1 (tests/assert_unique_game_id.sql:1-4)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_custkey").alias("key"))
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+DUP_DETECTOR_ORACLE = """
+SELECT o_custkey AS key, COUNT(*) AS n FROM orders GROUP BY o_custkey HAVING COUNT(*) > 1
+"""
+
+
+def crawl_state_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST1/A6/A7: per-key watermark registry — monotone max for review-like
+    events, last-write-wins for price-like events (sql/init_db.sql:63-68;
+    kafka/consumers/kafka_consumer_reviews.py:69-73 GREATEST vs
+    tasks/steam_tasks_improved.py:481-485 overwrite)."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.max(F.unix_micros("ts")).alias("last_click_us"))
+    )
+    purch = latest_per_key(
+        ev.filter(F.col("event_type") == "purchase"), ["user_id"], "ts", "event_id"
+    ).select(
+        "user_id",
+        F.unix_micros("ts").alias("last_purchase_us"),
+        F.col("value").alias("last_purchase_value"),
+    )
+    return (
+        clicks.join(purch, "user_id", "outer")
+        .select("user_id", "last_click_us", "last_purchase_us", "last_purchase_value")
+    )
+
+
+CRAWL_STATE_ORACLE = """
+SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+       a.last_click_us, b.last_purchase_us, b.last_purchase_value
+FROM (SELECT user_id, MAX(epoch_us(ts)) AS last_click_us
+      FROM events WHERE event_type='click' GROUP BY user_id) a
+FULL JOIN (SELECT user_id, epoch_us(ts) AS last_purchase_us, value AS last_purchase_value
+           FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) rn
+                 FROM events WHERE event_type='purchase')
+           WHERE rn = 1) b
+ON a.user_id = b.user_id
+"""
+
+
+def insert_ignore_new_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11: INSERT IGNORE = anti-join of incoming keys against existing
+    (kafka/consumers/kafka_consumer_info.py:56-68)."""
+    ev = _t(spark, sf_dir, "events")
+    incoming = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    existing = ev.filter(F.col("event_type") == "signup").select("user_id").distinct()
+    return incoming.join(existing, "user_id", "left_anti")
+
+
+INSERT_IGNORE_ORACLE = """
+SELECT DISTINCT user_id FROM events e WHERE event_type='click'
+AND NOT EXISTS (SELECT 1 FROM events x WHERE x.event_type='signup' AND x.user_id = e.user_id)
+"""
+
+
+def union_distinct_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 set ops: UNION-dedup of two key sets (append-accumulate +
+    full-outer merge patterns, tasks/steam_tasks_improved.py:199-206)."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select("user_id")
+    b = ev.filter(F.col("event_type") == "view").select("user_id")
+    return a.union(b).distinct()
+
+
+UNION_SETS_ORACLE = """
+SELECT user_id FROM events WHERE event_type='click'
+UNION
+SELECT user_id FROM events WHERE event_type='view'
+"""
+
+
+def except_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 set ops: EXCEPT (clickers who never errored)."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select("user_id")
+    b = ev.filter(F.col("event_type") == "error").select("user_id")
+    return a.subtract(b)  # EXCEPT (set semantics), matching SQL EXCEPT
+
+
+EXCEPT_KEYS_ORACLE = """
+SELECT user_id FROM events WHERE event_type='click'
+EXCEPT
+SELECT user_id FROM events WHERE event_type='error'
+"""
+
+
+# --------------------------------------------------------------------------
+# Scalar-function queries (SURVEY §2.8)
+# --------------------------------------------------------------------------
+
+
+def fx_price_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4/F6/F7: EU-decimal price parsing, discount parsing, initial-price
+    guard chain (tasks/steam_tasks_improved.py:322-371) — exercised by
+    round-tripping lineitem prices through display strings."""
+    li = _t(spark, sf_dir, "lineitem")
+    price_dec = F.col("l_extendedprice").cast("decimal(12,2)")
+    eu_price = F.regexp_replace(price_dec.cast("string"), r"\.", ",")
+    cents = F.round(
+        F.regexp_replace(eu_price, ",", ".").cast("decimal(18,6)") * 100
+    ).cast("long")
+    disc_str = F.concat(
+        (F.col("l_discount") * 100).cast("decimal(5,1)").cast("string"), F.lit("%")
+    )
+    disc_pct = F.coalesce(
+        F.regexp_replace(F.regexp_replace(disc_str, "%", ""), ",", ".").cast("double"),
+        F.lit(0.0),
+    )
+    initial_cents = (
+        F.when(cents <= 0, F.lit(0).cast("long"))
+        .when(disc_pct <= 0, cents)
+        .otherwise(F.floor(cents / (1.0 - disc_pct / 100.0) + 0.5).cast("long"))
+    )
+    return li.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        eu_price.alias("eu_price"),
+        cents.alias("cents"),
+        disc_pct.alias("discount_pct"),
+        initial_cents.alias("initial_cents"),
+    )
+
+
+FX_PRICE_ORACLE = """
+WITH base AS (
+  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         replace(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR), '.', ',') AS eu_price,
+         CAST(CAST(l_discount * 100 AS DECIMAL(5,1)) AS VARCHAR) || '%' AS disc_str
+  FROM lineitem
+), parsed AS (
+  SELECT l_orderkey, l_linenumber, eu_price,
+         CAST(ROUND(CAST(replace(eu_price, ',', '.') AS DECIMAL(18,6)) * 100, 0) AS BIGINT) AS cents,
+         COALESCE(CAST(replace(replace(disc_str, '%', ''), ',', '.') AS DOUBLE), 0.0) AS discount_pct
+  FROM base
+)
+SELECT l_orderkey, l_linenumber, eu_price, cents, discount_pct,
+       CASE WHEN cents <= 0 THEN 0
+            WHEN discount_pct <= 0 THEN cents
+            ELSE CAST(FLOOR(cents / (1.0 - discount_pct / 100.0) + 0.5) AS BIGINT)
+       END AS initial_cents
+FROM parsed
+"""
+
+
+def fx_date_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: '12 Aug, 2020' date parse round-trip
+    (etl/transform/transform_game.py:21, format '%d %b, %Y')."""
+    o = _t(spark, sf_dir, "orders")
+    date_str = F.date_format("o_orderdate", "d MMM, yyyy")
+    return o.select(
+        "o_orderkey",
+        date_str.alias("date_str"),
+        F.to_date(date_str, "d MMM, yyyy").cast("string").alias("parsed_date"),
+    )
+
+
+FX_DATE_ORACLE = """
+SELECT o_orderkey,
+       strftime(o_orderdate, '%-d %b, %Y') AS date_str,
+       CAST(CAST(strptime(strftime(o_orderdate, '%-d %b, %Y'), '%-d %b, %Y') AS DATE) AS VARCHAR) AS parsed_date
+FROM orders
+"""
+
+
+def fx_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12: HTML tag strip + whitespace collapse
+    (etl/extract/steam_crawl_info.py:41-61)."""
+    d = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<div class="desc"><b>'), F.col("text"), F.lit("</b><br/></div>")
+    )
+    no_tags = F.regexp_replace(html, r"<[^>]+>", " ")
+    clean = F.trim(F.regexp_replace(no_tags, r"\s+", " "))
+    return d.select("doc_id", clean.alias("clean_text"))
+
+
+FX_HTML_ORACLE = r"""
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace('<div class="desc"><b>' || text || '</b><br/></div>', '<[^>]+>', ' ', 'g'), '\s+', ' ', 'g')) AS clean_text
+FROM documents
+"""
+
+
+def fx_epoch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F14: epoch seconds/millis conversions (FROM_UNIXTIME —
+    models/staging/stg_reviews.sql:8; CDC ms→s —
+    tasks/steam_tasks_improved.py:586)."""
+    ev = _t(spark, sf_dir, "events")
+    ts_us = F.unix_micros("ts")
+    ts_s = F.expr("unix_micros(ts) DIV 1000000")
+    ts_ms = F.expr("unix_micros(ts) DIV 1000")
+    return ev.select(
+        "event_id",
+        ts_us.alias("ts_us"),
+        ts_s.alias("ts_s"),
+        F.from_unixtime(ts_s).alias("ts_str"),
+        ts_ms.alias("ts_ms"),
+        F.unix_micros(F.timestamp_millis(ts_ms)).alias("ms_roundtrip_us"),
+    )
+
+
+FX_EPOCH_ORACLE = """
+SELECT event_id,
+       epoch_us(ts) AS ts_us,
+       epoch_us(ts) // 1000000 AS ts_s,
+       strftime(make_timestamp((epoch_us(ts) // 1000000) * 1000000), '%Y-%m-%d %H:%M:%S') AS ts_str,
+       epoch_us(ts) // 1000 AS ts_ms,
+       (epoch_us(ts) // 1000) * 1000 AS ms_roundtrip_us
+FROM events
+"""
+
+
+def quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1/Q2/Q4: the dbt data-quality checks as one violations report
+    (models/staging/schema.yml:19-139; tests/assert_*.sql —
+    query-returns-zero-rows convention, reported as counts per rule)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+
+    pk_dups = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .count()
+        .filter(F.col("count") > 1)
+        .agg(F.count("*").alias("violations"))
+        .select(F.lit("lineitem_pk_duplicate").alias("rule"), "violations")
+    )
+    null_key = orders.agg(
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias("violations")
+    ).select(F.lit("orders_orderkey_null").alias("rule"), "violations")
+    disc_range = li.agg(
+        F.sum(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1).otherwise(0)
+        ).alias("violations")
+    ).select(F.lit("lineitem_discount_range").alias("rule"), "violations")
+    price_neg = li.agg(
+        F.sum(F.when(F.col("l_extendedprice") < 0, 1).otherwise(0)).alias("violations")
+    ).select(F.lit("lineitem_price_negative").alias("rule"), "violations")
+    fk = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "left_anti")
+        .agg(F.count("*").alias("violations"))
+        .select(F.lit("orders_fk_customer").alias("rule"), "violations")
+    )
+    return pk_dups.unionByName(null_key).unionByName(disc_range).unionByName(
+        price_neg
+    ).unionByName(fk)
+
+
+QUALITY_SUITE_ORACLE = """
+SELECT 'lineitem_pk_duplicate' AS rule,
+       (SELECT COUNT(*) FROM (SELECT l_orderkey, l_linenumber FROM lineitem GROUP BY 1,2 HAVING COUNT(*)>1)) AS violations
+UNION ALL
+SELECT 'orders_orderkey_null', CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'lineitem_discount_range', CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+UNION ALL
+SELECT 'lineitem_price_negative', CAST(SUM(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+UNION ALL
+SELECT 'orders_fk_customer',
+       (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+"""
+
+# --------------------------------------------------------------------------
+# Training-data pipeline operators (dedup / similarity / text analysis)
+# --------------------------------------------------------------------------
+
+
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 hash-groupBy over normalized text, keep lowest id."""
+    d = _t(spark, sf_dir, "documents")
+    return exact_dedup(d, "text", "doc_id")
+
+
+DEDUP_EXACT_ORACLE = r"""
+SELECT MIN(doc_id) AS doc_id,
+       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS text_hash,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+"""
+
+
+def dedup_ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidates by 3-word-shingle Jaccard via inverted-index
+    self-join (never materializes the n^2 pair space)."""
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "text", "doc_id", n=3, min_shared=2)
+
+
+DEDUP_NGRAM_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 3
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared_shingles
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING COUNT(*) >= 2
+)
+SELECT id_a, id_b, shared_shingles,
+       ROUND(shared_shingles / (sa.n_sh + sb.n_sh - shared_shingles), 6) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+"""
+
+
+def dedup_minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (32 salted md5 hash fns) + 8-band LSH candidate pairs.
+    No SQL oracle yet (hex->bigint md5 hashing isn't expressible in DuckDB
+    1.0 builtins) — driver records rows-only; pytest pins golden values."""
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(d, "text", "doc_id", n=3, num_hashes=32, bands=8)
+
+
+def dedup_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints from per-token md5 bits. Rows-only check
+    (same hex->bigint limitation); pytest pins golden values."""
+    d = _t(spark, sf_dir, "documents")
+    return simhash_fingerprints(d, "text", "doc_id")
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-10 against the vec_id=0 embedding.
+    Ordered by the ROUNDED score + id so both engines select identically."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    scored = e.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        F.round(cosine_similarity(F.col("embedding"), F.col("qv")), 6).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(10)
+
+
+ANN_COSINE_ORACLE = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+pairs AS (
+  SELECT e.vec_id,
+         CAST(UNNEST(e.embedding) AS DOUBLE) AS x,
+         CAST(UNNEST(q.qv) AS DOUBLE) AS y
+  FROM embeddings e, q
+), scores AS (
+  SELECT vec_id, SUM(x*y) AS dot, SUM(x*x) AS nx, SUM(y*y) AS ny
+  FROM pairs GROUP BY vec_id
+)
+SELECT vec_id, ROUND(dot / (SQRT(nx) * SQRT(ny)), 6) AS cosine
+FROM scores ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate cosine top-10: sign-projection bucket
+    prefilter (8 axis-aligned planes, stride 7), then exact scoring within
+    the query's bucket."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"),
+        lsh_bucket_id(F.col("embedding"), 8).alias("q_bucket"),
+    )
+    bucketed = e.select(
+        "vec_id", "embedding", lsh_bucket_id(F.col("embedding"), 8).alias("bucket")
+    )
+    scored = (
+        bucketed.join(F.broadcast(q), bucketed.bucket == q.q_bucket)
+        .select(
+            "vec_id",
+            F.col("bucket").cast("long").alias("bucket"),
+            F.round(cosine_similarity(F.col("embedding"), F.col("qv")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(10)
+
+
+_LSH_BITS_SQL = " + ".join(
+    f"(CASE WHEN CAST(embedding[{(j * 7) % 64 + 1}] AS DOUBLE) > 0.0 THEN {1 << j} ELSE 0 END)"
+    for j in range(8)
+)
+
+ANN_LSH_ORACLE = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_LSH_BITS_SQL} AS bucket FROM embeddings
+), q AS (SELECT embedding AS qv, bucket AS q_bucket FROM b WHERE vec_id = 0),
+pairs AS (
+  SELECT b.vec_id, CAST(b.bucket AS BIGINT) AS bucket,
+         CAST(UNNEST(b.embedding) AS DOUBLE) AS x,
+         CAST(UNNEST(q.qv) AS DOUBLE) AS y
+  FROM b, q WHERE b.bucket = q.q_bucket
+), scores AS (
+  SELECT vec_id, bucket, SUM(x*y) AS dot, SUM(x*x) AS nx, SUM(y*y) AS ny
+  FROM pairs GROUP BY vec_id, bucket
+)
+SELECT vec_id, bucket, ROUND(dot / (SQRT(nx) * SQRT(ny)), 6) AS cosine
+FROM scores ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
+def text_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: token counts, distinct/punct/stopword ratios,
+    composite score."""
+    d = _t(spark, sf_dir, "documents")
+    q = text_quality(d, "text", "doc_id")
+    ints = ["n_chars", "n_tokens", "n_distinct_tokens"]
+    return q.select(
+        "doc_id",
+        *[F.col(c).cast("long").alias(c) for c in ints],
+        "distinct_ratio",
+        "avg_token_len",
+        "punct_ratio",
+        "stopword_ratio",
+        "quality_score",
+    )
+
+
+TEXT_QUALITY_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+  FROM documents
+), feats AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CASE WHEN norm = '' THEN 0 ELSE CAST(len(string_split(norm, ' ')) AS BIGINT) END AS n_tokens,
+         CAST(len(list_distinct(string_split(norm, ' '))) AS BIGINT) AS n_distinct_tokens,
+         CAST(length(norm) AS BIGINT) AS n_norm_chars,
+         CAST(len(string_split_regex(text, '[!?.,;:]')) - 1 AS BIGINT) AS n_punct,
+         CAST(len(list_filter(string_split(norm, ' '), x -> x IN ('the','and','of','to','is'))) AS BIGINT) AS n_stop
+  FROM base
+), ratios AS (
+  SELECT doc_id, n_chars, n_tokens, n_distinct_tokens,
+         ROUND(n_distinct_tokens / GREATEST(n_tokens, 1), 6) AS distinct_ratio,
+         ROUND((n_norm_chars - (n_tokens - 1)) / GREATEST(n_tokens, 1), 6) AS avg_token_len,
+         ROUND(n_punct / GREATEST(n_chars, 1), 6) AS punct_ratio,
+         ROUND(n_stop / GREATEST(n_tokens, 1), 6) AS stopword_ratio
+  FROM feats
+)
+SELECT doc_id, n_chars, n_tokens, n_distinct_tokens, distinct_ratio,
+       avg_token_len, punct_ratio, stopword_ratio,
+       ROUND(LEAST(distinct_ratio * 2, 1.0) * 0.5
+             + CASE WHEN avg_token_len >= 3 AND avg_token_len <= 10 THEN 0.3 ELSE 0.0 END
+             + CASE WHEN punct_ratio <= 0.1 THEN 0.2 ELSE 0.0 END, 6) AS quality_score
+FROM ratios
+"""
+
+
+def text_lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-stopword language ID with deterministic argmax ties."""
+    d = _t(spark, sf_dir, "documents")
+    out = language_id(d, "text", "doc_id")
+    return out.select(
+        "doc_id", "predicted_lang", F.col("marker_hits").cast("long").alias("marker_hits")
+    )
+
+
+_LANG_HIT_SQL = {
+    "de": "('der','die','und','nicht','das')",
+    "en": "('the','and','of','to','is')",
+    "es": "('el','los','que','y','las')",
+    "fr": "('le','la','et','les','des')",
+    "zh": "('的','了','是','我','不')",
+}
+_LANG_HITS = ",\n         ".join(
+    f"CAST(len(list_filter(toks, x -> x IN {words})) AS BIGINT) AS h_{lang}"
+    for lang, words in sorted(_LANG_HIT_SQL.items())
+)
+
+TEXT_LANG_ORACLE = rf"""
+WITH toksrc AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+  FROM documents
+), hits AS (
+  SELECT doc_id,
+         {_LANG_HITS}
+  FROM toksrc
+)
+SELECT doc_id,
+       CASE WHEN GREATEST(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+            WHEN h_de = GREATEST(h_de, h_en, h_es, h_fr, h_zh) THEN 'de'
+            WHEN h_en = GREATEST(h_de, h_en, h_es, h_fr, h_zh) THEN 'en'
+            WHEN h_es = GREATEST(h_de, h_en, h_es, h_fr, h_zh) THEN 'es'
+            WHEN h_fr = GREATEST(h_de, h_en, h_es, h_fr, h_zh) THEN 'fr'
+            ELSE 'zh' END AS predicted_lang,
+       GREATEST(h_de, h_en, h_es, h_fr, h_zh) AS marker_hits
+FROM hits
+"""
+
+
+def doc_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 content fingerprint + pow-2 length bucket."""
+    d = _t(spark, sf_dir, "documents")
+    out = doc_fingerprint(d, "text", "doc_id")
+    return out.select(
+        "doc_id", "fingerprint", F.col("len_bucket").cast("long").alias("len_bucket")
+    )
+
+
+DOC_FINGERPRINT_ORACLE = r"""
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+       CAST(FLOOR(LOG2(GREATEST(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1))) AS BIGINT) AS len_bucket
+FROM documents
+"""
+
+
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (guide pattern; the reference's nearest analog is the
+    10-min playercount polling loop): 30-min inactivity gap per user, then
+    per-user session stats."""
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, "user_id", "ts", 1800, "event_id")
+    return s.groupBy("user_id").agg(
+        F.max("session_id").cast("long").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+SESSIONIZATION_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN (epoch_us(ts)/1000000.0)
+                   - lag(epoch_us(ts)/1000000.0) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                   > 1800
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+FROM numbered GROUP BY user_id
+"""
+
+
+def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST6 upgrade: tumbling 1-hour event-time window aggregation (the
+    streaming `window()` operator run over the batch table)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), _dsum(F.col("value")).alias("sum_value"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+TUMBLING_ORACLE = """
+SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def cdc_change_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST3/ST4/F15: Debezium-style envelope build → JSON round-trip → decode
+    → before/after diff (tasks/steam_tasks_improved.py:563-608). The op
+    column mirrors Debezium 'c'/'u'."""
+    from pyspark.sql import types as Ty
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    enveloped = ev.select(
+        "user_id",
+        "event_id",
+        F.to_json(
+            F.struct(
+                F.struct(F.lag("value").over(w).alias("price")).alias("before"),
+                F.struct(
+                    F.col("value").alias("price"),
+                    (F.unix_micros("ts") / F.lit(1000)).cast("long").alias("timestamp"),
+                ).alias("after"),
+            )
+        ).alias("envelope"),
+    )
+    schema = Ty.StructType(
+        [
+            Ty.StructField(
+                "before", Ty.StructType([Ty.StructField("price", Ty.DoubleType())])
+            ),
+            Ty.StructField(
+                "after",
+                Ty.StructType(
+                    [
+                        Ty.StructField("price", Ty.DoubleType()),
+                        Ty.StructField("timestamp", Ty.LongType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    decoded = enveloped.select(
+        "user_id", "event_id", F.from_json("envelope", schema).alias("p")
+    )
+    return decoded.select(
+        "user_id",
+        "event_id",
+        F.col("p.before.price").alias("before_price"),
+        F.col("p.after.price").alias("after_price"),
+        F.col("p.after.timestamp").alias("ts_ms"),
+        F.when(F.col("p.before.price").isNull(), F.lit("c"))
+        .otherwise(F.lit("u"))
+        .alias("op"),
+    ).filter(
+        F.col("p.before.price").isNull()
+        | (F.col("p.before.price") != F.col("p.after.price"))
+    )
+
+
+CDC_ORACLE = """
+WITH env AS (
+  SELECT user_id, event_id,
+         lag(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS before_price,
+         value AS after_price,
+         epoch_us(ts) // 1000 AS ts_ms
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT user_id, event_id, before_price, after_price, ts_ms,
+       CASE WHEN before_price IS NULL THEN 'c' ELSE 'u' END AS op
+FROM env
+WHERE before_price IS NULL OR before_price <> after_price
+"""
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, QuerySpec] = {
+    "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_ORACLE, "A2: scan→filter→hash agg (flagship)"),
+    "stg_projection_filter": QuerySpec(stg_projection_filter, STG_PROJECTION_ORACLE, "P1: staging projection+filter"),
+    "range_predicates": QuerySpec(range_predicates, RANGE_PRED_ORACLE, "P2: conjunctive range predicates"),
+    "regex_exclusion_filter": QuerySpec(regex_exclusion_filter, REGEX_EXCL_ORACLE, "P5: regex exclusion filter"),
+    "type_filter": QuerySpec(type_filter, TYPE_FILTER_ORACLE, "P6: record-type filter"),
+    "nan_empty_normalization": QuerySpec(nan_empty_normalization, NAN_NORM_ORACLE, "P10: sentinel/NaN normalization"),
+    "dim_star_denorm": QuerySpec(dim_star_denorm, DIM_STAR_ORACLE, "J1+A1: star denorm + GROUP_CONCAT"),
+    "quality_metrics_fanout": QuerySpec(quality_metrics_fanout, QUALITY_FANOUT_ORACLE, "J2+A2: join-fanout aggregate"),
+    "fk_anti_join": QuerySpec(fk_anti_join, FK_ANTI_ORACLE, "J3: FK-violation anti-join"),
+    "semi_join_existence": QuerySpec(semi_join_existence, SEMI_JOIN_ORACLE, "J6: existence semi-join"),
+    "outer_union_merge": QuerySpec(outer_union_merge, OUTER_MERGE_ORACLE, "J5: full-outer key merge"),
+    "get_or_create_dim": QuerySpec(get_or_create_dim, GET_OR_CREATE_ORACLE, "J7: surrogate-key dimension build"),
+    "latest_row_per_key": QuerySpec(latest_row_per_key, LATEST_PER_KEY_ORACLE, "J8/T2/A5: latest row per key"),
+    "window_partition_count": QuerySpec(window_partition_count, WINDOW_COUNT_ORACLE, "W1: count over partition"),
+    "price_change_lag": QuerySpec(price_change_lag, PRICE_CHANGE_ORACLE, "W2/ST4: lag change detection"),
+    "topk_by_value": QuerySpec(topk_by_value, TOPK_ORACLE, "T1: global top-K"),
+    "duplicate_key_detector": QuerySpec(duplicate_key_detector, DUP_DETECTOR_ORACLE, "A3: HAVING count>1"),
+    "crawl_state_registry": QuerySpec(crawl_state_registry, CRAWL_STATE_ORACLE, "ST1/A6/A7: per-key watermark registry"),
+    "insert_ignore_new_keys": QuerySpec(insert_ignore_new_keys, INSERT_IGNORE_ORACLE, "S11: INSERT IGNORE anti-join"),
+    "union_distinct_sets": QuerySpec(union_distinct_sets, UNION_SETS_ORACLE, "set ops: union-distinct"),
+    "except_keys": QuerySpec(except_keys, EXCEPT_KEYS_ORACLE, "set ops: except"),
+    "fx_price_parsing": QuerySpec(fx_price_parsing, FX_PRICE_ORACLE, "F4/F6/F7: price scalar functions"),
+    "fx_date_roundtrip": QuerySpec(fx_date_roundtrip, FX_DATE_ORACLE, "F9: date parse round-trip"),
+    "fx_html_strip": QuerySpec(fx_html_strip, FX_HTML_ORACLE, "F12: HTML strip"),
+    "fx_epoch_roundtrip": QuerySpec(fx_epoch_roundtrip, FX_EPOCH_ORACLE, "F1/F14: epoch conversions"),
+    "quality_suite": QuerySpec(quality_suite, QUALITY_SUITE_ORACLE, "Q1/Q2/Q4: data-quality checks"),
+    "dedup_exact_docs": QuerySpec(dedup_exact_docs, DEDUP_EXACT_ORACLE, "dedup: exact hash-groupBy"),
+    "dedup_ngram_jaccard_docs": QuerySpec(dedup_ngram_jaccard_docs, DEDUP_NGRAM_ORACLE, "dedup: n-gram Jaccard pairs"),
+    "dedup_minhash_lsh_docs": QuerySpec(dedup_minhash_lsh_docs, None, "dedup: MinHash+LSH candidates (rows-only)"),
+    "dedup_simhash_docs": QuerySpec(dedup_simhash_docs, None, "dedup: SimHash fingerprints (rows-only)"),
+    "ann_cosine_topk": QuerySpec(ann_cosine_topk, ANN_COSINE_ORACLE, "similarity: brute-force cosine top-k"),
+    "ann_lsh_topk": QuerySpec(ann_lsh_topk, ANN_LSH_ORACLE, "similarity: LSH-bucketed cosine top-k"),
+    "text_quality_docs": QuerySpec(text_quality_docs, TEXT_QUALITY_ORACLE, "text: quality scoring"),
+    "text_lang_id_docs": QuerySpec(text_lang_id_docs, TEXT_LANG_ORACLE, "text: language ID"),
+    "doc_fingerprint_docs": QuerySpec(doc_fingerprint_docs, DOC_FINGERPRINT_ORACLE, "text: content fingerprint"),
+    "sessionization": QuerySpec(sessionization, SESSIONIZATION_ORACLE, "sessionization: gap-based"),
+    "tumbling_window_agg": QuerySpec(tumbling_window_agg, TUMBLING_ORACLE, "ST6: tumbling window agg"),
+    "cdc_change_extract": QuerySpec(cdc_change_extract, CDC_ORACLE, "ST3/ST4/F15: CDC envelope diff"),
+}
