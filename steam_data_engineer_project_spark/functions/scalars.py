@@ -20,8 +20,10 @@ def to_cents(col: Column) -> Column:
     ("12,34" -> 1234), dot decimals ("12.34" -> 1234), bare ints ("12" ->
     1200), and returns null for None/''/garbage.
     """
+    # try_cast, not cast: under ANSI mode (Spark 4 default) a plain cast of
+    # garbage throws; the reference contract is null-on-failure.
     normalized = F.regexp_replace(F.trim(col.cast("string")), ",", ".")
-    as_num = normalized.cast("decimal(18,6)")
+    as_num = normalized.try_cast("decimal(18,6)")
     return F.when(as_num.isNull(), F.lit(None).cast("long")).otherwise(
         F.round(as_num * 100).cast("long")
     )
@@ -43,7 +45,7 @@ def parse_discount(col: Column) -> Column:
     cleaned = F.regexp_replace(
         F.regexp_replace(F.trim(col.cast("string")), "%", ""), ",", "."
     )
-    return F.coalesce(cleaned.cast("double"), F.lit(0.0))
+    return F.coalesce(cleaned.try_cast("double"), F.lit(0.0))
 
 
 def initial_price_cents(current_cents: Column, discount_pct: Column) -> Column:
@@ -55,11 +57,14 @@ def initial_price_cents(current_cents: Column, discount_pct: Column) -> Column:
     current``; else ``round(current / (1 - d/100))``.
     """
     denom = 1.0 - discount_pct / 100.0
+    # floor(x + 0.5) = half-up for the positive price domain — identical
+    # across engines, unlike round() whose .5 tie behavior differs (Python's
+    # banker's rounding in the reference vs HALF_UP in SQL engines).
     return (
-        F.when(current_cents <= 0, F.lit(0))
-        .when(discount_pct <= 0, current_cents)
-        .when(denom <= 0, current_cents)
-        .otherwise(F.round(current_cents / denom).cast("long"))
+        F.when(current_cents <= 0, F.lit(0).cast("long"))
+        .when(discount_pct <= 0, current_cents.cast("long"))
+        .when(denom <= 0, current_cents.cast("long"))
+        .otherwise(F.floor(current_cents / denom + F.lit(0.5)).cast("long"))
     )
 
 
@@ -78,9 +83,10 @@ def parse_release_date(col: Column) -> Column:
     """Parse '"12 Aug, 2020"'-style dates; null on failure.
 
     Reference: etl/transform/transform_game.py:21 (pandas
-    ``to_datetime(format='%d %b, %Y', errors='coerce')``).
+    ``to_datetime(format='%d %b, %Y', errors='coerce')``). try_to_timestamp
+    (not to_date) so unparseable input nulls instead of throwing under ANSI.
     """
-    return F.to_date(col, "d MMM, yyyy")
+    return F.try_to_timestamp(col, F.lit("d MMM, yyyy")).cast("date")
 
 
 def clean_array_string(col: Column, *, language_mode: bool = False) -> Column:

@@ -94,7 +94,10 @@ def ngram_jaccard_pairs(
 
     Returns (id_a, id_b, shared_shingles, jaccard) rounded to 6 places.
     """
-    sh = shingle_table(df, text_col, id_col, n).cache()
+    # No cache(): the shingle explode is cheap to recompute and an uncached
+    # plan lets AQE size both consumers independently; a cache here would
+    # also leak executor memory across repeated invocations (bench loops).
+    sh = shingle_table(df, text_col, id_col, n)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
 
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")

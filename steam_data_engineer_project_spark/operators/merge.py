@@ -31,17 +31,20 @@ def upsert_last_wins(
     incoming: DataFrame,
     key_cols: list[str],
     order_col: str | None = None,
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """Union then keep one row per key, preferring incoming (and within each
     side the greatest ``order_col`` when given).
 
     ``order_col=None`` means pure processing-order precedence: any incoming
-    row beats any existing row for its key.
+    row beats any existing row for its key. ``tiebreak_cols`` (descending)
+    make the survivor deterministic when ``order_col`` ties within a side.
     """
     ex = existing.withColumn("__src", F.lit(0))
     inc = incoming.withColumn("__src", F.lit(1))
     merged = ex.unionByName(inc)
     order = [F.desc("__src")] + ([F.desc(order_col)] if order_col else [])
+    order += [F.desc(c) for c in (tiebreak_cols or [])]
     w = Window.partitionBy(*key_cols).orderBy(*order)
     return (
         merged.withColumn("__rn", F.row_number().over(w))
@@ -51,17 +54,29 @@ def upsert_last_wins(
 
 
 def insert_ignore(
-    existing: DataFrame, incoming: DataFrame, key_cols: list[str]
+    existing: DataFrame,
+    incoming: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str] | None = None,
 ) -> DataFrame:
     """Keep existing rows untouched; add incoming rows whose key is absent.
 
-    Incoming duplicates (same key twice in the batch) keep an arbitrary
-    single row, matching INSERT IGNORE's first-wins per statement — made
-    deterministic with dropDuplicates on the key.
+    Incoming duplicates (same key twice in the batch) keep one row, matching
+    INSERT IGNORE's first-wins per statement. ``order_cols`` (ascending)
+    define "first" deterministically; without them ``dropDuplicates`` keeps
+    an arbitrary row (fine when payloads per key are identical).
     """
-    fresh = incoming.dropDuplicates(key_cols).join(
-        existing.select(*key_cols), key_cols, "left_anti"
-    )
+    deduped = incoming
+    if order_cols:
+        w = Window.partitionBy(*key_cols).orderBy(*[F.asc(c) for c in order_cols])
+        deduped = (
+            incoming.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    else:
+        deduped = incoming.dropDuplicates(key_cols)
+    fresh = deduped.join(existing.select(*key_cols), key_cols, "left_anti")
     return existing.unionByName(fresh)
 
 

@@ -66,11 +66,17 @@ def lsh_bucket_id(vec: Column, n_planes: int = 8, stride: int = 7) -> Column:
     Axis-aligned planes with a coprime stride give a deterministic,
     engine-portable 2^n_planes-bucket partitioning (a degenerate but valid
     member of the random-hyperplane family; full random planes would be a
-    literal matrix built the same way).
+    literal matrix built the same way). The modulus is the vector's own
+    length (``size(vec)``), so any embedding dimension works — the data-side
+    and query-side bucket computations must agree on it.
     """
+    dim = F.size(vec)
     bits = [
         F.when(
-            F.element_at(vec, (j * stride) % 64 + 1).cast("double") > 0.0,
+            F.element_at(
+                vec, (F.lit(j * stride) % dim + F.lit(1)).cast("int")
+            ).cast("double")
+            > 0.0,
             F.lit(1 << j),
         ).otherwise(F.lit(0))
         for j in range(n_planes)
@@ -81,6 +87,21 @@ def lsh_bucket_id(vec: Column, n_planes: int = 8, stride: int = 7) -> Column:
     return out
 
 
+def query_bucket_id(
+    query_vec: list[float], n_planes: int = 8, stride: int = 7
+) -> int:
+    """Python-side mirror of :func:`lsh_bucket_id` for a literal query vector.
+
+    Uses the same ``% len(vec)`` modulus as the Column version so data-side
+    and query-side buckets always agree, at any embedding dimension.
+    """
+    bucket = 0
+    for j in range(n_planes):
+        if float(query_vec[(j * stride) % len(query_vec)]) > 0.0:
+            bucket += 1 << j
+    return bucket
+
+
 def lsh_bucket_cosine_topk(
     df: DataFrame,
     vec_col: str,
@@ -88,22 +109,26 @@ def lsh_bucket_cosine_topk(
     query_vec: list[float],
     k: int = 10,
     n_planes: int = 8,
+    probe_hamming: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: score only vectors sharing the query's LSH bucket.
+    """Approximate top-k: score only vectors in buckets within
+    ``probe_hamming`` bit flips of the query's LSH bucket (multi-probe —
+    Hamming-1 probing recovers most neighbors lost to a single sign flip at
+    the cost of ``n_planes``× more candidate buckets out of ``2^n_planes``).
 
-    Returns (id_col, bucket, cosine). On a bucketed/partitioned table the
-    bucket predicate prunes the scan; here it prunes compute.
+    Returns (id_col, bucket, cosine). On a table written bucketed/partitioned
+    by the LSH id the bucket predicate prunes the scan; here it prunes
+    compute.
     """
-    q_bucket = 0
-    for j in range(n_planes):
-        if float(query_vec[(j * 7) % len(query_vec)]) > 0.0:
-            q_bucket += 1 << j
+    q_bucket = query_bucket_id(query_vec, n_planes)
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     bucketed = df.select(
         F.col(id_col),
         F.col(vec_col),
         lsh_bucket_id(F.col(vec_col), n_planes).alias("bucket"),
-    ).filter(F.col("bucket") == q_bucket)
+    ).filter(
+        F.bit_count(F.col("bucket").bitwiseXOR(F.lit(q_bucket))) <= probe_hamming
+    )
     scored = bucketed.select(
         F.col(id_col),
         "bucket",

@@ -34,6 +34,19 @@ from .operators.dedup import (
     ngram_jaccard_pairs,
     simhash_fingerprints,
 )
+from .functions.scalars import (
+    clean_array_string,
+    comma_split,
+    date_partition_key,
+    format_cents,
+    initial_price,
+    initial_price_cents,
+    parse_discount,
+    parse_release_date,
+    to_cents,
+)
+from .operators.merge import insert_ignore, merge_monotone_max, upsert_last_wins
+from .operators.ranking import global_row_number
 from .operators.sessionize import sessionize
 from .operators.similarity import cosine_similarity, lsh_bucket_id
 from .operators.textstats import doc_fingerprint, language_id, text_quality
@@ -91,9 +104,16 @@ def _davg(col):
     """
     num = (F.sum(col.cast("decimal(24,2)")) * 1000000).cast("long")
     cnt = F.count(col)
-    return F.when(
-        cnt > 0, ((num - F.pmod(num, cnt)) / cnt) / F.lit(1000000.0)
-    ).otherwise(F.lit(None).cast("double"))
+    # (num - pmod) is an exact multiple of cnt; dividing as decimal keeps the
+    # quotient exact past 2^53 (where long->double division would drift from
+    # the oracle's BIGINT // division). The quotient (~avg * 1e6) is small
+    # enough that the final double division is lossless.
+    exact_quot = (
+        (num - F.pmod(num, cnt)).cast("decimal(38,0)") / cnt
+    ).cast("long")
+    return F.when(cnt > 0, exact_quot / F.lit(1000000.0)).otherwise(
+        F.lit(None).cast("double")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -369,14 +389,14 @@ ON a.user_id = b.user_id
 
 
 def get_or_create_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J7: get-or-create dimension as distinct + dense_rank surrogate key
-    (etl/load/load_game_mysql.py:37-58 row loop, set-oriented)."""
+    """J7: get-or-create dimension as distinct + surrogate key
+    (etl/load/load_game_mysql.py:37-58 row loop, set-oriented). The key is a
+    global row number over distinct names computed with the distributed
+    two-phase ranking operator — no single-partition window, so the same
+    code path scales to high-cardinality keys (author dedup etc.)."""
     p = _t(spark, sf_dir, "part")
     distinct = p.select(F.col("p_type").alias("name")).distinct()
-    return distinct.select(
-        "name",
-        F.dense_rank().over(Window.orderBy("name")).cast("long").alias("type_id"),
-    )
+    return global_row_number(distinct, ["name"], "type_id").select("name", "type_id")
 
 
 GET_OR_CREATE_ORACLE = """
@@ -574,25 +594,18 @@ SELECT user_id FROM events WHERE event_type='error'
 def fx_price_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F4/F6/F7: EU-decimal price parsing, discount parsing, initial-price
     guard chain (tasks/steam_tasks_improved.py:322-371) — exercised by
-    round-tripping lineitem prices through display strings."""
+    round-tripping lineitem prices through display strings. Routed through
+    the ``functions.scalars`` library (to_cents / parse_discount /
+    initial_price_cents) so the library is oracle-verified."""
     li = _t(spark, sf_dir, "lineitem")
     price_dec = F.col("l_extendedprice").cast("decimal(12,2)")
     eu_price = F.regexp_replace(price_dec.cast("string"), r"\.", ",")
-    cents = F.round(
-        F.regexp_replace(eu_price, ",", ".").cast("decimal(18,6)") * 100
-    ).cast("long")
+    cents = to_cents(eu_price)
     disc_str = F.concat(
         (F.col("l_discount") * 100).cast("decimal(5,1)").cast("string"), F.lit("%")
     )
-    disc_pct = F.coalesce(
-        F.regexp_replace(F.regexp_replace(disc_str, "%", ""), ",", ".").cast("double"),
-        F.lit(0.0),
-    )
-    initial_cents = (
-        F.when(cents <= 0, F.lit(0).cast("long"))
-        .when(disc_pct <= 0, cents)
-        .otherwise(F.floor(cents / (1.0 - disc_pct / 100.0) + 0.5).cast("long"))
-    )
+    disc_pct = parse_discount(disc_str)
+    initial_cents = initial_price_cents(cents, disc_pct)
     return li.select(
         "l_orderkey",
         F.col("l_linenumber").cast("long").alias("l_linenumber"),
@@ -689,6 +702,175 @@ SELECT event_id,
        epoch_us(ts) // 1000 AS ts_ms,
        (epoch_us(ts) // 1000) * 1000 AS ms_roundtrip_us
 FROM events
+"""
+
+
+def fx_cents_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4/F5/F16: to_cents → format_cents → to_cents round-trip plus the
+    DDMMYYYY tz-partition key (tasks/steam_tasks_improved.py:322-347;
+    utils/common.py:142-144). All through ``functions.scalars``."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value") >= 0)
+    val_dec = F.col("value").cast("decimal(12,2)")
+    eu = F.regexp_replace(val_dec.cast("string"), r"\.", ",")
+    cents = to_cents(eu)
+    display = format_cents(cents)
+    reparsed = to_cents(display)
+    return ev.select(
+        "event_id",
+        eu.alias("eu_value"),
+        cents.alias("cents"),
+        display.alias("display"),
+        reparsed.alias("reparsed_cents"),
+        (cents == reparsed).alias("roundtrip_ok"),
+        date_partition_key(F.col("ts")).alias("partition_key"),
+    )
+
+
+FX_CENTS_ROUNDTRIP_ORACLE = """
+WITH base AS (
+  SELECT event_id, ts,
+         replace(CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR), '.', ',') AS eu_value
+  FROM events WHERE value >= 0
+), p1 AS (
+  SELECT event_id, ts, eu_value,
+         CAST(ROUND(TRY_CAST(replace(trim(eu_value), ',', '.') AS DECIMAL(18,6)) * 100, 0) AS BIGINT) AS cents
+  FROM base
+), p2 AS (
+  SELECT *, printf('%d,%02d', cents // 100, cents % 100) AS display FROM p1
+), p3 AS (
+  SELECT *,
+         CAST(ROUND(TRY_CAST(replace(trim(display), ',', '.') AS DECIMAL(18,6)) * 100, 0) AS BIGINT) AS reparsed_cents
+  FROM p2
+)
+SELECT event_id, eu_value, cents, display, reparsed_cents,
+       cents = reparsed_cents AS roundtrip_ok,
+       strftime(ts + INTERVAL 7 HOUR, '%d%m%Y') AS partition_key
+FROM p3
+"""
+
+
+def fx_clean_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10/F11: clean_array_string (both modes) + comma_split over
+    stringified lists (etl/transform/transform_game.py:8-25,
+    kafka/producers/kafka_producer_info.py:36-39), built from part columns.
+    Routed through ``functions.scalars``."""
+    p = _t(spark, sf_dir, "part")
+    raw = F.concat(
+        F.lit("['"),
+        F.col("p_name"),
+        F.lit("', '"),
+        F.col("p_brand"),
+        F.lit("', '"),
+        F.col("p_type"),
+        F.lit("']"),
+    )
+    cleaned = clean_array_string(raw)
+    cleaned_lang = clean_array_string(raw, language_mode=True)
+    items = comma_split(cleaned)
+    return p.select(
+        "p_partkey",
+        raw.alias("raw"),
+        cleaned.alias("cleaned"),
+        cleaned_lang.alias("cleaned_lang"),
+        F.size(items).cast("long").alias("n_items"),
+        F.element_at(items, 1).alias("first_item"),
+    )
+
+
+FX_CLEAN_ARRAYS_ORACLE = r"""
+WITH base AS (
+  SELECT p_partkey,
+         '[''' || p_name || ''', ''' || p_brand || ''', ''' || p_type || ''']' AS raw
+  FROM part
+), c AS (
+  SELECT p_partkey, raw,
+         trim(regexp_replace(regexp_replace(raw, '[\[\]'']', '', 'g'), '\s+', ' ', 'g')) AS cleaned,
+         trim(regexp_replace(regexp_replace(regexp_replace(raw, '[\[\]'']', '', 'g'), '\*', '', 'g'), '\s+', ' ', 'g')) AS collapsed_lang
+  FROM base
+)
+SELECT p_partkey, raw, cleaned,
+       array_to_string(list_transform(string_split_regex(collapsed_lang, ',\s*'), x -> trim(x)), ', ') AS cleaned_lang,
+       CAST(len(string_split_regex(trim(cleaned), ',\s*')) AS BIGINT) AS n_items,
+       string_split_regex(trim(cleaned), ',\s*')[1] AS first_item
+FROM c
+"""
+
+
+def merge_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9/S11/A6/A7: the three conflict-resolution rules side by side over an
+    existing/incoming split of purchase events — upsert-last-wins
+    (kafka/consumers/kafka_consumer_info.py:39-51), INSERT IGNORE first-wins
+    (kafka/consumers/kafka_consumer_info.py:56-68), and monotone GREATEST
+    merge (kafka/consumers/kafka_consumer_reviews.py:69-73). Routed through
+    ``operators.merge``."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    base = ev.select(
+        "user_id", "event_id", "value", F.unix_micros("ts").alias("ts_us")
+    )
+    # existing = keyed state (latest even event per user); incoming = the raw
+    # odd-event micro-batch, duplicates and all.
+    existing = latest_per_key(
+        base.filter(F.col("event_id") % 2 == 0), ["user_id"], "ts_us", "event_id"
+    )
+    incoming = base.filter(F.col("event_id") % 2 == 1)
+
+    ups = upsert_last_wins(
+        existing, incoming, ["user_id"], "ts_us", tiebreak_cols=["event_id"]
+    ).select(
+        "user_id",
+        F.col("event_id").alias("upsert_event_id"),
+        F.col("ts_us").alias("upsert_ts_us"),
+    )
+    ign = insert_ignore(
+        existing, incoming, ["user_id"], order_cols=["ts_us", "event_id"]
+    ).select(
+        "user_id",
+        F.col("event_id").alias("ignore_event_id"),
+        F.col("ts_us").alias("ignore_ts_us"),
+    )
+    mono = merge_monotone_max(existing, incoming, ["user_id"], "ts_us").select(
+        "user_id", F.col("ts_us").alias("mono_ts_us")
+    )
+    return ups.join(ign, "user_id").join(mono, "user_id")
+
+
+MERGE_STRATEGIES_ORACLE = """
+WITH p AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type = 'purchase'
+), ex AS (
+  SELECT user_id, event_id, value, ts_us FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rn
+    FROM p WHERE event_id % 2 = 0)
+  WHERE rn = 1
+), inc AS (
+  SELECT user_id, event_id, value, ts_us FROM p WHERE event_id % 2 = 1
+), ups AS (
+  SELECT user_id, event_id AS upsert_event_id, ts_us AS upsert_ts_us FROM (
+    SELECT user_id, event_id, ts_us,
+           row_number() OVER (PARTITION BY user_id ORDER BY src DESC, ts_us DESC, event_id DESC) AS rn
+    FROM (SELECT user_id, event_id, ts_us, 0 AS src FROM ex
+          UNION ALL
+          SELECT user_id, event_id, ts_us, 1 AS src FROM inc))
+  WHERE rn = 1
+), ign AS (
+  SELECT user_id, event_id AS ignore_event_id, ts_us AS ignore_ts_us FROM ex
+  UNION ALL
+  SELECT user_id, event_id, ts_us FROM (
+    SELECT user_id, event_id, ts_us,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS rn
+    FROM inc WHERE user_id NOT IN (SELECT user_id FROM ex))
+  WHERE rn = 1
+), mono AS (
+  SELECT user_id, MAX(ts_us) AS mono_ts_us FROM (
+    SELECT user_id, ts_us FROM ex UNION ALL SELECT user_id, ts_us FROM inc)
+  GROUP BY user_id
+)
+SELECT u.user_id, u.upsert_event_id, u.upsert_ts_us,
+       g.ignore_event_id, g.ignore_ts_us, m.mono_ts_us
+FROM ups u
+JOIN ign g ON u.user_id = g.user_id
+JOIN mono m ON u.user_id = m.user_id
 """
 
 
@@ -838,8 +1020,10 @@ FROM scores ORDER BY cosine DESC, vec_id LIMIT 10
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate cosine top-10: sign-projection bucket
-    prefilter (8 axis-aligned planes, stride 7), then exact scoring within
-    the query's bucket."""
+    prefilter (8 axis-aligned planes, stride 7, modulus = the embedding's own
+    dimension) with Hamming-1 multi-probe (the query bucket plus its 8
+    one-bit-flip neighbors — 9 of 256 buckets), then exact scoring within
+    the probed buckets."""
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qv"),
@@ -849,7 +1033,10 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding", lsh_bucket_id(F.col("embedding"), 8).alias("bucket")
     )
     scored = (
-        bucketed.join(F.broadcast(q), bucketed.bucket == q.q_bucket)
+        bucketed.join(
+            F.broadcast(q),
+            F.bit_count(bucketed.bucket.bitwiseXOR(q.q_bucket)) <= 1,
+        )
         .select(
             "vec_id",
             F.col("bucket").cast("long").alias("bucket"),
@@ -862,7 +1049,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _LSH_BITS_SQL = " + ".join(
-    f"(CASE WHEN CAST(embedding[{(j * 7) % 64 + 1}] AS DOUBLE) > 0.0 THEN {1 << j} ELSE 0 END)"
+    f"(CASE WHEN CAST(embedding[({j * 7} % len(embedding)) + 1] AS DOUBLE) > 0.0 THEN {1 << j} ELSE 0 END)"
     for j in range(8)
 )
 
@@ -874,7 +1061,7 @@ pairs AS (
   SELECT b.vec_id, CAST(b.bucket AS BIGINT) AS bucket,
          CAST(UNNEST(b.embedding) AS DOUBLE) AS x,
          CAST(UNNEST(q.qv) AS DOUBLE) AS y
-  FROM b, q WHERE b.bucket = q.q_bucket
+  FROM b, q WHERE bit_count(xor(b.bucket::BIGINT, q.q_bucket::BIGINT)) <= 1
 ), scores AS (
   SELECT vec_id, bucket, SUM(x*y) AS dot, SUM(x*x) AS nx, SUM(y*y) AS ny
   FROM pairs GROUP BY vec_id, bucket
@@ -1147,6 +1334,9 @@ QUERIES: dict[str, QuerySpec] = {
     "fx_date_roundtrip": QuerySpec(fx_date_roundtrip, FX_DATE_ORACLE, "F9: date parse round-trip"),
     "fx_html_strip": QuerySpec(fx_html_strip, FX_HTML_ORACLE, "F12: HTML strip"),
     "fx_epoch_roundtrip": QuerySpec(fx_epoch_roundtrip, FX_EPOCH_ORACLE, "F1/F14: epoch conversions"),
+    "fx_cents_roundtrip": QuerySpec(fx_cents_roundtrip, FX_CENTS_ROUNDTRIP_ORACLE, "F4/F5/F16: cents round-trip + tz partition key"),
+    "fx_clean_arrays": QuerySpec(fx_clean_arrays, FX_CLEAN_ARRAYS_ORACLE, "F10/F11: array-string cleanup + comma split"),
+    "merge_strategies": QuerySpec(merge_strategies, MERGE_STRATEGIES_ORACLE, "S9/S11/A6/A7: three-way merge strategies"),
     "quality_suite": QuerySpec(quality_suite, QUALITY_SUITE_ORACLE, "Q1/Q2/Q4: data-quality checks"),
     "dedup_exact_docs": QuerySpec(dedup_exact_docs, DEDUP_EXACT_ORACLE, "dedup: exact hash-groupBy"),
     "dedup_ngram_jaccard_docs": QuerySpec(dedup_ngram_jaccard_docs, DEDUP_NGRAM_ORACLE, "dedup: n-gram Jaccard pairs"),

@@ -1,0 +1,229 @@
+"""Unit tests for the operator/function library on tiny in-memory fixtures —
+the edge cases the oracle-parity queries can't reach (nulls, garbage input,
+guard rails, non-default dimensions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Row, Window
+from pyspark.sql import functions as F
+
+from steam_data_engineer_project_spark.functions.scalars import (
+    clean_array_string,
+    comma_split,
+    format_cents,
+    initial_price,
+    initial_price_cents,
+    parse_discount,
+    parse_release_date,
+    to_cents,
+)
+from steam_data_engineer_project_spark.operators.merge import (
+    insert_ignore,
+    merge_monotone_max,
+    upsert_last_wins,
+)
+from steam_data_engineer_project_spark.operators.ranking import global_row_number
+from steam_data_engineer_project_spark.operators.similarity import (
+    lsh_bucket_id,
+    lsh_bucket_cosine_topk,
+    query_bucket_id,
+)
+
+
+def _one_col(spark, values, name="v"):
+    return spark.createDataFrame([Row(**{name: v}) for v in values])
+
+
+# ---------------------------------------------------------------- scalars
+
+
+def test_to_cents_reference_cases(spark):
+    # tasks/steam_tasks_improved.py:322-339 cases: EU comma, dot, bare int,
+    # empty/None/garbage -> null.
+    df = _one_col(spark, ["12,34", "12.34", "12", "", None, "abc", " 5,00 "])
+    out = [r.c for r in df.select(to_cents(F.col("v")).alias("c")).collect()]
+    assert out == [1234, 1234, 1200, None, None, None, 500]
+
+
+def test_format_cents_and_roundtrip(spark):
+    df = _one_col(spark, [1234, 500, 7, 0])
+    disp = [r.d for r in df.select(format_cents(F.col("v")).alias("d")).collect()]
+    assert disp == ["12,34", "5,00", "0,07", "0,00"]
+    back = [
+        r.c
+        for r in df.select(to_cents(format_cents(F.col("v"))).alias("c")).collect()
+    ]
+    assert back == [1234, 500, 7, 0]
+
+
+def test_parse_discount(spark):
+    df = _one_col(spark, ["50%", "12,5%", "0", "", None, "x%"])
+    out = [r.d for r in df.select(parse_discount(F.col("v")).alias("d")).collect()]
+    assert out == [50.0, 12.5, 0.0, 0.0, 0.0, 0.0]
+
+
+def test_initial_price_cents_guards(spark):
+    # (current_cents, discount_pct) -> reference guard chain
+    rows = [(0, 50.0), (-5, 50.0), (1000, 0.0), (1000, -1.0), (500, 50.0), (999, 33.0)]
+    df = spark.createDataFrame(rows, ["c", "d"])
+    out = [
+        r.i
+        for r in df.select(
+            initial_price_cents(F.col("c"), F.col("d")).alias("i")
+        ).collect()
+    ]
+    # 500/(1-0.5)=1000; 999/(0.67)=1491.04... -> 1491
+    assert out == [0, 0, 1000, 1000, 1000, 1491]
+
+
+def test_initial_price_float_variant(spark):
+    rows = [(10.0, 50.0), (10.0, 0.0), (10.0, -5.0)]
+    df = spark.createDataFrame(rows, ["p", "d"])
+    out = [
+        round(r.i, 6)
+        for r in df.select(initial_price(F.col("p"), F.col("d")).alias("i")).collect()
+    ]
+    assert out == [20.0, 10.0, 10.0]
+
+
+def test_clean_array_string_and_split(spark):
+    df = _one_col(spark, ["['Action',  'Indie RPG']"])
+    plain = df.select(clean_array_string(F.col("v")).alias("c")).collect()[0].c
+    assert plain == "Action, Indie RPG"
+    lang = (
+        df.select(clean_array_string(F.col("v"), language_mode=True).alias("c"))
+        .collect()[0]
+        .c
+    )
+    assert lang == "Action, Indie RPG"
+    items = (
+        df.select(comma_split(clean_array_string(F.col("v"))).alias("a"))
+        .collect()[0]
+        .a
+    )
+    assert items == ["Action", "Indie RPG"]
+
+
+def test_clean_array_string_language_stars(spark):
+    df = _one_col(spark, ["['English*', 'French* ', 'German']"])
+    lang = (
+        df.select(clean_array_string(F.col("v"), language_mode=True).alias("c"))
+        .collect()[0]
+        .c
+    )
+    assert lang == "English, French, German"
+
+
+def test_parse_release_date(spark):
+    df = _one_col(spark, ["12 Aug, 2020", "1 Jan, 1999", "garbage", None])
+    out = [
+        str(r.d) if r.d else None
+        for r in df.select(parse_release_date(F.col("v")).alias("d")).collect()
+    ]
+    assert out == ["2020-08-12", "1999-01-01", None, None]
+
+
+# ---------------------------------------------------------------- merge
+
+
+def _merge_fixtures(spark):
+    existing = spark.createDataFrame(
+        [(1, "old-a", 10), (2, "old-b", 20)], ["k", "payload", "ts"]
+    )
+    incoming = spark.createDataFrame(
+        [(2, "new-b1", 15), (2, "new-b2", 25), (3, "new-c", 5)],
+        ["k", "payload", "ts"],
+    )
+    return existing, incoming
+
+
+def test_upsert_last_wins(spark):
+    existing, incoming = _merge_fixtures(spark)
+    out = {
+        r.k: r.payload
+        for r in upsert_last_wins(existing, incoming, ["k"], "ts").collect()
+    }
+    # k=1 untouched; k=2 incoming wins (max ts within incoming); k=3 added
+    assert out == {1: "old-a", 2: "new-b2", 3: "new-c"}
+
+
+def test_upsert_incoming_beats_existing_even_if_older(spark):
+    existing, incoming = _merge_fixtures(spark)
+    only_older = incoming.filter(F.col("ts") == 15)  # older than existing's 20
+    out = {
+        r.k: r.payload
+        for r in upsert_last_wins(existing, only_older, ["k"], "ts").collect()
+    }
+    assert out[2] == "new-b1"  # processing-order precedence, not event-time
+
+
+def test_insert_ignore(spark):
+    existing, incoming = _merge_fixtures(spark)
+    out = {
+        r.k: r.payload
+        for r in insert_ignore(existing, incoming, ["k"], ["ts"]).collect()
+    }
+    # k=2 exists -> kept; k=3 absent -> first (min ts) incoming row added
+    assert out == {1: "old-a", 2: "old-b", 3: "new-c"}
+
+
+def test_merge_monotone_max(spark):
+    existing, incoming = _merge_fixtures(spark)
+    out = {
+        r.k: r.ts
+        for r in merge_monotone_max(existing, incoming, ["k"], "ts").collect()
+    }
+    assert out == {1: 10, 2: 25, 3: 5}
+    # late (smaller) arrivals never regress
+    late = spark.createDataFrame([(1, "late", 1)], ["k", "payload", "ts"])
+    out2 = {
+        r.k: r.ts for r in merge_monotone_max(existing, late, ["k"], "ts").collect()
+    }
+    assert out2[1] == 10
+
+
+# ---------------------------------------------------------------- similarity
+
+
+def test_lsh_bucket_dim_agnostic(spark):
+    # 16-dim embedding: data-side bucket must equal the Python query-side
+    # bucket for the same vector (the round-1 bug hardcoded dim 64).
+    vecs = [
+        [1.0, -1.0, 0.5, -0.5, 2.0, -2.0, 0.1, -0.1, 1.0, 1.0, -1.0, -1.0, 0.3, -0.3, 0.7, -0.7],
+        [-1.0] * 16,
+        [1.0] * 16,
+    ]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vecs)], ["id", "vec"])
+    got = {
+        r.id: r.b
+        for r in df.select("id", lsh_bucket_id(F.col("vec"), 8).alias("b")).collect()
+    }
+    for i, v in enumerate(vecs):
+        assert got[i] == query_bucket_id(v, 8), f"vec {i}: data/query bucket mismatch"
+
+
+def test_lsh_topk_multiprobe_finds_query(spark):
+    vecs = [[float(i % 3 - 1)] * 16 if i else [1.0] * 16 for i in range(20)]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vecs)], ["id", "vec"])
+    out = lsh_bucket_cosine_topk(df, "vec", "id", [1.0] * 16, k=5).collect()
+    assert out, "multi-probe returned nothing"
+    assert out[0].id == 0 and abs(out[0].cosine - 1.0) < 1e-6
+
+
+# ---------------------------------------------------------------- ranking
+
+
+def test_global_row_number_matches_window(spark):
+    df = spark.createDataFrame([(f"name-{i:04d}",) for i in range(500)], ["name"])
+    scalable = {
+        r.name: r.rn
+        for r in global_row_number(df, ["name"], "rn", num_partitions=8).collect()
+    }
+    baseline = {
+        r.name: r.rn
+        for r in df.select(
+            "name", F.row_number().over(Window.orderBy("name")).alias("rn")
+        ).collect()
+    }
+    assert scalable == baseline
