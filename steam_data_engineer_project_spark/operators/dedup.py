@@ -47,31 +47,83 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     ).select(id_col, "text_hash", "n_copies")
 
 
-def _word_shingles(text_col, n: int = 3):
-    """Array of n-word shingles (space-joined) from normalized text.
+def _word_shingles(tokens_col, n: int = 3):
+    """Array of n-word shingles (space-joined) from a token-array column.
 
-    Built-in expression only: split -> sliding join via transform over
-    index sequence.
+    ``tokens_col`` MUST be a materialized column reference (select the split
+    into a column first), never an inline ``split(...)`` expression: lambda
+    bodies in higher-order functions re-evaluate captured expression trees
+    per element, which turns an inline split into O(tokens²) regex work per
+    document (measured 5× slowdown at sf0.1).
     """
-    tokens = F.split(_normalized(text_col), " ")
-    k = F.greatest(F.size(tokens) - (n - 1), F.lit(0))
-    # indexes 0..k-1; shingle i = tokens[i..i+n-1] joined by ' '
-    idx = F.sequence(F.lit(0), k - 1)
+    k = F.greatest(F.size(tokens_col) - (n - 1), F.lit(0))
+    # 1-based start positions 1..k; shingle i = tokens[i..i+n-1] joined by ' '
+    idx = F.sequence(F.lit(1), k)
     return F.when(k <= 0, F.array().cast("array<string>")).otherwise(
         F.transform(
             idx,
             lambda i: F.concat_ws(
-                " ", *[F.element_at(tokens, (i + j + 1).cast("int")) for j in range(n)]
+                " ", *[F.element_at(tokens_col, (i + j).cast("int")) for j in range(n)]
             ),
         )
     )
 
 
+def _exploded_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, shingle) rows — tokens materialized once per row, then exploded."""
+    toks = df.select(
+        F.col(id_col), F.split(_normalized(F.col(text_col)), " ").alias("__toks")
+    )
+    return toks.select(
+        F.col(id_col), F.explode(_word_shingles(F.col("__toks"), n)).alias("shingle")
+    )
+
+
 def shingle_table(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
     """Exploded distinct (id, shingle) pairs — the inverted-index input."""
-    return (
-        df.select(F.col(id_col), F.explode(_word_shingles(F.col(text_col), n)).alias("shingle"))
-        .distinct()
+    return _exploded_shingles(df, text_col, id_col, n).distinct()
+
+
+def shingle_postings(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Inverted index as posting lists: (shingle, ids: sorted array of doc
+    ids containing it) — ONE shuffle on the shingle key.
+
+    ``max_doc_freq`` drops shingles appearing in more than that many
+    documents — the classic stopword-shingle skew bomb (a shingle in 1M docs
+    creates a 10^12-row pair space). As a posting-list length filter the cap
+    is free, and it simultaneously bounds the downstream pair generation to
+    ``max_doc_freq²/2`` per shingle.
+    """
+    # No .distinct() first: collect_set dedups (doc, shingle) repeats inside
+    # the same single shuffle that builds the posting lists.
+    postings = (
+        _exploded_shingles(df, text_col, id_col, n)
+        .groupBy("shingle")
+        .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
+    )
+    if max_doc_freq is not None:
+        postings = postings.filter(F.size("ids") <= max_doc_freq)
+    return postings
+
+
+def _posting_pairs(ids):
+    """All ordered pairs (a < b) from a sorted id array, generated JVM-side
+    with higher-order functions — no self-join. Bounded by the doc-freq cap."""
+    n = F.size(ids)
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), n - i - 1),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
     )
 
 
@@ -83,6 +135,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     min_shared: int = 2,
     min_jaccard: float = 0.0,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs by n-word-shingle Jaccard similarity.
 
@@ -92,19 +145,27 @@ def ngram_jaccard_pairs(
     shingle key — never materializes the n² pair space; only pairs that share
     at least one shingle appear, and `min_shared` prunes the long tail early.
 
-    Returns (id_a, id_b, shared_shingles, jaccard) rounded to 6 places.
-    """
-    # No cache(): the shingle explode is cheap to recompute and an uncached
-    # plan lets AQE size both consumers independently; a cache here would
-    # also leak executor memory across repeated invocations (bench loops).
-    sh = shingle_table(df, text_col, id_col, n)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    ``max_doc_freq`` caps shingle document frequency (see
+    :func:`shingle_postings`); the Jaccard is then over the capped shingle
+    vocabulary — at scale this cap is the operator's job, not the caller's.
 
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    Returns (id_a, id_b, shared_shingles, jaccard) rounded to 6 places.
+
+    Plan shape: one shuffle groups shingles into posting lists; candidate
+    pairs are generated JVM-side from each list (never a self-join of the
+    exploded table, never n²); one shuffle counts shared shingles per pair;
+    per-doc sizes come from re-exploding the capped postings (same shuffle
+    key as the pair count's build side).
+    """
+    postings = shingle_postings(df, text_col, id_col, n, max_doc_freq=max_doc_freq)
+    sizes = (
+        postings.select(F.explode("ids").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_sh"))
+    )
     shared = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
+        postings.select(F.explode(_posting_pairs(F.col("ids"))).alias("p"))
+        .select("p.id_a", "p.id_b")
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("shared_shingles"))
         .filter(F.col("shared_shingles") >= min_shared)
@@ -137,6 +198,19 @@ def _md5_long(col, salt: int):
     ).cast("long")
 
 
+def _md5_hash_pair(col):
+    """(h1, h2) from ONE md5 of the value: h1 = top 48 bits, h2 = the next
+    32 bits forced odd. The ``h1 + i*h2`` family (classic double hashing)
+    gives ``num_hashes`` independent-enough hash functions from a single md5
+    evaluation per shingle — 32× fewer hash computations than one salted md5
+    per function, with every value engine-portable (hex prefix -> bigint).
+    Max value ≈ 2^48 + 31·2^33, far inside long range."""
+    h = F.md5(col)
+    h1 = F.conv(F.substring(h, 1, 12), 16, 10).cast("long")
+    h2 = F.conv(F.substring(h, 13, 8), 16, 10).cast("long") * 2 + 1
+    return h1, h2
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str,
@@ -144,20 +218,29 @@ def minhash_signatures(
     *,
     n: int = 3,
     num_hashes: int = 32,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
-    """MinHash signature per document: for each of ``num_hashes`` salted md5
-    hash functions, the minimum hash over the document's word shingles.
+    """MinHash signature per document: for hash function i the minimum of
+    ``h1 + i*h2`` over the document's word shingles (one md5 per shingle —
+    see :func:`_md5_hash_pair`).
 
     Returns (id_col, sig: array<long> of length num_hashes). Documents with
-    no shingles (too short) are dropped.
+    no shingles (too short, or all shingles over ``max_doc_freq``) are
+    dropped.
 
-    One explode + one groupBy(id) shuffle; the per-hash minimums are computed
-    with map-side partial aggregation.
+    Plan shape: the shingle posting-list shuffle hashes each DISTINCT
+    shingle once (md5 per shingle, not per (doc, shingle) row), the explode
+    fans the (h1, h2) pair out to the posting docs, and one groupBy(id)
+    shuffle takes the per-hash minimums with map-side partial aggregation.
     """
-    sh = shingle_table(df, text_col, id_col, n)
-    mins = sh.groupBy(id_col).agg(
+    postings = shingle_postings(df, text_col, id_col, n, max_doc_freq=max_doc_freq)
+    h1, h2 = _md5_hash_pair(F.col("shingle"))
+    hashed = postings.select(
+        h1.alias("h1"), h2.alias("h2"), F.explode("ids").alias(id_col)
+    )
+    mins = hashed.groupBy(id_col).agg(
         *[
-            F.min(_md5_long(F.col("shingle"), i)).alias(f"h{i}")
+            F.min(F.col("h1") + i * F.col("h2")).alias(f"h{i}")
             for i in range(num_hashes)
         ]
     )
@@ -175,6 +258,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     min_jaccard_est: float = 0.0,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash LSH.
 
@@ -185,14 +269,16 @@ def minhash_lsh_candidates(
 
     Returns (id_a, id_b, est_jaccard). Shuffles: groupBy(id) for signatures,
     then an equi-join keyed on the band hash — at scale the band hash space
-    is huge, so buckets stay small and the join never degenerates.
+    is huge, so buckets stay small and the join never degenerates;
+    ``max_doc_freq`` additionally caps stopword-shingle skew upstream.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, n=n, num_hashes=num_hashes)
+    sigs = minhash_signatures(
+        df, text_col, id_col, n=n, num_hashes=num_hashes, max_doc_freq=max_doc_freq
+    )
 
     banded = sigs.select(
         F.col(id_col),
-        "sig",
         F.explode(
             F.array(
                 *[
@@ -212,32 +298,37 @@ def minhash_lsh_candidates(
                 ]
             )
         ).alias("band"),
-    ).select(F.col(id_col), "sig", "band.band_id", "band.band_hash")
+    ).select(F.col(id_col), "band.band_id", "band.band_hash")
 
-    a = banded.select(
-        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band_id", "band_hash"
-    )
-    b = banded.select(
-        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band_id", "band_hash"
-    )
+    # The band join and pair-dedup carry only (id_a, id_b) — signatures are
+    # re-joined AFTER .distinct(), so the shuffle/dedup never drags the
+    # num_hashes-long arrays through the candidate explosion.
+    a = banded.select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
+    b = banded.select(F.col(id_col).alias("id_b"), "band_id", "band_hash")
     pairs = (
         a.join(b, ["band_id", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .distinct()
     )
-    est = pairs.withColumn(
-        "est_jaccard",
-        F.round(
-            F.size(
-                F.filter(
-                    F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-                    lambda m: m,
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    est = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "est_jaccard",
+            F.round(
+                F.size(
+                    F.filter(
+                        F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                        lambda m: m,
+                    )
                 )
-            )
-            / F.lit(num_hashes),
-            6,
-        ),
+                / F.lit(num_hashes),
+                6,
+            ),
+        )
     )
     return est.filter(F.col("est_jaccard") >= min_jaccard_est).select(
         "id_a", "id_b", "est_jaccard"

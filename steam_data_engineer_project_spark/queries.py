@@ -946,19 +946,28 @@ GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
 
 def dedup_ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidates by 3-word-shingle Jaccard via inverted-index
-    self-join (never materializes the n^2 pair space)."""
+    self-join (never materializes the n^2 pair space). max_doc_freq=100
+    prunes stopword-shingle skew before the self-join — the 100 TB guard,
+    mirrored exactly in the oracle."""
     d = _t(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(d, "text", "doc_id", n=3, min_shared=2)
+    return ngram_jaccard_pairs(
+        d, "text", "doc_id", n=3, min_shared=2, max_doc_freq=100
+    )
 
 
 DEDUP_NGRAM_ORACLE = r"""
 WITH toks AS (
   SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
   FROM documents
-), sh AS (
+), sh0 AS (
   SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
   FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
   WHERE len(t) >= 3
+), sh AS (
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df
+    FROM sh0)
+  WHERE df <= 100
 ), sizes AS (
   SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
 ), shared AS (
@@ -976,18 +985,99 @@ JOIN sizes sb ON sb.doc_id = id_b
 
 
 def dedup_minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash (32 salted md5 hash fns) + 8-band LSH candidate pairs.
-    No SQL oracle yet (hex->bigint md5 hashing isn't expressible in DuckDB
-    1.0 builtins) — driver records rows-only; pytest pins golden values."""
+    """MinHash (one md5 per shingle, h1+i*h2 double-hashing family, 32 fns)
+    + 8-band LSH candidate pairs, stopword-shingle cap at 100 docs. Fully
+    oracle-checked: every hash value is portable hex-prefix arithmetic."""
     d = _t(spark, sf_dir, "documents")
-    return minhash_lsh_candidates(d, "text", "doc_id", n=3, num_hashes=32, bands=8)
+    return minhash_lsh_candidates(
+        d, "text", "doc_id", n=3, num_hashes=32, bands=8, max_doc_freq=100
+    )
+
+
+_MINHASH_SIG_SQL = ", ".join(
+    f"MIN(h1 + {i} * h2)" for i in range(32)
+)
+_MINHASH_BAND_SQL = ", ".join(
+    "md5("
+    + " || ',' || ".join(f"sig[{b * 4 + r + 1}]::VARCHAR" for r in range(4))
+    + f") AS bh{b}"
+    for b in range(8)
+)
+
+DEDUP_MINHASH_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+), sh0 AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 3
+), sh AS (
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df
+    FROM sh0)
+  WHERE df <= 100
+), hp AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(shingle), 1, 12))::BIGINT AS h1,
+         ('0x' || substring(md5(shingle), 13, 8))::BIGINT * 2 + 1 AS h2
+  FROM sh
+), sig AS (
+  SELECT doc_id, [{_MINHASH_SIG_SQL}] AS sig FROM hp GROUP BY doc_id
+), banded AS (
+  SELECT doc_id, {_MINHASH_BAND_SQL} FROM sig
+), bands AS (
+  SELECT doc_id, band_id, bh AS band_hash FROM banded
+  UNPIVOT (bh FOR band_id IN ({", ".join(f"bh{b}" for b in range(8))}))
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+)
+SELECT p.id_a, p.id_b,
+       ROUND(list_sum(list_transform(range(32),
+             k -> CASE WHEN sa.sig[k+1] = sb.sig[k+1] THEN 1 ELSE 0 END)) / 32.0,
+             6) AS est_jaccard
+FROM pairs p
+JOIN sig sa ON sa.doc_id = p.id_a
+JOIN sig sb ON sb.doc_id = p.id_b
+"""
 
 
 def dedup_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash fingerprints from per-token md5 bits. Rows-only check
-    (same hex->bigint limitation); pytest pins golden values."""
+    """64-bit SimHash fingerprints from per-token md5 bits, oracle-checked:
+    the per-bit votes and the final signed-long fingerprint (bit 63 = sign
+    bit, two's complement) are mirrored exactly in DuckDB."""
     d = _t(spark, sf_dir, "documents")
     return simhash_fingerprints(d, "text", "doc_id")
+
+
+DEDUP_SIMHASH_ORACLE = r"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id,
+           UNNEST(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+    FROM documents)
+  WHERE tok <> ''
+), bits AS (
+  SELECT doc_id, i,
+         CASE WHEN (('0x' || substring(md5(tok), 1 + i // 4, 1))::INT & (8 >> (i % 4))) > 0
+              THEN 1 ELSE -1 END AS v
+  FROM toks, UNNEST(range(64)) AS u(i)
+), summed AS (
+  SELECT doc_id, i, SUM(v) AS s FROM bits GROUP BY doc_id, i
+), ntok AS (
+  SELECT doc_id, COUNT(*) AS n_tokens FROM toks GROUP BY doc_id
+), fp AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 AND i = 0 THEN -9223372036854775808
+                       WHEN s > 0 THEN (1::BIGINT << (63 - i))
+                       ELSE 0 END) AS BIGINT) AS simhash
+  FROM summed GROUP BY doc_id
+)
+SELECT f.doc_id, f.simhash, n.n_tokens
+FROM fp f JOIN ntok n USING (doc_id)
+"""
 
 
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1340,8 +1430,8 @@ QUERIES: dict[str, QuerySpec] = {
     "quality_suite": QuerySpec(quality_suite, QUALITY_SUITE_ORACLE, "Q1/Q2/Q4: data-quality checks"),
     "dedup_exact_docs": QuerySpec(dedup_exact_docs, DEDUP_EXACT_ORACLE, "dedup: exact hash-groupBy"),
     "dedup_ngram_jaccard_docs": QuerySpec(dedup_ngram_jaccard_docs, DEDUP_NGRAM_ORACLE, "dedup: n-gram Jaccard pairs"),
-    "dedup_minhash_lsh_docs": QuerySpec(dedup_minhash_lsh_docs, None, "dedup: MinHash+LSH candidates (rows-only)"),
-    "dedup_simhash_docs": QuerySpec(dedup_simhash_docs, None, "dedup: SimHash fingerprints (rows-only)"),
+    "dedup_minhash_lsh_docs": QuerySpec(dedup_minhash_lsh_docs, DEDUP_MINHASH_ORACLE, "dedup: MinHash+LSH candidates"),
+    "dedup_simhash_docs": QuerySpec(dedup_simhash_docs, DEDUP_SIMHASH_ORACLE, "dedup: SimHash fingerprints"),
     "ann_cosine_topk": QuerySpec(ann_cosine_topk, ANN_COSINE_ORACLE, "similarity: brute-force cosine top-k"),
     "ann_lsh_topk": QuerySpec(ann_lsh_topk, ANN_LSH_ORACLE, "similarity: LSH-bucketed cosine top-k"),
     "text_quality_docs": QuerySpec(text_quality_docs, TEXT_QUALITY_ORACLE, "text: quality scoring"),
