@@ -22,6 +22,7 @@ Docstrings cite the reference operator each query re-expresses
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -47,6 +48,8 @@ from .functions.scalars import (
 )
 from .operators.merge import insert_ignore, merge_monotone_max, upsert_last_wins
 from .operators.ranking import global_row_number
+from .streaming.price_pipeline import run_price_pipeline
+from .streaming.review_pipeline import run_review_pipeline
 from .operators.sessionize import sessionize
 from .operators.similarity import cosine_similarity, lsh_bucket_id
 from .operators.textstats import doc_fingerprint, language_id, text_quality
@@ -83,6 +86,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
         )
     return spark.read.parquet(path)
+
+
+def _scratch_dir(prefix: str) -> str:
+    """Fresh scratch dir under <repo>/.scratch (gitignored) — streaming
+    queries materialize event files + checkpoints there; a new dir per
+    invocation keeps repeated runs (driver, bench, tests) independent."""
+    import tempfile
+
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch"
+    )
+    os.makedirs(base, exist_ok=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=base)
 
 
 def _dsum(col, scale: int = 2, prec: int = 18):
@@ -1395,6 +1411,131 @@ WHERE before_price IS NULL OR before_price <> after_price
 
 
 # --------------------------------------------------------------------------
+# Structured Streaming (SURVEY §2.9 — ST1/ST2/ST4/ST5/ST7/ST8, S4/S5/S10/
+# S11/S13/S16). Each query materializes a deterministic event-file fixture
+# from the events table, drains it through the real readStream →
+# foreachBatch pipeline in several micro-batches, and returns the final
+# merged state. The merges are associative, so the result is independent of
+# micro-batch boundaries — which is what makes a plain batch SQL oracle
+# valid for a streaming run.
+# --------------------------------------------------------------------------
+
+
+def streaming_price_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST1/ST4/ST5/ST7/ST8 + S10/S16: the reference's price pipeline
+    (flows/steam_price_pipeline.py:25-91, tasks/steam_tasks_improved.py:
+    437-487) end to end — purchase events serialized as the price-event JSON
+    envelope, drained via readStream + Trigger.AvailableNow in 4-file
+    micro-batches through foreachBatch {append prices, merge crawl_state,
+    emit change notifications}, checkpointed. Returns the final crawl_state."""
+    work = _scratch_dir("stream_price_")
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    msgs = ev.select(
+        F.lit("price").alias("type"),
+        F.col("user_id").alias("appid"),
+        F.col("event_id"),
+        F.pmod(F.col("event_id"), F.lit(51)).cast("double").alias("discount"),
+        F.col("value").alias("price"),
+        (F.unix_micros("ts") / F.lit(1000000.0)).alias("timestamp"),
+    )
+    events_dir = os.path.join(work, "events")
+    msgs.repartition(12).write.mode("overwrite").json(events_dir)
+    out = run_price_pipeline(spark, events_dir, work, max_files_per_trigger=4)
+    return spark.read.parquet(out["crawl_state"]).select(
+        "appid", "last_ts_us", "last_event_id", "last_price", "n_events"
+    )
+
+
+STREAMING_PRICE_ORACLE = """
+WITH p AS (
+  SELECT user_id AS appid, event_id, value AS price, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+), latest AS (
+  SELECT appid, ts_us AS last_ts_us, event_id AS last_event_id, price AS last_price
+  FROM (SELECT *, row_number() OVER (PARTITION BY appid ORDER BY ts_us DESC, event_id DESC) AS rn
+        FROM p)
+  WHERE rn = 1
+), c AS (
+  SELECT appid, COUNT(*) AS n_events FROM p GROUP BY appid
+)
+SELECT l.appid, l.last_ts_us, l.last_event_id, l.last_price, c.n_events
+FROM latest l JOIN c USING (appid)
+"""
+
+
+def streaming_review_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/S5/S13/S11 + ST8: the review pipeline — view events serialized as
+    review-event JSONL (tasks/steam_review_task_improved.py:386-405), drained
+    via checkpointed readStream micro-batches through foreachBatch
+    {latest-wins upsert keyed (appid, author_steamid), first-wins INSERT
+    IGNORE summaries}. Returns the joined final state of both tables."""
+    work = _scratch_dir("stream_review_")
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "view") & F.col("value").isNotNull()
+    )
+    msgs = ev.select(
+        F.col("user_id").alias("appid"),
+        F.col("event_id").cast("string").alias("recommendationid"),
+        F.concat(
+            F.lit("author_"), F.pmod(F.col("event_id"), F.lit(97)).cast("string")
+        ).alias("author_steamid"),
+        (F.col("value") > 50).alias("voted_up"),
+        F.floor("value").cast("long").alias("votes_up"),
+        F.expr("unix_micros(ts) DIV 1000000").alias("timestamp_created"),
+    )
+    events_dir = os.path.join(work, "events")
+    msgs.repartition(10).write.mode("overwrite").json(events_dir)
+    out = run_review_pipeline(spark, events_dir, work, max_files_per_trigger=3)
+    store = spark.read.parquet(out["reviews_latest"])
+    summ = spark.read.parquet(out["review_summaries"])
+    return store.join(summ, ["appid", "author_steamid"]).select(
+        "appid",
+        "author_steamid",
+        "last_ts_s",
+        "last_recommendationid",
+        "last_voted_up",
+        "n_reviews",
+        "first_ts_s",
+        "first_recommendationid",
+    )
+
+
+STREAMING_REVIEW_ORACLE = """
+WITH r AS (
+  SELECT user_id AS appid,
+         CAST(event_id AS VARCHAR) AS recommendationid,
+         'author_' || CAST(event_id % 97 AS VARCHAR) AS author_steamid,
+         value > 50 AS voted_up,
+         epoch_us(ts) // 1000000 AS ts_s
+  FROM events WHERE event_type = 'view' AND value IS NOT NULL
+), latest AS (
+  SELECT appid, author_steamid, ts_s AS last_ts_s,
+         recommendationid AS last_recommendationid, voted_up AS last_voted_up
+  FROM (SELECT *, row_number() OVER (PARTITION BY appid, author_steamid
+                                     ORDER BY ts_s DESC, recommendationid DESC) AS rn
+        FROM r)
+  WHERE rn = 1
+), cnt AS (
+  SELECT appid, author_steamid, COUNT(*) AS n_reviews FROM r GROUP BY 1, 2
+), frst AS (
+  SELECT appid, author_steamid, ts_s AS first_ts_s,
+         recommendationid AS first_recommendationid
+  FROM (SELECT *, row_number() OVER (PARTITION BY appid, author_steamid
+                                     ORDER BY ts_s ASC, recommendationid ASC) AS rn
+        FROM r)
+  WHERE rn = 1
+)
+SELECT l.appid, l.author_steamid, l.last_ts_s, l.last_recommendationid,
+       l.last_voted_up, c.n_reviews, f.first_ts_s, f.first_recommendationid
+FROM latest l
+JOIN cnt c ON l.appid = c.appid AND l.author_steamid = c.author_steamid
+JOIN frst f ON l.appid = f.appid AND l.author_steamid = f.author_steamid
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -1440,4 +1581,6 @@ QUERIES: dict[str, QuerySpec] = {
     "sessionization": QuerySpec(sessionization, SESSIONIZATION_ORACLE, "sessionization: gap-based"),
     "tumbling_window_agg": QuerySpec(tumbling_window_agg, TUMBLING_ORACLE, "ST6: tumbling window agg"),
     "cdc_change_extract": QuerySpec(cdc_change_extract, CDC_ORACLE, "ST3/ST4/F15: CDC envelope diff"),
+    "streaming_price_pipeline": QuerySpec(streaming_price_pipeline, STREAMING_PRICE_ORACLE, "ST1/ST4/ST5/ST7/ST8: checkpointed price pipeline"),
+    "streaming_review_upsert": QuerySpec(streaming_review_upsert, STREAMING_REVIEW_ORACLE, "S4/S13/S11: checkpointed review upsert pipeline"),
 }

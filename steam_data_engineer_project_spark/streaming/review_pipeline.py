@@ -1,0 +1,151 @@
+"""The review pipeline: JSONL file-source readStream (stands in for the
+`steam-reviews` topic / tail-followed reviews_{date}.jsonl) → validity
+guards → foreachBatch that (a) upserts the review store keyed on
+(appid, author_steamid), latest-wins by event time, and (b) INSERT IGNOREs
+review_summaries, first-wins by event time.
+
+Reference behavior (file:line under /root/reference):
+- JSONL tail-follow / directory watch (S4/S5,
+  tasks/steam_review_task_improved.py:250-279,326-346) → streaming file
+  source with checkpointed exactly-once file progress.
+- Mongo upsert keyed (appid, author_steamid) (S13,
+  kafka/consumers/kafka_consumer_reviews.py:24,61-65) → associative
+  struct-max merge (latest review per author per game).
+- INSERT IGNORE review_summaries (S11,
+  tasks/steam_review_task_improved.py:479-486) → associative struct-MIN
+  merge (first-wins made deterministic by event time + recommendationid —
+  the reference's arrival-order semantics are nondeterministic under
+  replay; event-time-first is the replay-safe refinement).
+
+Both merges are associative and commutative, so the final tables do not
+depend on micro-batch boundaries — replay-safe, and checkable against a
+plain batch oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import REVIEW_EVENT
+from .price_pipeline import _swap_in
+
+_KEY = ("appid", "author_steamid")
+
+
+def transform_review_events(raw: DataFrame) -> DataFrame:
+    """Validity guard (P9 — tasks/steam_review_task_improved.py:473-476):
+    drop events missing the upsert key or event time."""
+    return raw.filter(
+        F.col("appid").isNotNull()
+        & F.col("author_steamid").isNotNull()
+        & F.col("recommendationid").isNotNull()
+        & F.col("timestamp_created").isNotNull()
+    ).select(
+        "appid",
+        "author_steamid",
+        "recommendationid",
+        "language",
+        "voted_up",
+        "votes_up",
+        F.col("timestamp_created").alias("ts_s"),
+    )
+
+
+def _merge(
+    spark: SparkSession,
+    state_dir: str,
+    batch_state: DataFrame,
+    agg_exprs: list,
+    select_back: list,
+) -> DataFrame:
+    if os.path.exists(state_dir):
+        cur = spark.read.parquet(state_dir)
+        batch_state = (
+            cur.unionByName(batch_state).groupBy(*_KEY).agg(*agg_exprs)
+        ).select(*select_back)
+    return batch_state
+
+
+def run_review_pipeline(
+    spark: SparkSession,
+    events_dir: str,
+    work_dir: str,
+    *,
+    max_files_per_trigger: int | None = None,
+) -> dict[str, str]:
+    """Drain review-event JSONL files; maintain the latest-wins review store
+    and the first-wins summaries table. Resumable via checkpoint."""
+    store_dir = os.path.join(work_dir, "reviews_latest")
+    summary_dir = os.path.join(work_dir, "review_summaries")
+    ckpt_dir = os.path.join(work_dir, "checkpoint")
+
+    reader = spark.readStream.schema(REVIEW_EVENT)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    events = transform_review_events(reader.json(events_dir))
+
+    latest_aggs = [
+        F.max(F.struct("last_ts_s", "last_recommendationid", "last_voted_up")).alias(
+            "s"
+        ),
+        F.sum("n_reviews").alias("n_reviews"),
+    ]
+    latest_back = [
+        "appid",
+        "author_steamid",
+        F.col("s.last_ts_s").alias("last_ts_s"),
+        F.col("s.last_recommendationid").alias("last_recommendationid"),
+        F.col("s.last_voted_up").alias("last_voted_up"),
+        F.col("n_reviews").cast("long").alias("n_reviews"),
+    ]
+    first_aggs = [
+        F.min(F.struct("first_ts_s", "first_recommendationid")).alias("s")
+    ]
+    first_back = [
+        "appid",
+        "author_steamid",
+        F.col("s.first_ts_s").alias("first_ts_s"),
+        F.col("s.first_recommendationid").alias("first_recommendationid"),
+    ]
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            # S13: latest-wins review store keyed (appid, author_steamid).
+            latest_batch = batch_df.groupBy(*_KEY).agg(
+                F.max(F.struct(
+                    F.col("ts_s").alias("last_ts_s"),
+                    F.col("recommendationid").alias("last_recommendationid"),
+                    F.col("voted_up").alias("last_voted_up"),
+                )).alias("s"),
+                F.count("*").alias("n_reviews"),
+            ).select(*latest_back)
+            _swap_in(
+                _merge(spark, store_dir, latest_batch, latest_aggs, latest_back),
+                store_dir,
+            )
+            # S11: first-wins INSERT IGNORE summaries.
+            first_batch = batch_df.groupBy(*_KEY).agg(
+                F.min(F.struct(
+                    F.col("ts_s").alias("first_ts_s"),
+                    F.col("recommendationid").alias("first_recommendationid"),
+                )).alias("s")
+            ).select(*first_back)
+            _swap_in(
+                _merge(spark, summary_dir, first_batch, first_aggs, first_back),
+                summary_dir,
+            )
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        events.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return {"reviews_latest": store_dir, "review_summaries": summary_dir}
