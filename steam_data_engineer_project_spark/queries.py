@@ -48,6 +48,8 @@ from .functions.scalars import (
 )
 from .operators.merge import insert_ignore, merge_monotone_max, upsert_last_wins
 from .operators.ranking import global_row_number
+from .schemas import PRICE_RAW_CSV
+from .sources.readers import incremental_resume, read_csv, read_json_recovering
 from .streaming.price_pipeline import run_price_pipeline
 from .streaming.review_pipeline import run_review_pipeline
 from .operators.sessionize import sessionize
@@ -1410,6 +1412,222 @@ WHERE before_price IS NULL OR before_price <> after_price
 """
 
 
+def cdc_keyed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST3: CDC duplicate suppression keyed on (game_id, cdc_ts)
+    (tasks/steam_tasks_improved.py:514-529,574-610 — skip if
+    processed_cdc[game_id] >= cdc_timestamp). Redelivery is simulated by
+    re-appending every even-event_id envelope; the keyed dedup must emit
+    each change exactly once. Selection within a (key, ts) group is the
+    max-struct envelope — deterministic under replay."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    env = ev.select(
+        "user_id",
+        "event_id",
+        F.lag("value").over(w).alias("before_price"),
+        F.col("value").alias("after_price"),
+        F.expr("unix_micros(ts) DIV 1000").alias("ts_ms"),
+    )
+    redelivered = env.unionByName(env.filter(F.pmod(F.col("event_id"), 2) == 0))
+    deduped = (
+        redelivered.groupBy("user_id", "ts_ms")
+        .agg(
+            F.max(
+                F.struct("event_id", "before_price", "after_price")
+            ).alias("s")
+        )
+        .select(
+            "user_id",
+            "ts_ms",
+            F.col("s.event_id").alias("event_id"),
+            F.col("s.before_price").alias("before_price"),
+            F.col("s.after_price").alias("after_price"),
+        )
+    )
+    return deduped.filter(
+        F.col("before_price").isNull()
+        | (F.col("before_price") != F.col("after_price"))
+    ).select(
+        "user_id",
+        "event_id",
+        "before_price",
+        "after_price",
+        "ts_ms",
+        F.when(F.col("before_price").isNull(), F.lit("c"))
+        .otherwise(F.lit("u"))
+        .alias("op"),
+    )
+
+
+CDC_KEYED_DEDUP_ORACLE = """
+WITH env AS (
+  SELECT user_id, event_id,
+         lag(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS before_price,
+         value AS after_price,
+         epoch_us(ts) // 1000 AS ts_ms
+  FROM events WHERE event_type = 'purchase'
+), redelivered AS (
+  SELECT * FROM env
+  UNION ALL
+  SELECT * FROM env WHERE event_id % 2 = 0
+), deduped AS (
+  SELECT user_id, ts_ms, event_id, before_price, after_price FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, ts_ms
+                                 ORDER BY event_id DESC) AS rn
+    FROM redelivered)
+  WHERE rn = 1
+)
+SELECT user_id, event_id, before_price, after_price, ts_ms,
+       CASE WHEN before_price IS NULL THEN 'c' ELSE 'u' END AS op
+FROM deduped
+WHERE before_price IS NULL OR before_price <> after_price
+"""
+
+
+# --------------------------------------------------------------------------
+# Ingestion sources (SURVEY §2.1 — S1/S2/S3/S14). Each query materializes a
+# deterministic file fixture from a base table, reads it back through the
+# declared-schema reader, and the oracle recomputes the result straight from
+# the base table — verifying the write→read→transform loop end to end.
+# --------------------------------------------------------------------------
+
+
+def src_csv_price_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S14 + F4/F6/F7: the raw price-crawl CSV round trip — write
+    `appid,discount,price` rows (EU comma decimals, '%'-suffixed discounts —
+    etl/extract/steam_crawl_price.py:14-17,61-68), read back through the
+    declared PRICE_RAW_CSV schema (etl/transform/steam_transform_price.py:
+    67-106), and run the reference transform chain from ``functions.scalars``."""
+    work = _scratch_dir("src_csv_")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    raw = li.select(
+        F.col("l_orderkey").alias("appid"),
+        F.concat(
+            (F.col("l_discount") * 100).cast("decimal(5,1)").cast("string"),
+            F.lit("%"),
+        ).alias("discount"),
+        F.regexp_replace(
+            F.col("l_extendedprice").cast("decimal(12,2)").cast("string"), r"\.", ","
+        ).alias("price"),
+    )
+    csv_dir = os.path.join(work, "price_raw")
+    raw.repartition(8).write.mode("overwrite").option("header", "true").csv(csv_dir)
+
+    parsed = read_csv(spark, csv_dir, PRICE_RAW_CSV)
+    cents = to_cents(F.col("price"))
+    disc = parse_discount(F.col("discount"))
+    return parsed.select(
+        "appid",
+        cents.alias("cents"),
+        disc.alias("discount_pct"),
+        initial_price_cents(cents, disc).alias("initial_cents"),
+    )
+
+
+SRC_CSV_PRICE_ORACLE = """
+WITH base AS (
+  SELECT l_orderkey AS appid,
+         CAST(CAST(l_discount * 100 AS DECIMAL(5,1)) AS VARCHAR) || '%' AS disc_str,
+         replace(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR), '.', ',') AS eu_price
+  FROM lineitem WHERE l_linenumber = 1
+), parsed AS (
+  SELECT appid,
+         CAST(ROUND(TRY_CAST(replace(trim(eu_price), ',', '.') AS DECIMAL(18,6)) * 100, 0) AS BIGINT) AS cents,
+         COALESCE(TRY_CAST(replace(replace(trim(disc_str), '%', ''), ',', '.') AS DOUBLE), 0.0) AS discount_pct
+  FROM base
+)
+SELECT appid, cents, discount_pct,
+       CASE WHEN cents <= 0 THEN 0
+            WHEN discount_pct <= 0 THEN cents
+            ELSE CAST(FLOOR(cents / (1.0 - discount_pct / 100.0) + 0.5) AS BIGINT)
+       END AS initial_cents
+FROM parsed
+"""
+
+
+def src_json_corrupt_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: JSONL scan with corrupt-line recovery (etl/load/load_mongo.py:5-23).
+    Every doc_id ≡ 7 (mod 10) is written as a broken line; the PERMISSIVE
+    read routes valid rows onward and quarantines the rest. Returns one row
+    per input line: (doc_id, n_chars, is_corrupt)."""
+    from pyspark.sql import types as Ty
+
+    work = _scratch_dir("src_json_")
+    d = _t(spark, sf_dir, "documents")
+    line = F.when(
+        F.pmod(F.col("doc_id"), F.lit(10)) == 7,
+        F.concat(F.lit('{"broken! doc '), F.col("doc_id").cast("string")),
+    ).otherwise(
+        F.to_json(
+            F.struct(
+                F.col("doc_id"), F.length("text").cast("long").alias("n_chars")
+            )
+        )
+    )
+    jsonl_dir = os.path.join(work, "docs_jsonl")
+    d.select(line.alias("value")).repartition(8).write.mode("overwrite").text(
+        jsonl_dir
+    )
+
+    schema = Ty.StructType(
+        [
+            Ty.StructField("doc_id", Ty.LongType(), True),
+            Ty.StructField("n_chars", Ty.LongType(), True),
+        ]
+    )
+    recovered = read_json_recovering(spark, jsonl_dir, schema)
+    return recovered.select(
+        "doc_id",
+        "n_chars",
+        F.col("_corrupt_record").isNotNull().alias("is_corrupt"),
+    )
+
+
+SRC_JSON_CORRUPT_ORACLE = """
+SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, FALSE AS is_corrupt
+FROM documents WHERE doc_id % 10 <> 7
+UNION ALL
+SELECT NULL, NULL, TRUE FROM documents WHERE doc_id % 10 = 7
+"""
+
+
+def src_csv_incremental_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/ST8: incremental CSV re-scan skipping already-processed keys
+    (etl/transform/steam_transform_price.py:67-95, utils/common.py:127-140).
+    The processed set is the even orderkeys (a prior run); the resume run
+    must emit exactly the odd ones — via one left_anti join, not a per-row
+    membership check."""
+    work = _scratch_dir("src_resume_")
+    o = _t(spark, sf_dir, "orders")
+    csv_dir = os.path.join(work, "orders_csv")
+    o.select(
+        F.col("o_orderkey").alias("appid"),
+        F.col("o_totalprice").cast("decimal(12,2)").cast("string").alias("price"),
+    ).repartition(8).write.mode("overwrite").option("header", "true").csv(csv_dir)
+
+    from pyspark.sql import types as Ty
+
+    schema = Ty.StructType(
+        [
+            Ty.StructField("appid", Ty.LongType(), True),
+            Ty.StructField("price", Ty.StringType(), True),
+        ]
+    )
+    incoming = read_csv(spark, csv_dir, schema)
+    processed = o.filter(F.pmod(F.col("o_orderkey"), F.lit(2)) == 0).select(
+        F.col("o_orderkey").alias("appid")
+    )
+    fresh = incremental_resume(incoming, processed, ["appid"])
+    return fresh.select("appid", to_cents(F.col("price")).alias("cents"))
+
+
+SRC_RESUME_ORACLE = """
+SELECT o_orderkey AS appid,
+       CAST(ROUND(TRY_CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS DECIMAL(18,6)) * 100, 0) AS BIGINT) AS cents
+FROM orders WHERE o_orderkey % 2 = 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Structured Streaming (SURVEY §2.9 — ST1/ST2/ST4/ST5/ST7/ST8, S4/S5/S10/
 # S11/S13/S16). Each query materializes a deterministic event-file fixture
@@ -1580,7 +1798,11 @@ QUERIES: dict[str, QuerySpec] = {
     "doc_fingerprint_docs": QuerySpec(doc_fingerprint_docs, DOC_FINGERPRINT_ORACLE, "text: content fingerprint"),
     "sessionization": QuerySpec(sessionization, SESSIONIZATION_ORACLE, "sessionization: gap-based"),
     "tumbling_window_agg": QuerySpec(tumbling_window_agg, TUMBLING_ORACLE, "ST6: tumbling window agg"),
-    "cdc_change_extract": QuerySpec(cdc_change_extract, CDC_ORACLE, "ST3/ST4/F15: CDC envelope diff"),
+    "cdc_change_extract": QuerySpec(cdc_change_extract, CDC_ORACLE, "ST4/F15: CDC envelope diff"),
+    "cdc_keyed_dedup": QuerySpec(cdc_keyed_dedup, CDC_KEYED_DEDUP_ORACLE, "ST3: keyed CDC duplicate suppression"),
+    "src_csv_price_scan": QuerySpec(src_csv_price_scan, SRC_CSV_PRICE_ORACLE, "S1/S14: declared-schema CSV round trip"),
+    "src_json_corrupt_recovery": QuerySpec(src_json_corrupt_recovery, SRC_JSON_CORRUPT_ORACLE, "S3: PERMISSIVE JSON corrupt-line recovery"),
+    "src_csv_incremental_resume": QuerySpec(src_csv_incremental_resume, SRC_RESUME_ORACLE, "S2/ST8: anti-join incremental resume"),
     "streaming_price_pipeline": QuerySpec(streaming_price_pipeline, STREAMING_PRICE_ORACLE, "ST1/ST4/ST5/ST7/ST8: checkpointed price pipeline"),
     "streaming_review_upsert": QuerySpec(streaming_review_upsert, STREAMING_REVIEW_ORACLE, "S4/S13/S11: checkpointed review upsert pipeline"),
 }
