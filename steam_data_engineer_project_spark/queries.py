@@ -35,6 +35,7 @@ from .operators.dedup import (
     ngram_jaccard_pairs,
     simhash_fingerprints,
 )
+from .functions.aggregates import davg, dsum
 from .functions.scalars import (
     clean_array_string,
     comma_split,
@@ -47,7 +48,16 @@ from .functions.scalars import (
     to_cents,
 )
 from .operators.merge import insert_ignore, merge_monotone_max, upsert_last_wins
+from .multimodal.binary import (
+    attach_binary_payloads,
+    decode_features,
+    header_length,
+    sniff_format,
+)
 from .operators.ranking import global_row_number
+from .plans.adapter import steam_sources
+from .plans.models import build as build_models
+from .quality import accepted_range, not_null, relationships, run_checks, unique
 from .schemas import PRICE_RAW_CSV
 from .sources.readers import incremental_resume, read_csv, read_json_recovering
 from .streaming.price_pipeline import run_price_pipeline
@@ -103,35 +113,10 @@ def _scratch_dir(prefix: str) -> str:
     return tempfile.mkdtemp(prefix=prefix, dir=base)
 
 
-def _dsum(col, scale: int = 2, prec: int = 18):
-    """Exact decimal sum -> double, rounded to `scale` (order-independent)."""
-    return F.round(
-        F.sum(col.cast(f"decimal({prec},{scale})")).cast("double"), scale
-    )
-
-
-def _davg(col):
-    """Average truncated to 6 decimals via exact integer floor-division.
-
-    ``ROUND(sum::double / count, 6)`` is NOT engine-portable: when the exact
-    quotient lands on a .5 tie (common when count is a power of two), Spark's
-    BigDecimal HALF_UP and DuckDB's float rounding disagree. Instead compute
-    ``(sum_in_micro_units DIV count) / 1e6`` — integer arithmetic end to end,
-    so both engines produce the identical double. Positive-domain only
-    (floor-division conventions differ for negatives).
-    """
-    num = (F.sum(col.cast("decimal(24,2)")) * 1000000).cast("long")
-    cnt = F.count(col)
-    # (num - pmod) is an exact multiple of cnt; dividing as decimal keeps the
-    # quotient exact past 2^53 (where long->double division would drift from
-    # the oracle's BIGINT // division). The quotient (~avg * 1e6) is small
-    # enough that the final double division is lossless.
-    exact_quot = (
-        (num - F.pmod(num, cnt)).cast("decimal(38,0)") / cnt
-    ).cast("long")
-    return F.when(cnt > 0, exact_quot / F.lit(1000000.0)).otherwise(
-        F.lit(None).cast("double")
-    )
+# Engine-portable aggregates (see functions/aggregates.py for the
+# determinism rationale) — short local aliases keep the query bodies tight.
+_dsum = dsum
+_davg = davg
 
 
 # --------------------------------------------------------------------------
@@ -1412,6 +1397,188 @@ WHERE before_price IS NULL OR before_price <> after_price
 """
 
 
+# --------------------------------------------------------------------------
+# The dbt model DAG (SURVEY §3.1, §2.10-§2.11) — staging → core → business
+# marts over the Steam-shaped adapter, via the plans.models registry.
+# --------------------------------------------------------------------------
+
+
+def _dag(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    tables = {
+        name: _t(spark, sf_dir, name)
+        for name in ("part", "supplier", "nation", "lineitem", "events")
+    }
+    return build_models(steam_sources(spark, tables))
+
+
+def dbt_dim_games(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1/J1/A1 via the model registry: stg_games + four bridge/dim
+    GROUP_CONCAT rollups (models/marts/core/dim_games.sql:1-22)."""
+    return _dag(spark, sf_dir)["dim_games"]
+
+
+DBT_DIM_GAMES_ORACLE = """
+WITH stg_games AS (
+  SELECT p_partkey AS game_id, p_name AS title,
+         CAST(p_partkey % 19 AS INT) AS required_age
+  FROM part WHERE p_name IS NOT NULL AND p_name <> ''
+), devs AS (
+  SELECT game_id, array_to_string(list_sort(list(DISTINCT s_name)), ',') AS developers
+  FROM (SELECT DISTINCT l_partkey AS game_id, l_suppkey FROM lineitem) gd
+  JOIN supplier ON s_suppkey = l_suppkey
+  WHERE s_name IS NOT NULL AND s_name <> ''
+  GROUP BY game_id
+), pubs AS (
+  SELECT game_id, array_to_string(list_sort(list(DISTINCT n_name)), ',') AS publishers
+  FROM (SELECT DISTINCT l_partkey AS game_id, s_nationkey AS pub_id
+        FROM lineitem JOIN supplier ON s_suppkey = l_suppkey) gp
+  JOIN nation ON n_nationkey = pub_id
+  WHERE n_name IS NOT NULL AND n_name <> ''
+  GROUP BY game_id
+)
+SELECT g.game_id, g.title, g.required_age, d.developers, p.publishers,
+       pt.p_type AS genres, pt.p_brand AS languages
+FROM stg_games g
+LEFT JOIN devs d USING (game_id)
+LEFT JOIN pubs p USING (game_id)
+LEFT JOIN part pt ON pt.p_partkey = g.game_id
+"""
+
+
+def dbt_fact_reviews(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 repaired + W1 via the model registry: stg_reviews (real source +
+    CAST/FROM_UNIXTIME, replacing the reference's undefined-macro model) and
+    the per-game review count window (models/marts/core/fact_reviews.sql:9)."""
+    return _dag(spark, sf_dir)["fact_reviews"]
+
+
+DBT_FACT_REVIEWS_ORACLE = """
+WITH r AS (
+  SELECT CAST(user_id AS INT) AS appid,
+         'author_' || CAST(event_id % 97 AS VARCHAR) AS author_steamid,
+         CAST(event_id AS VARCHAR) AS recommendationid,
+         (epoch_us(ts) // 1000000) * 1000000 AS review_ts_us,
+         value > 50 AS voted_up
+  FROM events WHERE event_type = 'view'
+)
+SELECT appid, author_steamid, recommendationid, review_ts_us, voted_up,
+       COUNT(*) OVER (PARTITION BY appid) AS review_count
+FROM r WHERE appid IS NOT NULL AND author_steamid IS NOT NULL
+"""
+
+
+def dbt_game_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/A2 via the model registry: the business mart with its join-fanout
+    AVG semantics preserved exactly (models/marts/business/
+    game_quality_metrics.sql:3-15 — AVG runs over the reviews×prices
+    fanout, deliberately)."""
+    return _dag(spark, sf_dir)["game_quality_metrics"]
+
+
+DBT_GQM_ORACLE = """
+WITH stg_games AS (
+  SELECT p_partkey AS game_id, p_name AS title
+  FROM part WHERE p_name IS NOT NULL AND p_name <> ''
+), devs AS (
+  SELECT game_id, array_to_string(list_sort(list(DISTINCT s_name)), ',') AS developers
+  FROM (SELECT DISTINCT l_partkey AS game_id, l_suppkey FROM lineitem) gd
+  JOIN supplier ON s_suppkey = l_suppkey
+  WHERE s_name IS NOT NULL AND s_name <> ''
+  GROUP BY game_id
+), dim AS (
+  SELECT g.game_id, g.title, d.developers, pt.p_type AS genres
+  FROM stg_games g
+  LEFT JOIN devs d USING (game_id)
+  LEFT JOIN part pt ON pt.p_partkey = g.game_id
+), fact AS (
+  SELECT appid, COUNT(*) OVER (PARTITION BY appid) AS review_count
+  FROM (SELECT CAST(user_id AS INT) AS appid FROM events WHERE event_type = 'view')
+  WHERE appid IS NOT NULL
+), stg_prices AS (
+  SELECT game_id, price, discount,
+         CASE WHEN discount > 0 THEN price / (1.0 - discount / 100.0) ELSE price END AS initial_price
+  FROM (SELECT l_partkey AS game_id, l_extendedprice AS price,
+               CAST(ROUND(l_discount * 100, 0) AS INT) AS discount
+        FROM lineitem)
+  WHERE price >= 0 AND discount >= 0
+)
+SELECT d.game_id, d.title, d.developers, d.genres, f.review_count,
+       CASE WHEN COUNT(p.price) > 0 THEN (CAST(SUM(CAST(p.price AS DECIMAL(24,2))) * 1000000 AS BIGINT) // COUNT(p.price)) / 1000000.0 ELSE NULL END AS avg_price,
+       CASE WHEN COUNT(p.discount) > 0 THEN (CAST(SUM(CAST(p.discount AS DECIMAL(24,2))) * 1000000 AS BIGINT) // COUNT(p.discount)) / 1000000.0 ELSE NULL END AS avg_discount,
+       MIN(p.initial_price) AS min_initial_price
+FROM dim d
+LEFT JOIN fact f ON d.game_id = f.appid
+LEFT JOIN stg_prices p ON d.game_id = p.game_id
+GROUP BY d.game_id, d.title, d.developers, d.genres, f.review_count
+"""
+
+
+def dbt_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1-Q4 via the quality runner over the model DAG: clean rules report 0
+    violations; two seeded-dirty rules (an out-of-range age column and a
+    broken FK) report exact nonzero counts (models/staging/schema.yml:19-139,
+    tests/assert_*.sql)."""
+    dag = _dag(spark, sf_dir)
+    part = _t(spark, sf_dir, "part")
+    dirty_age = part.select(
+        F.pmod(F.col("p_partkey"), F.lit(25)).cast("int").alias("required_age")
+    )
+    dirty_fk = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") * 2).alias("game_id")
+    )
+    return run_checks(
+        [
+            unique(dag["stg_games"], ["game_id"], "stg_games_game_id_unique"),
+            not_null(dag["stg_games"], "title", "stg_games_title_not_null"),
+            accepted_range(
+                dag["stg_games"], "required_age", 0, 18, "stg_games_age_range"
+            ),
+            relationships(
+                dag["stg_prices"],
+                "game_id",
+                dag["stg_games"],
+                "game_id",
+                "stg_prices_fk_games",
+            ),
+            accepted_range(
+                dirty_age, "required_age", 0, 18, "dirty_age_range_seeded"
+            ),
+            relationships(
+                dirty_fk,
+                "game_id",
+                dag["stg_games"],
+                "game_id",
+                "dirty_fk_seeded",
+            ),
+        ]
+    )
+
+
+DBT_QUALITY_ORACLE = """
+SELECT 'stg_games_game_id_unique' AS rule,
+       (SELECT COUNT(*) FROM (SELECT p_partkey FROM part WHERE p_name IS NOT NULL AND p_name <> '' GROUP BY p_partkey HAVING COUNT(*) > 1)) AS violations
+UNION ALL
+SELECT 'stg_games_title_not_null',
+       (SELECT CAST(SUM(CASE WHEN p_name IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM part WHERE p_name IS NOT NULL AND p_name <> '')
+UNION ALL
+SELECT 'stg_games_age_range',
+       (SELECT CAST(SUM(CASE WHEN CAST(p_partkey % 19 AS INT) NOT BETWEEN 0 AND 18 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM part WHERE p_name IS NOT NULL AND p_name <> '')
+UNION ALL
+SELECT 'stg_prices_fk_games',
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE l.l_extendedprice >= 0 AND CAST(ROUND(l.l_discount * 100, 0) AS INT) >= 0
+          AND NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey AND p.p_name IS NOT NULL AND p.p_name <> ''))
+UNION ALL
+SELECT 'dirty_age_range_seeded',
+       (SELECT CAST(SUM(CASE WHEN CAST(p_partkey % 25 AS INT) NOT BETWEEN 0 AND 18 THEN 1 ELSE 0 END) AS BIGINT) FROM part)
+UNION ALL
+SELECT 'dirty_fk_seeded',
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey * 2 AND p.p_name IS NOT NULL AND p.p_name <> ''))
+"""
+
+
 def cdc_keyed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST3: CDC duplicate suppression keyed on (game_id, cdc_ts)
     (tasks/steam_tasks_improved.py:514-529,574-610 — skip if
@@ -1629,6 +1796,65 @@ FROM orders WHERE o_orderkey % 2 = 1
 
 
 # --------------------------------------------------------------------------
+# Multimodal binary columns — metadata JVM-side, decode via Arrow-batched
+# mapInPandas (deterministic fake decode; real byte inspection — see
+# multimodal/binary.py for the production hook).
+# --------------------------------------------------------------------------
+
+
+def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payloads with typed metadata, all JVM-side: magic-byte format
+    sniff (hex prefix on the binary column), byte sizes — the cheap routing
+    gate that keeps non-decodable work out of Python."""
+    d = _t(spark, sf_dir, "documents")
+    b = attach_binary_payloads(d, "text", "doc_id")
+    fmt = sniff_format(F.col("payload"))
+    return b.select(
+        "doc_id",
+        fmt.alias("format"),
+        F.length("payload").cast("long").alias("total_bytes"),
+        (F.length("payload") - header_length(fmt)).cast("long").alias(
+            "payload_bytes"
+        ),
+    )
+
+
+MM_METADATA_ORACLE = """
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format,
+       CAST(octet_length(encode(text)) + (CASE doc_id % 3 WHEN 0 THEN 8 ELSE 4 END) AS BIGINT) AS total_bytes,
+       CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes
+FROM documents
+"""
+
+
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow-batched mapInPandas decode path: real magic sniffing and
+    buffer-length reads in the Python worker, dimensions derived
+    deterministically from payload size (the fake decode — the oracle
+    mirrors the arithmetic from the base table)."""
+    d = _t(spark, sf_dir, "documents")
+    b = attach_binary_payloads(d, "text", "doc_id")
+    return decode_features(b, "doc_id")
+
+
+MM_DECODE_ORACLE = """
+WITH b AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format,
+         CAST(octet_length(encode(text)) AS BIGINT) AS body
+  FROM documents
+)
+SELECT doc_id, format,
+       CAST((body * 7) % 256 AS INT) AS width,
+       CAST((body * 13) % 256 AS INT) AS height,
+       CAST(CASE WHEN format = 'wav' THEN body // 4 ELSE 1 END AS BIGINT) AS n_frames,
+       body AS payload_bytes
+FROM b
+"""
+
+
+# --------------------------------------------------------------------------
 # Structured Streaming (SURVEY §2.9 — ST1/ST2/ST4/ST5/ST7/ST8, S4/S5/S10/
 # S11/S13/S16). Each query materializes a deterministic event-file fixture
 # from the events table, drains it through the real readStream →
@@ -1798,8 +2024,14 @@ QUERIES: dict[str, QuerySpec] = {
     "doc_fingerprint_docs": QuerySpec(doc_fingerprint_docs, DOC_FINGERPRINT_ORACLE, "text: content fingerprint"),
     "sessionization": QuerySpec(sessionization, SESSIONIZATION_ORACLE, "sessionization: gap-based"),
     "tumbling_window_agg": QuerySpec(tumbling_window_agg, TUMBLING_ORACLE, "ST6: tumbling window agg"),
+    "dbt_dim_games": QuerySpec(dbt_dim_games, DBT_DIM_GAMES_ORACLE, "DAG: dim_games star rollup"),
+    "dbt_fact_reviews": QuerySpec(dbt_fact_reviews, DBT_FACT_REVIEWS_ORACLE, "DAG: fact_reviews (repaired stg_reviews + W1)"),
+    "dbt_game_quality_metrics": QuerySpec(dbt_game_quality_metrics, DBT_GQM_ORACLE, "DAG: business mart w/ fanout AVG"),
+    "dbt_quality_report": QuerySpec(dbt_quality_report, DBT_QUALITY_ORACLE, "DAG: quality runner (clean + seeded-dirty)"),
     "cdc_change_extract": QuerySpec(cdc_change_extract, CDC_ORACLE, "ST4/F15: CDC envelope diff"),
     "cdc_keyed_dedup": QuerySpec(cdc_keyed_dedup, CDC_KEYED_DEDUP_ORACLE, "ST3: keyed CDC duplicate suppression"),
+    "mm_binary_metadata": QuerySpec(mm_binary_metadata, MM_METADATA_ORACLE, "multimodal: JVM-side magic sniff + sizes"),
+    "mm_decode_features": QuerySpec(mm_decode_features, MM_DECODE_ORACLE, "multimodal: Arrow-batched mapInPandas decode"),
     "src_csv_price_scan": QuerySpec(src_csv_price_scan, SRC_CSV_PRICE_ORACLE, "S1/S14: declared-schema CSV round trip"),
     "src_json_corrupt_recovery": QuerySpec(src_json_corrupt_recovery, SRC_JSON_CORRUPT_ORACLE, "S3: PERMISSIVE JSON corrupt-line recovery"),
     "src_csv_incremental_resume": QuerySpec(src_csv_incremental_resume, SRC_RESUME_ORACLE, "S2/ST8: anti-join incremental resume"),
