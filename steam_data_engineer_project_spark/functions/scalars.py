@@ -21,12 +21,11 @@ def to_cents(col: Column) -> Column:
     1200), and returns null for None/''/garbage.
     """
     # try_cast, not cast: under ANSI mode (Spark 4 default) a plain cast of
-    # garbage throws; the reference contract is null-on-failure.
+    # garbage throws; the reference contract is null-on-failure — and round/
+    # multiply propagate that null, so no explicit when() wrapper is needed
+    # (one evaluation of the cast instead of two).
     normalized = F.regexp_replace(F.trim(col.cast("string")), ",", ".")
-    as_num = normalized.try_cast("decimal(18,6)")
-    return F.when(as_num.isNull(), F.lit(None).cast("long")).otherwise(
-        F.round(as_num * 100).cast("long")
-    )
+    return F.round(normalized.try_cast("decimal(18,6)") * 100).cast("long")
 
 
 def format_cents(col: Column) -> Column:

@@ -133,18 +133,37 @@ def _fact_reviews(t: dict[str, DataFrame]) -> DataFrame:
 
 
 def _game_quality_metrics(t: dict[str, DataFrame]) -> DataFrame:
+    # The reference SQL aggregates AFTER the dim×reviews×prices join, so its
+    # AVG runs over the join fanout. Pre-aggregating per game is PROVABLY
+    # identical here: the fanout duplicates every price row of a game the
+    # same n times, which scales davg's micro-unit sum and count both by n
+    # — and floor((n·S)/(n·C)) = floor(S/C), MIN is duplication-invariant,
+    # and review_count is constant per game. Same values, but the big
+    # prices table is reduced to one row per game BEFORE the join instead
+    # of being exploded reviews× through it — the only plan that survives
+    # a 100× scale-up of prices and reviews.
     dim = t["dim_games"]
-    fact = t["fact_reviews"]
-    prices = t["stg_prices"]
-    joined = dim.join(
-        fact, dim.game_id == fact.appid, "left"
-    ).join(prices, dim.game_id == prices.game_id, "left")
-    return joined.groupBy(
-        dim.game_id, dim.title, dim.developers, dim.genres, fact.review_count
-    ).agg(
+    price_agg = t["stg_prices"].groupBy("game_id").agg(
         davg(F.col("price")).alias("avg_price"),
         davg(F.col("discount")).alias("avg_discount"),
         F.min("initial_price").alias("min_initial_price"),
+    )
+    review_agg = t["fact_reviews"].groupBy("appid").agg(
+        F.count("*").alias("review_count")
+    )
+    return (
+        dim.join(review_agg, dim.game_id == review_agg.appid, "left")
+        .join(price_agg, "game_id", "left")
+        .select(
+            "game_id",
+            "title",
+            "developers",
+            "genres",
+            "review_count",
+            "avg_price",
+            "avg_discount",
+            "min_initial_price",
+        )
     )
 
 

@@ -60,6 +60,7 @@ from .plans.models import build as build_models
 from .quality import accepted_range, not_null, relationships, run_checks, unique
 from .schemas import PRICE_RAW_CSV
 from .sources.readers import incremental_resume, read_csv, read_json_recovering
+from .sources.sinks import from_kafka_frame, to_kafka_frame
 from .streaming.price_pipeline import run_price_pipeline
 from .streaming.review_pipeline import run_review_pipeline
 from .operators.sessionize import sessionize
@@ -603,19 +604,23 @@ def fx_price_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     price_dec = F.col("l_extendedprice").cast("decimal(12,2)")
     eu_price = F.regexp_replace(price_dec.cast("string"), r"\.", ",")
-    cents = to_cents(eu_price)
     disc_str = F.concat(
         (F.col("l_discount") * 100).cast("decimal(5,1)").cast("string"), F.lit("%")
     )
-    disc_pct = parse_discount(disc_str)
-    initial_cents = initial_price_cents(cents, disc_pct)
-    return li.select(
+    # Two-stage projection: cents/discount_pct become real columns before the
+    # initial-price when-chain references them 3×, so the regex+cast work
+    # runs once per row (Catalyst keeps the split — the lower outputs are
+    # non-cheap and multiply referenced, so CollapseProject leaves it alone).
+    parsed = li.select(
         "l_orderkey",
         F.col("l_linenumber").cast("long").alias("l_linenumber"),
         eu_price.alias("eu_price"),
-        cents.alias("cents"),
-        disc_pct.alias("discount_pct"),
-        initial_cents.alias("initial_cents"),
+        to_cents(eu_price).alias("cents"),
+        parse_discount(disc_str).alias("discount_pct"),
+    )
+    return parsed.withColumn(
+        "initial_cents",
+        initial_price_cents(F.col("cents"), F.col("discount_pct")),
     )
 
 
@@ -1659,6 +1664,41 @@ WHERE before_price IS NULL OR before_price <> after_price
 # --------------------------------------------------------------------------
 
 
+def kafka_frame_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/S8: the Kafka frame codec surface — rows → (key, value-JSON)
+    binary frame (what writeStream.format('kafka') publishes —
+    kafka/producers/kafka_producer_info.py:7-50) → decoded back through the
+    declared envelope schema (kafka/consumers/kafka_consumer_info.py:7-10).
+    The broker is configuration; the codec is the engine, verified here."""
+    from pyspark.sql import types as Ty
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    frame = to_kafka_frame(ev, "user_id", ["event_id", "event_type", "value", "ts_us"])
+    schema = Ty.StructType(
+        [
+            Ty.StructField("event_id", Ty.LongType()),
+            Ty.StructField("event_type", Ty.StringType()),
+            Ty.StructField("value", Ty.DoubleType()),
+            Ty.StructField("ts_us", Ty.LongType()),
+        ]
+    )
+    decoded = from_kafka_frame(frame, schema)
+    return decoded.select("key", "event_id", "event_type", "value", "ts_us")
+
+
+KAFKA_FRAME_ORACLE = """
+SELECT CAST(user_id AS VARCHAR) AS key, event_id, event_type, value,
+       epoch_us(ts) AS ts_us
+FROM events
+"""
+
+
 def src_csv_price_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1/S14 + F4/F6/F7: the raw price-crawl CSV round trip — write
     `appid,discount,price` rows (EU comma decimals, '%'-suffixed discounts —
@@ -2032,6 +2072,7 @@ QUERIES: dict[str, QuerySpec] = {
     "cdc_keyed_dedup": QuerySpec(cdc_keyed_dedup, CDC_KEYED_DEDUP_ORACLE, "ST3: keyed CDC duplicate suppression"),
     "mm_binary_metadata": QuerySpec(mm_binary_metadata, MM_METADATA_ORACLE, "multimodal: JVM-side magic sniff + sizes"),
     "mm_decode_features": QuerySpec(mm_decode_features, MM_DECODE_ORACLE, "multimodal: Arrow-batched mapInPandas decode"),
+    "kafka_frame_roundtrip": QuerySpec(kafka_frame_roundtrip, KAFKA_FRAME_ORACLE, "S6/S8: Kafka frame codec round trip"),
     "src_csv_price_scan": QuerySpec(src_csv_price_scan, SRC_CSV_PRICE_ORACLE, "S1/S14: declared-schema CSV round trip"),
     "src_json_corrupt_recovery": QuerySpec(src_json_corrupt_recovery, SRC_JSON_CORRUPT_ORACLE, "S3: PERMISSIVE JSON corrupt-line recovery"),
     "src_csv_incremental_resume": QuerySpec(src_csv_incremental_resume, SRC_RESUME_ORACLE, "S2/ST8: anti-join incremental resume"),
