@@ -57,6 +57,7 @@ from .multimodal.binary import (
 from .operators.ranking import global_row_number
 from .plans.adapter import steam_sources
 from .plans.models import build as build_models
+from .plans.sql import DIM_GAMES_SQL, run_model_sql
 from .quality import accepted_range, not_null, relationships, run_checks, unique
 from .schemas import PRICE_RAW_CSV
 from .sources.readers import incremental_resume, read_csv, read_json_recovering
@@ -541,6 +542,62 @@ FULL JOIN (SELECT user_id, epoch_us(ts) AS last_purchase_us, value AS last_purch
                  FROM events WHERE event_type='purchase')
            WHERE rn = 1) b
 ON a.user_id = b.user_id
+"""
+
+
+def freshness_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: publish only rows newer than the per-key watermark
+    (kafka/producers/kafka_producer_prices.py:46-59 — `timestamp >
+    last_price_timestamp`). The watermark table is the max event time of the
+    already-published set (event_id ≡ 0 mod 3); keys never published pass
+    through via the epoch-0 coalesce."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select("event_id", "user_id", F.unix_micros("ts").alias("ts_us"))
+    state = (
+        base.filter(F.pmod(F.col("event_id"), 3) == 0)
+        .groupBy("user_id")
+        .agg(F.max("ts_us").alias("last_ts_us"))
+    )
+    return (
+        base.join(state, "user_id", "left")
+        .filter(F.col("ts_us") > F.coalesce(F.col("last_ts_us"), F.lit(-1)))
+        .select("event_id", "user_id", "ts_us")
+    )
+
+
+FRESHNESS_ORACLE = """
+WITH base AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+), state AS (
+  SELECT user_id, MAX(ts_us) AS last_ts_us
+  FROM base WHERE event_id % 3 = 0 GROUP BY user_id
+)
+SELECT b.event_id, b.user_id, b.ts_us
+FROM base b LEFT JOIN state s ON b.user_id = s.user_id
+WHERE b.ts_us > COALESCE(s.last_ts_us, -1)
+"""
+
+
+def midnight_time_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8: `crawl_date >= today-midnight` (tasks/steam_review_task_improved.py:
+    374-381, Mongo $gte). 'Today' is the date of the table's max event time
+    (deterministic stand-in for current_timestamp); the cutoff is broadcast
+    as a 1-row aggregate, so the filter stays a scan-side predicate."""
+    ev = _t(spark, sf_dir, "events")
+    cutoff = ev.agg(
+        F.unix_micros(F.date_trunc("day", F.max("ts"))).alias("midnight_us")
+    )
+    return (
+        ev.crossJoin(F.broadcast(cutoff))
+        .filter(F.unix_micros("ts") >= F.col("midnight_us"))
+        .select("event_id", "user_id", F.unix_micros("ts").alias("ts_us"))
+    )
+
+
+MIDNIGHT_ORACLE = """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us
+FROM events
+WHERE epoch_us(ts) >= (SELECT epoch_us(date_trunc('day', MAX(ts))) FROM events)
 """
 
 
@@ -1450,6 +1507,15 @@ LEFT JOIN part pt ON pt.p_partkey = g.game_id
 """
 
 
+def dbt_dim_games_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.1 step 5: the same dim_games mart through the SQL surface —
+    staging models registered as temp views, the Spark-dialect translation
+    of models/marts/core/dim_games.sql run via spark.sql. Must hash-match
+    the DataFrame-built model exactly (same oracle)."""
+    dag = _dag(spark, sf_dir)
+    return run_model_sql(spark, dag, DIM_GAMES_SQL)
+
+
 def dbt_fact_reviews(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U2 repaired + W1 via the model registry: stg_reviews (real source +
     CAST/FROM_UNIXTIME, replacing the reference's undefined-macro model) and
@@ -2065,6 +2131,9 @@ QUERIES: dict[str, QuerySpec] = {
     "sessionization": QuerySpec(sessionization, SESSIONIZATION_ORACLE, "sessionization: gap-based"),
     "tumbling_window_agg": QuerySpec(tumbling_window_agg, TUMBLING_ORACLE, "ST6: tumbling window agg"),
     "dbt_dim_games": QuerySpec(dbt_dim_games, DBT_DIM_GAMES_ORACLE, "DAG: dim_games star rollup"),
+    "dbt_dim_games_sql": QuerySpec(dbt_dim_games_sql, DBT_DIM_GAMES_ORACLE, "DAG: dim_games via the spark.sql surface"),
+    "freshness_filter": QuerySpec(freshness_filter, FRESHNESS_ORACLE, "P7: per-key watermark freshness predicate"),
+    "midnight_time_filter": QuerySpec(midnight_time_filter, MIDNIGHT_ORACLE, "P8: >= today-midnight time filter"),
     "dbt_fact_reviews": QuerySpec(dbt_fact_reviews, DBT_FACT_REVIEWS_ORACLE, "DAG: fact_reviews (repaired stg_reviews + W1)"),
     "dbt_game_quality_metrics": QuerySpec(dbt_game_quality_metrics, DBT_GQM_ORACLE, "DAG: business mart w/ fanout AVG"),
     "dbt_quality_report": QuerySpec(dbt_quality_report, DBT_QUALITY_ORACLE, "DAG: quality runner (clean + seeded-dirty)"),
