@@ -1991,7 +1991,7 @@ def streaming_price_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("ts") / F.lit(1000000.0)).alias("timestamp"),
     )
     events_dir = os.path.join(work, "events")
-    msgs.repartition(12).write.mode("overwrite").json(events_dir)
+    msgs.repartition(8).write.mode("overwrite").json(events_dir)
     out = run_price_pipeline(spark, events_dir, work, max_files_per_trigger=4)
     return spark.read.parquet(out["crawl_state"]).select(
         "appid", "last_ts_us", "last_event_id", "last_price", "n_events"
@@ -2036,8 +2036,8 @@ def streaming_review_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("unix_micros(ts) DIV 1000000").alias("timestamp_created"),
     )
     events_dir = os.path.join(work, "events")
-    msgs.repartition(10).write.mode("overwrite").json(events_dir)
-    out = run_review_pipeline(spark, events_dir, work, max_files_per_trigger=3)
+    msgs.repartition(8).write.mode("overwrite").json(events_dir)
+    out = run_review_pipeline(spark, events_dir, work, max_files_per_trigger=4)
     store = spark.read.parquet(out["reviews_latest"])
     summ = spark.read.parquet(out["review_summaries"])
     return store.join(summ, ["appid", "author_steamid"]).select(

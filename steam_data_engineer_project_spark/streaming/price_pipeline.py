@@ -65,11 +65,16 @@ def transform_price_events(raw: DataFrame) -> DataFrame:
     )
 
 
-def _swap_in(df: DataFrame, target_dir: str) -> None:
+def _swap_in(df: DataFrame, target_dir: str, num_files: int = 4) -> None:
     """Write df to <target>.tmp then atomically replace <target> — the
-    read-merge-overwrite step of an upsert without a mutable store."""
+    read-merge-overwrite step of an upsert without a mutable store.
+
+    Coalesced: the state table is small relative to the stream, and it is
+    re-read every micro-batch — 32 shuffle-partition files per rewrite is
+    pure small-file churn (at real state sizes, raise num_files or bucket
+    by the key instead)."""
     tmp = target_dir + ".tmp"
-    df.write.mode("overwrite").parquet(tmp)
+    df.coalesce(num_files).write.mode("overwrite").parquet(tmp)
     if os.path.exists(target_dir):
         shutil.rmtree(target_dir)
     os.rename(tmp, target_dir)
@@ -187,7 +192,7 @@ def run_price_pipeline(
             )
             detect_changes(batch_df, prev).withColumn(
                 "batch_id", F.lit(batch_id).cast("long")
-            ).write.mode("append").parquet(notif_dir)
+            ).coalesce(4).write.mode("append").parquet(notif_dir)
             # ST1/A6/A7: merge the watermark registry.
             as_state = batch_df.select(
                 "appid",
