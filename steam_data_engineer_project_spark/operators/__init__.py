@@ -7,7 +7,12 @@ from .dedup import (
 )
 from .merge import insert_ignore, merge_monotone_max, upsert_last_wins
 from .sessionize import sessionize
-from .similarity import brute_force_cosine_topk, lsh_bucket_cosine_topk
+from .similarity import (
+    brute_force_cosine_topk,
+    embedding_near_dup_pairs,
+    ivf_cosine_topk,
+    lsh_bucket_cosine_topk,
+)
 from .textstats import doc_fingerprint, language_id, text_quality
 from .topk import latest_per_key, top_k
 
@@ -22,6 +27,8 @@ __all__ = [
     "upsert_last_wins",
     "sessionize",
     "brute_force_cosine_topk",
+    "embedding_near_dup_pairs",
+    "ivf_cosine_topk",
     "lsh_bucket_cosine_topk",
     "doc_fingerprint",
     "language_id",

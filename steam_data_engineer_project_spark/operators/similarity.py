@@ -102,6 +102,127 @@ def query_bucket_id(
     return bucket
 
 
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+    n_planes: int = 8,
+    stride: int = 7,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: self-join within sign-projection
+    LSH buckets, then keep pairs whose exact cosine clears ``threshold``.
+
+    The bucket equi-join bounds candidates at ~n²/2^n_planes instead of n² —
+    the same banded-LSH shape as MinHash dedup, but over dense vectors. At
+    scale, write the table bucketed by the LSH id so the self-join is
+    co-partitioned (no shuffle); raising ``n_planes`` trades recall for a
+    smaller candidate set. Cosine is computed JVM-side (higher-order
+    functions) and rounded to 6 dp before the threshold so engines agree on
+    borderline pairs.
+
+    Returns (id_a, id_b, cosine) with id_a < id_b.
+    """
+    b = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        lsh_bucket_id(F.col(vec_col), n_planes, stride).alias("bucket"),
+    )
+    left = b.alias("l")
+    right = b.alias("r")
+    pairs = left.join(
+        right,
+        (F.col("l.bucket") == F.col("r.bucket"))
+        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    ).select(
+        F.col(f"l.{id_col}").alias("id_a"),
+        F.col(f"r.{id_col}").alias("id_b"),
+        F.round(
+            cosine_similarity(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")), 6
+        ).alias("cosine"),
+    )
+    return pairs.filter(F.col("cosine") >= F.lit(float(threshold)))
+
+
+def ivf_assignments(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_centroids: int = 16,
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer: assign every vector to its nearest centroid.
+
+    Centroids are the embeddings of the ``n_centroids`` smallest ids —
+    deterministic and engine-portable (a trained k-means codebook would be
+    loaded the same way: as a small DataFrame broadcast into the assignment
+    join). Assignment is a broadcast nested-loop over the tiny centroid set
+    followed by a map-side-combinable ``max(struct(...))`` argmax — one
+    narrow pass over the data, no wide shuffle, so it scales linearly.
+
+    Ties on the (6-dp-rounded) cosine break toward the smallest centroid id.
+    Returns (assignments(id, centroid_id, centroid_cos), centroids).
+    """
+    centroids = df.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv")
+    )
+    scored = df.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col("centroid_id"),
+        F.round(cosine_similarity(F.col(vec_col), F.col("cv")), 6).alias("c_cos"),
+    )
+    best = (
+        scored.groupBy(id_col)
+        .agg(F.max(F.struct(F.col("c_cos"), (-F.col("centroid_id")).alias("neg"))).alias("m"))
+        .select(
+            F.col(id_col),
+            (-F.col("m.neg")).alias("centroid_id"),
+            F.col("m.c_cos").alias("centroid_cos"),
+        )
+    )
+    return best, centroids
+
+
+def ivf_cosine_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF ANN top-k: probe the ``n_probe`` centroids nearest the query, then
+    exact-score only vectors assigned to those centroids.
+
+    The scale path: with the table written partitioned by ``centroid_id``
+    (the inverted file), the broadcast probe join prunes the scan to
+    n_probe/n_centroids of the data via dynamic partition pruning — no
+    driver-side collect anywhere in the plan.
+
+    Returns (id_col, centroid_id, cosine) ordered by rounded cosine, id.
+    """
+    assigned, centroids = ivf_assignments(df, vec_col, id_col, n_centroids)
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    probe = (
+        centroids.select(
+            "centroid_id",
+            F.round(cosine_similarity(F.col("cv"), q), 6).alias("q_cos"),
+        )
+        .orderBy(F.desc("q_cos"), F.asc("centroid_id"))
+        .limit(n_probe)
+        .select("centroid_id")
+    )
+    candidates = assigned.join(F.broadcast(probe), "centroid_id").join(
+        df.select(F.col(id_col), F.col(vec_col)), id_col
+    )
+    scored = candidates.select(
+        F.col(id_col),
+        F.col("centroid_id").cast("long").alias("centroid_id"),
+        F.round(cosine_similarity(F.col(vec_col), q), 6).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
 def lsh_bucket_cosine_topk(
     df: DataFrame,
     vec_col: str,

@@ -65,7 +65,12 @@ from .sources.sinks import from_kafka_frame, to_kafka_frame
 from .streaming.price_pipeline import run_price_pipeline
 from .streaming.review_pipeline import run_review_pipeline
 from .operators.sessionize import sessionize
-from .operators.similarity import cosine_similarity, lsh_bucket_id
+from .operators.similarity import (
+    cosine_similarity,
+    embedding_near_dup_pairs,
+    ivf_cosine_topk,
+    lsh_bucket_id,
+)
 from .operators.textstats import doc_fingerprint, language_id, text_quality
 from .operators.topk import latest_per_key, top_k
 from .session import load_tables
@@ -1226,6 +1231,94 @@ FROM scores ORDER BY cosine DESC, vec_id LIMIT 10
 """
 
 
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the dense-vector sibling of the
+    MinHash/SimHash text dedups): sign-projection LSH bucket self-join (8
+    planes, stride 7 — identical family to ann_lsh_topk) then exact cosine
+    >= 0.30 on the surviving candidates. The bucket equi-join keeps the pair
+    set ~n²/256; at scale the table is written bucketed by the LSH id so the
+    join is co-partitioned. No reference analog (no embeddings there) — this
+    is the training-data-pipeline surface the engine adds."""
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(e, "embedding", "vec_id", threshold=0.30)
+
+
+DEDUP_EMBEDDING_ORACLE = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_LSH_BITS_SQL} AS bucket FROM embeddings
+), cand AS (
+  SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+         CAST(UNNEST(l.embedding) AS DOUBLE) AS x,
+         CAST(UNNEST(r.embedding) AS DOUBLE) AS y
+  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+), scores AS (
+  SELECT id_a, id_b,
+         ROUND(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6) AS cosine
+  FROM cand GROUP BY id_a, id_b
+)
+SELECT id_a, id_b, cosine FROM scores WHERE cosine >= 0.30
+"""
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-10: coarse-quantize every vector to its nearest of 16
+    deterministic centroids (the 16 smallest vec_ids — standing in for a
+    trained codebook loaded the same way), probe the 4 centroids nearest the
+    vec_id=0 query, exact-score only vectors assigned to probed centroids.
+    Assignment is a broadcast nested-loop + map-side-combinable struct-max
+    argmax; the probe is a broadcast semi-join (no collect), which at scale
+    dynamic-partition-prunes an inverted file partitioned by centroid_id."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = [
+        float(v)
+        for v in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    return ivf_cosine_topk(
+        e, "embedding", "vec_id", q, k=10, n_centroids=16, n_probe=4
+    )
+
+
+ANN_IVF_ORACLE = """
+WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < 16),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+apairs AS (
+  SELECT e.vec_id, c.centroid_id,
+         CAST(UNNEST(e.embedding) AS DOUBLE) AS x,
+         CAST(UNNEST(c.cv) AS DOUBLE) AS y
+  FROM embeddings e, c
+), ascores AS (
+  SELECT vec_id, centroid_id,
+         ROUND(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6) AS c_cos
+  FROM apairs GROUP BY vec_id, centroid_id
+), assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, centroid_id) AS rn
+    FROM ascores) WHERE rn = 1
+), qpairs AS (
+  SELECT c.centroid_id,
+         CAST(UNNEST(c.cv) AS DOUBLE) AS x,
+         CAST(UNNEST(q.qv) AS DOUBLE) AS y
+  FROM c, q
+), probe AS (
+  SELECT centroid_id FROM (
+    SELECT centroid_id, ROUND(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6) AS q_cos
+    FROM qpairs GROUP BY centroid_id)
+  ORDER BY q_cos DESC, centroid_id LIMIT 4
+), fpairs AS (
+  SELECT a.vec_id, a.centroid_id,
+         CAST(UNNEST(e.embedding) AS DOUBLE) AS x,
+         CAST(UNNEST(q.qv) AS DOUBLE) AS y
+  FROM assigned a JOIN probe p USING (centroid_id)
+       JOIN embeddings e ON a.vec_id = e.vec_id, q
+)
+SELECT vec_id, CAST(centroid_id AS BIGINT) AS centroid_id,
+       ROUND(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6) AS cosine
+FROM fpairs GROUP BY vec_id, centroid_id
+ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
 def text_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: token counts, distinct/punct/stopword ratios,
     composite score."""
@@ -2125,6 +2218,8 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_simhash_docs": QuerySpec(dedup_simhash_docs, DEDUP_SIMHASH_ORACLE, "dedup: SimHash fingerprints"),
     "ann_cosine_topk": QuerySpec(ann_cosine_topk, ANN_COSINE_ORACLE, "similarity: brute-force cosine top-k"),
     "ann_lsh_topk": QuerySpec(ann_lsh_topk, ANN_LSH_ORACLE, "similarity: LSH-bucketed cosine top-k"),
+    "ann_ivf_topk": QuerySpec(ann_ivf_topk, ANN_IVF_ORACLE, "similarity: IVF coarse-quantized cosine top-k"),
+    "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, DEDUP_EMBEDDING_ORACLE, "dedup: embedding-cosine near-dup pairs (LSH-bucketed)"),
     "text_quality_docs": QuerySpec(text_quality_docs, TEXT_QUALITY_ORACLE, "text: quality scoring"),
     "text_lang_id_docs": QuerySpec(text_lang_id_docs, TEXT_LANG_ORACLE, "text: language ID"),
     "doc_fingerprint_docs": QuerySpec(doc_fingerprint_docs, DOC_FINGERPRINT_ORACLE, "text: content fingerprint"),

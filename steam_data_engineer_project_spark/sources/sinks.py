@@ -75,6 +75,23 @@ def insert_ignore_parquet(
     _overwrite_swap(merged, path)
 
 
+def append_csv_buffered(
+    df: DataFrame, path: str, max_records_per_file: int = 50
+) -> None:
+    """S14: batched CSV buffer sink (reference buffers 50 rows then appends
+    to the CSV — tasks/steam_tasks_improved.py:199-206,
+    etl/extract/steam_crawl_price.py:61-68). The Spark analog of the row
+    buffer is ``maxRecordsPerFile``: an append-mode write where every emitted
+    file holds at most the buffer size, so downstream tail-followers see the
+    same bounded-chunk growth pattern without any driver-side batching."""
+    (
+        df.write.mode("append")
+        .option("header", "true")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .csv(path)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Kafka frame codecs (S6 source / S8 sink surface)
 # ---------------------------------------------------------------------------

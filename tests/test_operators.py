@@ -25,6 +25,9 @@ from steam_data_engineer_project_spark.operators.merge import (
 )
 from steam_data_engineer_project_spark.operators.ranking import global_row_number
 from steam_data_engineer_project_spark.operators.similarity import (
+    brute_force_cosine_topk,
+    embedding_near_dup_pairs,
+    ivf_cosine_topk,
     lsh_bucket_id,
     lsh_bucket_cosine_topk,
     query_bucket_id,
@@ -209,6 +212,49 @@ def test_lsh_topk_multiprobe_finds_query(spark):
     out = lsh_bucket_cosine_topk(df, "vec", "id", [1.0] * 16, k=5).collect()
     assert out, "multi-probe returned nothing"
     assert out[0].id == 0 and abs(out[0].cosine - 1.0) < 1e-6
+
+
+def test_embedding_near_dup_pairs(spark):
+    # Two near-identical vectors (same signs -> same LSH bucket, cosine ~1)
+    # plus an orthogonal-ish distractor that must not pair with them.
+    base = [1.0, -2.0, 0.5, -0.25] * 4
+    near = [v * 1.01 + (0.001 if i == 0 else 0.0) for i, v in enumerate(base)]
+    far = [(-1.0) ** i * (0.1 + i) for i in range(16)]
+    df = spark.createDataFrame(
+        [(0, base), (1, near), (2, far)], ["id", "vec"]
+    )
+    out = embedding_near_dup_pairs(df, "vec", "id", threshold=0.95).collect()
+    assert [(r.id_a, r.id_b) for r in out] == [(0, 1)]
+    assert out[0].cosine > 0.999
+
+
+def test_ivf_topk_matches_brute_force_when_probing_all(spark):
+    # With n_probe == n_centroids nothing is pruned, so IVF must equal the
+    # exact brute-force ranking.
+    import random
+
+    rng = random.Random(7)
+    vecs = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(60)]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vecs)], ["id", "vec"])
+    q = vecs[5]
+    ivf = ivf_cosine_topk(df, "vec", "id", q, k=8, n_centroids=4, n_probe=4)
+    exact = brute_force_cosine_topk(df, "vec", "id", q, k=8)
+    assert [r.id for r in ivf.collect()] == [r.id for r in exact.collect()]
+
+
+def test_ivf_probe_prunes_candidates(spark):
+    # Two well-separated sign clusters; probing 1 of 2 centroids must only
+    # score vectors from the query's cluster.
+    pos = [[1.0 + 0.01 * i] * 8 for i in range(10)]
+    neg = [[-1.0 - 0.01 * i] * 8 for i in range(10)]
+    # ids 0 and 1 are the centroids: one from each cluster.
+    rows = [(0, pos[0]), (1, neg[0])]
+    rows += [(i + 2, v) for i, v in enumerate(pos[1:] + neg[1:])]
+    df = spark.createDataFrame(rows, ["id", "vec"])
+    out = ivf_cosine_topk(
+        df, "vec", "id", [1.0] * 8, k=20, n_centroids=2, n_probe=1
+    ).collect()
+    assert {r.id for r in out} == {0, *range(2, 11)}
 
 
 # ---------------------------------------------------------------- ranking

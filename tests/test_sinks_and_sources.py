@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from steam_data_engineer_project_spark.monitoring import observed
 from steam_data_engineer_project_spark.sources.rest import rest_fetch
 from steam_data_engineer_project_spark.sources.sinks import (
+    append_csv_buffered,
     append_parquet,
     foreach_batch_webhook,
     insert_ignore_parquet,
@@ -54,6 +55,32 @@ def test_upsert_and_insert_ignore_sinks(spark):
         assert spark.read.parquet(ap_path).count() == 4
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_csv_buffered_sink_bounds_file_size_and_appends(spark):
+    # S14: every emitted file holds <= the buffer size; append mode grows
+    # the directory without rewriting earlier chunks.
+    work = _work()
+    path = os.path.join(work, "prices_csv")
+    df = spark.range(120).select(
+        F.col("id").alias("appid"), (F.col("id") * 2).alias("cents")
+    )
+    append_csv_buffered(df.coalesce(1), path, max_records_per_file=50)
+    parts = [f for f in os.listdir(path) if f.startswith("part-")]
+    assert len(parts) >= 3  # 120 rows / 50-row buffer
+    for f in parts:
+        with open(os.path.join(path, f)) as fh:
+            n = sum(1 for _ in fh) - 1  # header
+        assert n <= 50
+    append_csv_buffered(df.coalesce(1), path, max_records_per_file=50)
+    back = (
+        spark.read.option("header", "true")
+        .schema("appid long, cents long")
+        .csv(path)
+    )
+    assert back.count() == 240
+    assert back.groupBy().sum("cents").first()[0] == 2 * sum(2 * i for i in range(120))
+    shutil.rmtree(work)
 
 
 def test_rest_fetch_distributed_with_retries(spark):
