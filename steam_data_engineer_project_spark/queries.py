@@ -107,6 +107,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table, spread across the cluster when the scan is
+    under-partitioned.
+
+    The heavy text operators (shingling, hashing, 64-bit simhash votes) are
+    CPU-bound per row; a small parquet table arrives as one file = one
+    partition and serializes all of it on a single core. Repartitioning by
+    the key is a cheap shuffle of raw text locally and a NO-OP at scale —
+    the guard keeps a well-partitioned 100 TB corpus (thousands of files)
+    from being reshuffled just to satisfy a local-mode artifact.
+    """
+    d = _t(spark, sf_dir, "documents")
+    target = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < target:
+        d = d.repartition(target, "doc_id")
+    return d
+
+
 def _scratch_dir(prefix: str) -> str:
     """Fresh scratch dir under <repo>/.scratch (gitignored) — streaming
     queries materialize event files + checkpoints there; a new dir per
@@ -1001,7 +1019,7 @@ SELECT 'orders_fk_customer',
 
 def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: md5 hash-groupBy over normalized text, keep lowest id."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return exact_dedup(d, "text", "doc_id")
 
 
@@ -1019,7 +1037,7 @@ def dedup_ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join (never materializes the n^2 pair space). max_doc_freq=100
     prunes stopword-shingle skew before the self-join — the 100 TB guard,
     mirrored exactly in the oracle."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return ngram_jaccard_pairs(
         d, "text", "doc_id", n=3, min_shared=2, max_doc_freq=100
     )
@@ -1058,7 +1076,7 @@ def dedup_minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash (one md5 per shingle, h1+i*h2 double-hashing family, 32 fns)
     + 8-band LSH candidate pairs, stopword-shingle cap at 100 docs. Fully
     oracle-checked: every hash value is portable hex-prefix arithmetic."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return minhash_lsh_candidates(
         d, "text", "doc_id", n=3, num_hashes=32, bands=8, max_doc_freq=100
     )
@@ -1118,7 +1136,7 @@ def dedup_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprints from per-token md5 bits, oracle-checked:
     the per-bit votes and the final signed-long fingerprint (bit 63 = sign
     bit, two's complement) are mirrored exactly in DuckDB."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return simhash_fingerprints(d, "text", "doc_id")
 
 
@@ -1322,7 +1340,7 @@ ORDER BY cosine DESC, vec_id LIMIT 10
 def text_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: token counts, distinct/punct/stopword ratios,
     composite score."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     q = text_quality(d, "text", "doc_id")
     ints = ["n_chars", "n_tokens", "n_distinct_tokens"]
     return q.select(
@@ -1369,7 +1387,7 @@ FROM ratios
 
 def text_lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-stopword language ID with deterministic argmax ties."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     out = language_id(d, "text", "doc_id")
     return out.select(
         "doc_id", "predicted_lang", F.col("marker_hits").cast("long").alias("marker_hits")
@@ -1411,7 +1429,7 @@ FROM hits
 
 def doc_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """md5 content fingerprint + pow-2 length bucket."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     out = doc_fingerprint(d, "text", "doc_id")
     return out.select(
         "doc_id", "fingerprint", F.col("len_bucket").cast("long").alias("len_bucket")
@@ -2032,7 +2050,7 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     buffer-length reads in the Python worker, dimensions derived
     deterministically from payload size (the fake decode — the oracle
     mirrors the arithmetic from the base table)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     b = attach_binary_payloads(d, "text", "doc_id")
     return decode_features(b, "doc_id")
 
