@@ -7,6 +7,7 @@ from .dedup import (
 )
 from .merge import insert_ignore, merge_monotone_max, upsert_last_wins
 from .sessionize import sessionize
+from .skew import salted_aggregate, salted_join
 from .similarity import (
     brute_force_cosine_topk,
     embedding_near_dup_pairs,
@@ -26,6 +27,8 @@ __all__ = [
     "merge_monotone_max",
     "upsert_last_wins",
     "sessionize",
+    "salted_aggregate",
+    "salted_join",
     "brute_force_cosine_topk",
     "embedding_near_dup_pairs",
     "ivf_cosine_topk",

@@ -65,6 +65,7 @@ from .sources.sinks import from_kafka_frame, to_kafka_frame
 from .streaming.price_pipeline import run_price_pipeline
 from .streaming.review_pipeline import run_review_pipeline
 from .operators.sessionize import sessionize
+from .operators.skew import salted_aggregate
 from .operators.similarity import (
     cosine_similarity,
     embedding_near_dup_pairs,
@@ -2196,6 +2197,46 @@ JOIN frst f ON l.appid = f.appid AND l.author_steamid = f.author_steamid
 """
 
 
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-immune two-phase aggregation (operators/skew.py).
+
+    ``events`` has only 5 event_type values — every one is a hot key that a
+    plain groupBy funnels into 5 reducers regardless of cluster size. The
+    salted plan aggregates on (event_type, salt) across 16× more reducers,
+    then combines the per-salt partials; the oracle is the plain one-phase
+    GROUP BY, proving the decomposition is exact. Only exactly-associative
+    aggregates (integer SUM/COUNT, MIN/MAX) are used, so the result is
+    bit-identical regardless of partial ordering.
+    """
+    ev = _t(spark, sf_dir, "events")
+    out = salted_aggregate(
+        ev.select("event_type", "event_id", "user_id", "value"),
+        ["event_type"],
+        sums=["user_id"],
+        mins=["event_id"],
+        maxs=["value"],
+        count="n_events",
+    )
+    return out.select(
+        "event_type",
+        F.col("user_id").alias("sum_user_id"),
+        F.col("event_id").alias("min_event_id"),
+        F.col("value").alias("max_value"),
+        "n_events",
+    )
+
+
+SKEW_SALTED_AGG_ORACLE = """
+SELECT event_type,
+       CAST(SUM(user_id) AS BIGINT) AS sum_user_id,
+       MIN(event_id) AS min_event_id,
+       MAX(value) AS max_value,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2260,4 +2301,5 @@ QUERIES: dict[str, QuerySpec] = {
     "src_csv_incremental_resume": QuerySpec(src_csv_incremental_resume, SRC_RESUME_ORACLE, "S2/ST8: anti-join incremental resume"),
     "streaming_price_pipeline": QuerySpec(streaming_price_pipeline, STREAMING_PRICE_ORACLE, "ST1/ST4/ST5/ST7/ST8: checkpointed price pipeline"),
     "streaming_review_upsert": QuerySpec(streaming_review_upsert, STREAMING_REVIEW_ORACLE, "S4/S13/S11: checkpointed review upsert pipeline"),
+    "skew_salted_agg": QuerySpec(skew_salted_agg, SKEW_SALTED_AGG_ORACLE, "skew: salted two-phase hot-key aggregation"),
 }

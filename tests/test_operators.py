@@ -273,3 +273,55 @@ def test_global_row_number_matches_window(spark):
         ).collect()
     }
     assert scalable == baseline
+
+
+# ---------------------------------------------------------------- skew
+
+
+def test_salted_aggregate_matches_plain_groupby(spark):
+    from steam_data_engineer_project_spark.operators.skew import salted_aggregate
+
+    # One deliberately hot key ('hot' holds 90% of rows) plus nulls in the
+    # aggregated columns to prove null semantics survive the two-phase split.
+    rows = [("hot", i, i % 7, float(i % 13)) for i in range(900)]
+    rows += [("cold", 1000 + i, None, None) for i in range(100)]
+    df = spark.createDataFrame(rows, ["k", "id", "x", "v"])
+    got = {
+        r.k: (r.x, r.id, r.v, r.n)
+        for r in salted_aggregate(
+            df, ["k"], sums=["x"], mins=["id"], maxs=["v"], count="n", num_salts=8
+        ).collect()
+    }
+    want = {
+        r.k: (r.x, r.id, r.v, r.n)
+        for r in df.groupBy("k")
+        .agg(
+            F.sum("x").alias("x"),
+            F.min("id").alias("id"),
+            F.max("v").alias("v"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_salted_join_matches_plain_join(spark):
+    from steam_data_engineer_project_spark.operators.skew import salted_join
+
+    # Hot key on the big side; small side has duplicate keys (fan-out) and a
+    # key missing from big, plus big has a key missing from small (left join).
+    big = spark.createDataFrame(
+        [("hot", i) for i in range(500)] + [("cold", 9000), ("orphan", 9001)],
+        ["k", "bid"],
+    )
+    small = spark.createDataFrame(
+        [("hot", "h1"), ("hot", "h2"), ("cold", "c1"), ("unused", "u1")],
+        ["k", "tag"],
+    )
+    for how in ("inner", "left"):
+        got = sorted(
+            (r.k, r.bid, r.tag) for r in salted_join(big, small, ["k"], 8, how).collect()
+        )
+        want = sorted((r.k, r.bid, r.tag) for r in big.join(small, ["k"], how).collect())
+        assert got == want, how
