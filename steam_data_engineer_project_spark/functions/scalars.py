@@ -1,7 +1,8 @@
 """Scalar transform library (SURVEY.md §2.8, F1-F18).
 
 Every function here is a pure Column expression — JVM-side, codegen-friendly,
-no Python UDFs — so they stay inside whole-stage codegen in the hot path.
+no Python UDFs — so they stay inside whole-stage codegen in the hot path
+(U3: the reference's row-level lambdas re-expressed as native expressions).
 Each docstring cites the reference behavior it re-implements
 (file:line relative to /root/reference).
 """

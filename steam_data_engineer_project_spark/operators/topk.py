@@ -2,7 +2,9 @@
 
 - top_k: global top-k with deterministic tie-breaks. Physically a
   TakeOrderedAndProject: per-partition top-k, then a k·p merge — no full
-  sort, no full shuffle, safe at any scale for small k.
+  sort, no full shuffle, safe at any scale for small k. T3 (the
+  reference's sorted-file iteration) is subsumed: under set semantics an
+  ORDER BY + LIMIT plan replaces row-at-a-time sorted scans.
   (Reference semantics: top-2000 games by player count —
   realtime/steam-crawl-playercount.py:72-90; the reference's sort-key bug is
   deliberately not replicated, per SURVEY.md §7.)

@@ -191,7 +191,8 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def stg_projection_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P1: staging projection+filter (models/staging/stg_games.sql:3-14)."""
+    """P1/P4: staging projection+filter; the un-filtered select is the
+    pass-through-view shape (models/staging/stg_games.sql:3-14)."""
     c = _t(spark, sf_dir, "customer")
     return c.select(
         F.col("c_custkey").alias("game_id"),
@@ -279,7 +280,7 @@ FROM events
 
 
 def dim_star_denorm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1+A1: chained LEFT joins + deterministic GROUP_CONCAT
+    """J1/J4+A1: chained LEFT-join enrichment + deterministic GROUP_CONCAT
     (models/marts/core/dim_games.sql:9-22). Dims broadcast automatically."""
     orders = _t(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer")
@@ -533,7 +534,7 @@ SELECT o_custkey AS key, COUNT(*) AS n FROM orders GROUP BY o_custkey HAVING COU
 
 
 def crawl_state_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ST1/A6/A7: per-key watermark registry — monotone max for review-like
+    """ST1/A6/A7/F3: per-key watermark registry (GREATEST = monotone max) for review-like
     events, last-write-wins for price-like events (sql/init_db.sql:63-68;
     kafka/consumers/kafka_consumer_reviews.py:69-73 GREATEST vs
     tasks/steam_tasks_improved.py:481-485 overwrite)."""
@@ -677,7 +678,8 @@ SELECT user_id FROM events WHERE event_type='error'
 
 
 def fx_price_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F4/F6/F7: EU-decimal price parsing, discount parsing, initial-price
+    """F2/F4/F6/F7/F13: string→int casts, EU-decimal-comma price parsing,
+    discount parsing, initial-price
     guard chain (tasks/steam_tasks_improved.py:322-371) — exercised by
     round-tripping lineitem prices through display strings. Routed through
     the ``functions.scalars`` library (to_cents / parse_discount /
@@ -964,7 +966,8 @@ JOIN mono m ON u.user_id = m.user_id
 
 
 def quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q1/Q2/Q4: the dbt data-quality checks as one violations report
+    """Q1/Q2/Q4/A4: the dbt data-quality checks (incl. row counts) as one
+    violations report
     (models/staging/schema.yml:19-139; tests/assert_*.sql —
     query-returns-zero-rows convention, reported as counts per rule)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -2128,7 +2131,8 @@ FROM latest l JOIN c USING (appid)
 
 
 def streaming_review_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S4/S5/S13/S11 + ST8: the review pipeline — view events serialized as
+    """S4/S5/S13/S11/F17 + ST8: the review pipeline (ObjectId-style ids are
+    cast to string keys, F17) — view events serialized as
     review-event JSONL (tasks/steam_review_task_improved.py:386-405), drained
     via checkpointed readStream micro-batches through foreachBatch
     {latest-wins upsert keyed (appid, author_steamid), first-wins INSERT
@@ -2243,12 +2247,12 @@ GROUP BY event_type
 
 QUERIES: dict[str, QuerySpec] = {
     "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_ORACLE, "A2: scan→filter→hash agg (flagship)"),
-    "stg_projection_filter": QuerySpec(stg_projection_filter, STG_PROJECTION_ORACLE, "P1: staging projection+filter"),
+    "stg_projection_filter": QuerySpec(stg_projection_filter, STG_PROJECTION_ORACLE, "P1/P4: staging projection+filter / pass-through"),
     "range_predicates": QuerySpec(range_predicates, RANGE_PRED_ORACLE, "P2: conjunctive range predicates"),
     "regex_exclusion_filter": QuerySpec(regex_exclusion_filter, REGEX_EXCL_ORACLE, "P5: regex exclusion filter"),
     "type_filter": QuerySpec(type_filter, TYPE_FILTER_ORACLE, "P6: record-type filter"),
     "nan_empty_normalization": QuerySpec(nan_empty_normalization, NAN_NORM_ORACLE, "P10: sentinel/NaN normalization"),
-    "dim_star_denorm": QuerySpec(dim_star_denorm, DIM_STAR_ORACLE, "J1+A1: star denorm + GROUP_CONCAT"),
+    "dim_star_denorm": QuerySpec(dim_star_denorm, DIM_STAR_ORACLE, "J1/J4+A1: star denorm + left-merge enrich + GROUP_CONCAT"),
     "quality_metrics_fanout": QuerySpec(quality_metrics_fanout, QUALITY_FANOUT_ORACLE, "J2+A2: join-fanout aggregate"),
     "fk_anti_join": QuerySpec(fk_anti_join, FK_ANTI_ORACLE, "J3: FK-violation anti-join"),
     "semi_join_existence": QuerySpec(semi_join_existence, SEMI_JOIN_ORACLE, "J6: existence semi-join"),
@@ -2259,18 +2263,18 @@ QUERIES: dict[str, QuerySpec] = {
     "price_change_lag": QuerySpec(price_change_lag, PRICE_CHANGE_ORACLE, "W2/ST4: lag change detection"),
     "topk_by_value": QuerySpec(topk_by_value, TOPK_ORACLE, "T1: global top-K"),
     "duplicate_key_detector": QuerySpec(duplicate_key_detector, DUP_DETECTOR_ORACLE, "A3: HAVING count>1"),
-    "crawl_state_registry": QuerySpec(crawl_state_registry, CRAWL_STATE_ORACLE, "ST1/A6/A7: per-key watermark registry"),
+    "crawl_state_registry": QuerySpec(crawl_state_registry, CRAWL_STATE_ORACLE, "ST1/A6/A7/F3: per-key watermark registry (GREATEST)"),
     "insert_ignore_new_keys": QuerySpec(insert_ignore_new_keys, INSERT_IGNORE_ORACLE, "S11: INSERT IGNORE anti-join"),
     "union_distinct_sets": QuerySpec(union_distinct_sets, UNION_SETS_ORACLE, "set ops: union-distinct"),
     "except_keys": QuerySpec(except_keys, EXCEPT_KEYS_ORACLE, "set ops: except"),
-    "fx_price_parsing": QuerySpec(fx_price_parsing, FX_PRICE_ORACLE, "F4/F6/F7: price scalar functions"),
+    "fx_price_parsing": QuerySpec(fx_price_parsing, FX_PRICE_ORACLE, "F2/F4/F6/F7/F13: price scalar functions + casts"),
     "fx_date_roundtrip": QuerySpec(fx_date_roundtrip, FX_DATE_ORACLE, "F9: date parse round-trip"),
     "fx_html_strip": QuerySpec(fx_html_strip, FX_HTML_ORACLE, "F12: HTML strip"),
     "fx_epoch_roundtrip": QuerySpec(fx_epoch_roundtrip, FX_EPOCH_ORACLE, "F1/F14: epoch conversions"),
     "fx_cents_roundtrip": QuerySpec(fx_cents_roundtrip, FX_CENTS_ROUNDTRIP_ORACLE, "F4/F5/F16: cents round-trip + tz partition key"),
     "fx_clean_arrays": QuerySpec(fx_clean_arrays, FX_CLEAN_ARRAYS_ORACLE, "F10/F11: array-string cleanup + comma split"),
     "merge_strategies": QuerySpec(merge_strategies, MERGE_STRATEGIES_ORACLE, "S9/S11/A6/A7: three-way merge strategies"),
-    "quality_suite": QuerySpec(quality_suite, QUALITY_SUITE_ORACLE, "Q1/Q2/Q4: data-quality checks"),
+    "quality_suite": QuerySpec(quality_suite, QUALITY_SUITE_ORACLE, "Q1/Q2/Q4/A4: data-quality checks + counts"),
     "dedup_exact_docs": QuerySpec(dedup_exact_docs, DEDUP_EXACT_ORACLE, "dedup: exact hash-groupBy"),
     "dedup_ngram_jaccard_docs": QuerySpec(dedup_ngram_jaccard_docs, DEDUP_NGRAM_ORACLE, "dedup: n-gram Jaccard pairs"),
     "dedup_minhash_lsh_docs": QuerySpec(dedup_minhash_lsh_docs, DEDUP_MINHASH_ORACLE, "dedup: MinHash+LSH candidates"),
@@ -2291,7 +2295,7 @@ QUERIES: dict[str, QuerySpec] = {
     "dbt_fact_reviews": QuerySpec(dbt_fact_reviews, DBT_FACT_REVIEWS_ORACLE, "DAG: fact_reviews (repaired stg_reviews + W1)"),
     "dbt_game_quality_metrics": QuerySpec(dbt_game_quality_metrics, DBT_GQM_ORACLE, "DAG: business mart w/ fanout AVG"),
     "dbt_quality_report": QuerySpec(dbt_quality_report, DBT_QUALITY_ORACLE, "DAG: quality runner (clean + seeded-dirty)"),
-    "cdc_change_extract": QuerySpec(cdc_change_extract, CDC_ORACLE, "ST4/F15: CDC envelope diff"),
+    "cdc_change_extract": QuerySpec(cdc_change_extract, CDC_ORACLE, "S15/ST4/F15: Debezium-envelope CDC diff"),
     "cdc_keyed_dedup": QuerySpec(cdc_keyed_dedup, CDC_KEYED_DEDUP_ORACLE, "ST3: keyed CDC duplicate suppression"),
     "mm_binary_metadata": QuerySpec(mm_binary_metadata, MM_METADATA_ORACLE, "multimodal: JVM-side magic sniff + sizes"),
     "mm_decode_features": QuerySpec(mm_decode_features, MM_DECODE_ORACLE, "multimodal: Arrow-batched mapInPandas decode"),
@@ -2300,6 +2304,6 @@ QUERIES: dict[str, QuerySpec] = {
     "src_json_corrupt_recovery": QuerySpec(src_json_corrupt_recovery, SRC_JSON_CORRUPT_ORACLE, "S3: PERMISSIVE JSON corrupt-line recovery"),
     "src_csv_incremental_resume": QuerySpec(src_csv_incremental_resume, SRC_RESUME_ORACLE, "S2/ST8: anti-join incremental resume"),
     "streaming_price_pipeline": QuerySpec(streaming_price_pipeline, STREAMING_PRICE_ORACLE, "ST1/ST4/ST5/ST7/ST8: checkpointed price pipeline"),
-    "streaming_review_upsert": QuerySpec(streaming_review_upsert, STREAMING_REVIEW_ORACLE, "S4/S13/S11: checkpointed review upsert pipeline"),
+    "streaming_review_upsert": QuerySpec(streaming_review_upsert, STREAMING_REVIEW_ORACLE, "S4/S13/S11/F17: checkpointed review upsert pipeline (ids cast to string)"),
     "skew_salted_agg": QuerySpec(skew_salted_agg, SKEW_SALTED_AGG_ORACLE, "skew: salted two-phase hot-key aggregation"),
 }
