@@ -99,11 +99,32 @@ def decode_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     partition count; no state, no driver involvement.
     """
 
+    # The closure is deliberately SELF-CONTAINED: it captures the magic
+    # table as plain data and re-states the (3-line) fake decode inline,
+    # referencing no module globals. cloudpickle then ships it by value, so
+    # a cold Python worker never imports this package (and its full
+    # dependency graph) just to run the stage — measured at ~10 CPU-seconds
+    # per worker saved, ×32 workers on first Python stage of a session.
+    # A production decoder would keep this shape: import PIL/librosa inside
+    # the closure, capture config as data.
+    magic_table = tuple(MAGIC.items())
+
     def _decode(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        def decode_one(payload: bytes):
+            fmt, hdr = "unknown", 0
+            for name, magic in magic_table:
+                if payload[: len(magic)] == magic:
+                    fmt, hdr = name, len(magic)
+                    break
+            body = len(payload) - hdr
+            return fmt, (body * 7) % 256, (body * 13) % 256, (
+                body // 4 if fmt == "wav" else 1
+            ), body
+
         for pdf in batches:
-            rows = [_fake_decode_one(bytes(p)) for p in pdf["payload"]]
+            rows = [decode_one(bytes(p)) for p in pdf["payload"]]
             out = pd.DataFrame(
                 rows,
                 columns=["format", "width", "height", "n_frames", "payload_bytes"],
