@@ -346,6 +346,23 @@ def simhash_fingerprints(
 
     Returns (id_col, simhash: long, n_tokens: long). Pure expressions: the
     per-document bit-vote is an explode + groupBy(id) aggregation.
+
+    The hash depends only on the token, so the expensive string work (md5 +
+    hex-digit parsing) runs once per DISTINCT token — a vocabulary-sized
+    table — and is joined back to the (doc, token) postings. The corpus obeys
+    Zipf: postings outnumber vocabulary by orders of magnitude, so this cuts
+    the string ops per posting row to zero. Catalyst/AQE broadcasts the
+    vocabulary when small; at 100 TB it degrades gracefully to a shuffle join
+    on the token key.
+
+    Shuffle width: the per-bit votes are SWAR-packed — each md5 hex digit's
+    4 bits become 4 x 16-bit set-count lanes inside ONE long, so the
+    per-document aggregate sums 16 longs instead of 64 separate vote columns
+    (4x fewer agg buffers and shuffle bytes). Bit i of the fingerprint is set
+    iff its set-count lane c satisfies 2*c > n_tokens (strict majority — a
+    tie is the old sum==0, bit clear). Lane capacity bounds distinct tokens
+    per document at 65,535; beyond that a lane would carry into its neighbor,
+    so callers with pathological documents should truncate first.
     """
     assert bits <= 64
     tokens = (
@@ -356,39 +373,46 @@ def simhash_fingerprints(
         .filter(F.col("tok") != "")
         .distinct()
     )
-    # md5 hex -> per-bit votes. Bit i lives in hex digit i//4, mask 8>>(i%4).
-    hexd = tokens.withColumn("h", F.md5("tok"))
-    votes = hexd.select(
-        F.col(id_col),
-        *[
+    # Vocabulary: one md5 per distinct token. Hex digit g holds bits
+    # 4g..4g+3 (mask 8>>(i%4)); digit g becomes packed long p{g} with those
+    # 4 bits as 0/1 set-counts in lanes 0..3 (lane k at shift 16*k).
+    ndig = (bits + 3) // 4
+    digit = [
+        F.conv(F.substring(F.md5("tok"), 1 + g, 1), 16, 10).cast("long")
+        for g in range(ndig)
+    ]
+    packed = [
+        sum(
             (
-                F.when(
-                    (
-                        F.conv(F.substring("h", 1 + i // 4, 1), 16, 10).cast("int")
-                        .bitwiseAND(F.lit(8 >> (i % 4)))
-                    )
-                    > 0,
-                    F.lit(1),
-                )
-                .otherwise(F.lit(-1))
-                .alias(f"b{i}")
+                F.when(digit[g].bitwiseAND(F.lit(8 >> k)) > 0, F.lit(1).cast("long"))
+                .otherwise(F.lit(0).cast("long"))
+                * F.lit(1 << (16 * k)).cast("long")
             )
-            for i in range(bits)
-        ],
-    )
-    summed = votes.groupBy(id_col).agg(
-        F.count("*").alias("n_tokens"),
-        *[F.sum(f"b{i}").alias(f"b{i}") for i in range(bits)],
+            for k in range(min(4, bits - 4 * g))
+        ).alias(f"p{g}")
+        for g in range(ndig)
+    ]
+    vocab = tokens.select("tok").distinct().select("tok", *packed)
+    summed = (
+        tokens.join(vocab, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            *[F.sum(f"p{g}").alias(f"p{g}") for g in range(ndig)],
+        )
     )
     from functools import reduce
 
-    bit_cols = [
-        F.when(
-            F.col(f"b{i}") > 0,
-            F.shiftleft(F.lit(1).cast("long"), bits - 1 - i),
-        ).otherwise(F.lit(0).cast("long"))
-        for i in range(bits)
-    ]
+    bit_cols = []
+    for i in range(bits):
+        g, k = i // 4, i % 4
+        lane = F.shiftrightunsigned(F.col(f"p{g}"), 16 * k).bitwiseAND(F.lit(0xFFFF))
+        bit_cols.append(
+            F.when(
+                lane * 2 > F.col("n_tokens"),
+                F.shiftleft(F.lit(1).cast("long"), bits - 1 - i),
+            ).otherwise(F.lit(0).cast("long"))
+        )
     fp = summed.select(
         F.col(id_col),
         reduce(lambda acc, c: acc.bitwiseOR(c), bit_cols, F.lit(0).cast("long")).alias(
