@@ -238,15 +238,13 @@ def minhash_signatures(
     hashed = postings.select(
         h1.alias("h1"), h2.alias("h2"), F.explode("ids").alias(id_col)
     )
+    # SQL-text expressions: one parser call per aggregate instead of several
+    # py4j Column compositions — the resulting plan is identical.
     mins = hashed.groupBy(id_col).agg(
-        *[
-            F.min(F.col("h1") + i * F.col("h2")).alias(f"h{i}")
-            for i in range(num_hashes)
-        ]
+        *[F.expr(f"min(h1 + {i} * h2)").alias(f"h{i}") for i in range(num_hashes)]
     )
-    return mins.select(
-        F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
-    )
+    arr = ",".join(f"h{i}" for i in range(num_hashes))
+    return mins.select(F.col(id_col), F.expr(f"array({arr})").alias("sig"))
 
 
 def minhash_lsh_candidates(
@@ -268,8 +266,11 @@ def minhash_lsh_candidates(
     signature positions.
 
     Returns (id_a, id_b, est_jaccard). Shuffles: groupBy(id) for signatures,
-    then an equi-join keyed on the band hash — at scale the band hash space
-    is huge, so buckets stay small and the join never degenerates;
+    then ONE groupBy on (band_id, band_hash) that builds bucket posting
+    lists; candidate pairs are generated JVM-side from each bucket list —
+    the signature pipeline is evaluated once for candidate generation, not
+    twice as the two sides of a self-join. At scale the band hash space is
+    huge, so buckets stay small and pair generation never degenerates;
     ``max_doc_freq`` additionally caps stopword-shingle skew upstream.
     """
     rows_per_band = num_hashes // bands
@@ -277,58 +278,40 @@ def minhash_lsh_candidates(
         df, text_col, id_col, n=n, num_hashes=num_hashes, max_doc_freq=max_doc_freq
     )
 
+    # element_at(sig, k) is 1-based == sig[k-1]; band b covers signature
+    # positions b*rows_per_band .. b*rows_per_band+rows_per_band-1 (0-based).
+    bands_sql = ",".join(
+        "struct({b} as band_id, md5(concat_ws(',', {cols})) as band_hash)".format(
+            b=b,
+            cols=",".join(
+                f"sig[{b * rows_per_band + r}]" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
     banded = sigs.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.md5(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("sig", b * rows_per_band + r + 1)
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
+        F.col(id_col), F.expr(f"explode(array({bands_sql}))").alias("band")
     ).select(F.col(id_col), "band.band_id", "band.band_hash")
 
-    # The band join and pair-dedup carry only (id_a, id_b) — signatures are
-    # re-joined AFTER .distinct(), so the shuffle/dedup never drags the
-    # num_hashes-long arrays through the candidate explosion.
-    a = banded.select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
-    b = banded.select(F.col(id_col).alias("id_b"), "band_id", "band_hash")
+    # Bucket posting lists + JVM-side pair generation (no self-join), then
+    # dedup on bare (id_a, id_b) — the num_hashes-long signature arrays are
+    # re-joined only AFTER .distinct(), never dragged through the explosion.
+    buckets = banded.groupBy("band_id", "band_hash").agg(
+        F.array_sort(F.collect_set(id_col)).alias("ids")
+    )
     pairs = (
-        a.join(b, ["band_id", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.explode(_posting_pairs(F.col("ids"))).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
-    est = (
-        pairs.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "est_jaccard",
-            F.round(
-                F.size(
-                    F.filter(
-                        F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-                        lambda m: m,
-                    )
-                )
-                / F.lit(num_hashes),
-                6,
-            ),
-        )
+    est = pairs.join(sa, "id_a").join(sb, "id_b").withColumn(
+        "est_jaccard",
+        F.expr(
+            "round(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y),"
+            f" m -> m)) / {num_hashes}, 6)"
+        ),
     )
     return est.filter(F.col("est_jaccard") >= min_jaccard_est).select(
         "id_a", "id_b", "est_jaccard"
@@ -376,23 +359,35 @@ def simhash_fingerprints(
     # Vocabulary: one md5 per distinct token. Hex digit g holds bits
     # 4g..4g+3 (mask 8>>(i%4)); digit g becomes packed long p{g} with those
     # 4 bits as 0/1 set-counts in lanes 0..3 (lane k at shift 16*k).
+    # The wide expressions are emitted as SQL text (F.expr) through staged
+    # selects so md5 is evaluated once per token and the driver builds the
+    # plan in a handful of parser calls instead of hundreds of per-Column
+    # roundtrips — the plan itself is identical either way.
     ndig = (bits + 3) // 4
-    digit = [
-        F.conv(F.substring(F.md5("tok"), 1 + g, 1), 16, 10).cast("long")
-        for g in range(ndig)
-    ]
-    packed = [
-        sum(
-            (
-                F.when(digit[g].bitwiseAND(F.lit(8 >> k)) > 0, F.lit(1).cast("long"))
-                .otherwise(F.lit(0).cast("long"))
-                * F.lit(1 << (16 * k)).cast("long")
-            )
+    packed_sql = [
+        " + ".join(
+            f"(CASE WHEN (d{g} & {8 >> k}) > 0 THEN CAST({1 << (16 * k)} AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END)"
             for k in range(min(4, bits - 4 * g))
-        ).alias(f"p{g}")
+        )
         for g in range(ndig)
     ]
-    vocab = tokens.select("tok").distinct().select("tok", *packed)
+    vocab = (
+        tokens.select("tok")
+        .distinct()
+        .select("tok", F.md5("tok").alias("h"))
+        .select(
+            "tok",
+            "h",
+            *[
+                F.expr(f"CAST(conv(substring(h, {g + 1}, 1), 16, 10) AS BIGINT)").alias(
+                    f"d{g}"
+                )
+                for g in range(ndig)
+            ],
+        )
+        .select("tok", *[F.expr(packed_sql[g]).alias(f"p{g}") for g in range(ndig)])
+    )
     summed = (
         tokens.join(vocab, "tok")
         .groupBy(id_col)
@@ -401,23 +396,19 @@ def simhash_fingerprints(
             *[F.sum(f"p{g}").alias(f"p{g}") for g in range(ndig)],
         )
     )
-    from functools import reduce
-
-    bit_cols = []
+    decode_terms = []
     for i in range(bits):
         g, k = i // 4, i % 4
-        lane = F.shiftrightunsigned(F.col(f"p{g}"), 16 * k).bitwiseAND(F.lit(0xFFFF))
-        bit_cols.append(
-            F.when(
-                lane * 2 > F.col("n_tokens"),
-                F.shiftleft(F.lit(1).cast("long"), bits - 1 - i),
-            ).otherwise(F.lit(0).cast("long"))
+        v = 1 << (bits - 1 - i)
+        if bits == 64 and i == 0:
+            v = -(1 << 63)  # sign bit: emit the signed long literal
+        decode_terms.append(
+            f"(CASE WHEN ((shiftrightunsigned(p{g}, {16 * k}) & 65535) * 2)"
+            f" > n_tokens THEN CAST({v} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
         )
     fp = summed.select(
         F.col(id_col),
-        reduce(lambda acc, c: acc.bitwiseOR(c), bit_cols, F.lit(0).cast("long")).alias(
-            "simhash"
-        ),
+        F.expr(" | ".join(decode_terms)).alias("simhash"),
         "n_tokens",
     )
     return fp
