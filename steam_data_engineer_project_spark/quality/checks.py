@@ -68,6 +68,46 @@ def relationships(
     )
 
 
+def row_rules_single_pass(df: DataFrame, rules: list[tuple[str, "F.Column"]]) -> DataFrame:
+    """All row-level rules for one table in ONE scan.
+
+    ``rules`` is [(rule_name, violation_condition)], each condition a boolean
+    Column over a single row (the not_null / accepted_range family — anything
+    that doesn't need a groupBy or a join). One aggregate computes every
+    rule's violation count with map-side partial aggregation, then a
+    ``stack`` unpivots the single result row into (rule, violations) rows.
+
+    At 100 TB this is the difference between N full scans of a table (one
+    per rule, as N independent checks) and one scan for its whole rule set —
+    the unpivot runs on a 1-row DataFrame, so it costs nothing.
+    """
+    agg = df.agg(
+        *[
+            F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0))
+            .cast("long")
+            .alias(f"v{i}")
+            for i, (_, cond) in enumerate(rules)
+        ]
+    )
+    pairs = ", ".join(f"'{name}', v{i}" for i, (name, _) in enumerate(rules))
+    return agg.select(
+        F.expr(f"stack({len(rules)}, {pairs}) AS (rule, violations)")
+    )
+
+
+def not_null_rule(col: str):
+    """Violation condition for :func:`row_rules_single_pass` — dbt
+    `not_null`."""
+    return F.col(col).isNull()
+
+
+def accepted_range_rule(col: str, lo, hi):
+    """Violation condition for :func:`row_rules_single_pass` — dbt_utils
+    `accepted_range` (nulls are not violations; dbt tests those via
+    not_null)."""
+    return F.col(col).isNotNull() & ~F.col(col).between(lo, hi)
+
+
 def run_checks(checks: list[DataFrame]) -> DataFrame:
     """Union per-check reports into one (rule, violations) DataFrame."""
     out = checks[0]

@@ -58,7 +58,16 @@ from .operators.ranking import global_row_number
 from .plans.adapter import steam_sources
 from .plans.models import build as build_models
 from .plans.sql import DIM_GAMES_SQL, run_model_sql
-from .quality import accepted_range, not_null, relationships, run_checks, unique
+from .quality import (
+    accepted_range,
+    accepted_range_rule,
+    not_null,
+    not_null_rule,
+    relationships,
+    row_rules_single_pass,
+    run_checks,
+    unique,
+)
 from .schemas import PRICE_RAW_CSV
 from .sources.readers import incremental_resume, read_csv, read_json_recovering
 from .sources.sinks import from_kafka_frame, to_kafka_frame
@@ -1715,9 +1724,16 @@ def dbt_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_checks(
         [
             unique(dag["stg_games"], ["game_id"], "stg_games_game_id_unique"),
-            not_null(dag["stg_games"], "title", "stg_games_title_not_null"),
-            accepted_range(
-                dag["stg_games"], "required_age", 0, 18, "stg_games_age_range"
+            # Both row-level stg_games rules in ONE scan of the model.
+            row_rules_single_pass(
+                dag["stg_games"],
+                [
+                    ("stg_games_title_not_null", not_null_rule("title")),
+                    (
+                        "stg_games_age_range",
+                        accepted_range_rule("required_age", 0, 18),
+                    ),
+                ],
             ),
             relationships(
                 dag["stg_prices"],

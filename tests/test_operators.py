@@ -325,3 +325,47 @@ def test_salted_join_matches_plain_join(spark):
         )
         want = sorted((r.k, r.bid, r.tag) for r in big.join(small, ["k"], how).collect())
         assert got == want, how
+
+
+def test_row_rules_single_pass_matches_individual_checks(spark):
+    from steam_data_engineer_project_spark.quality import (
+        accepted_range,
+        accepted_range_rule,
+        not_null,
+        not_null_rule,
+        row_rules_single_pass,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(title="a", age=5),
+            Row(title=None, age=30),
+            Row(title="b", age=None),
+            Row(title=None, age=-1),
+        ]
+    )
+    got = {
+        r.rule: r.violations
+        for r in row_rules_single_pass(
+            df,
+            [
+                ("title_not_null", not_null_rule("title")),
+                ("age_range", accepted_range_rule("age", 0, 18)),
+            ],
+        ).collect()
+    }
+    assert got == {"title_not_null": 2, "age_range": 2}
+    # identical to the one-rule-per-scan checks
+    assert got["title_not_null"] == not_null(df, "title", "x").collect()[0].violations
+    assert got["age_range"] == accepted_range(df, "age", 0, 18, "x").collect()[0].violations
+
+
+def test_row_rules_single_pass_empty_table(spark):
+    from steam_data_engineer_project_spark.quality import (
+        not_null_rule,
+        row_rules_single_pass,
+    )
+
+    df = spark.createDataFrame([Row(title="a")]).filter(F.lit(False))
+    rows = row_rules_single_pass(df, [("t", not_null_rule("title"))]).collect()
+    assert [(r.rule, r.violations) for r in rows] == [("t", 0)]
