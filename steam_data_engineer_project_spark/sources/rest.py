@@ -40,6 +40,21 @@ def rest_fetch(
     queue (the reference's ProcessedTracker failed-set, utils/common.py:52-125).
     """
 
+    # Output column names, parsed from the DDL schema string (top-level commas
+    # only, so array<...>/map<k,v> payload columns split correctly). The
+    # worker builds every yielded frame against this full column list, so a
+    # batch whose fetches ALL failed (API down — the retry path's target
+    # scenario) still yields null-payload rows instead of a schema mismatch.
+    out_cols, depth, start = [], 0, 0
+    for pos, ch in enumerate(result_schema + ","):
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out_cols.append(result_schema[start:pos].strip().split()[0])
+            start = pos + 1
+
     def _fetch(batches: Iterator) -> Iterator:
         import pandas as pd
 
@@ -61,6 +76,6 @@ def rest_fetch(
                     except Exception:
                         time.sleep(backoff_base_sec * (2**attempt))
                 rows.append({id_col: int(i), **(payload or {})})
-            yield pd.DataFrame(rows)
+            yield pd.DataFrame(rows, columns=out_cols)
 
     return ids.select(id_col).mapInPandas(_fetch, schema=result_schema)
