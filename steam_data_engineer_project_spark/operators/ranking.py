@@ -46,7 +46,16 @@ def global_row_number(
     with_pid = ranged.withColumn("__pid", F.spark_partition_id())
 
     w_local = Window.partitionBy("__pid").orderBy(*order_cols)
-    local = with_pid.withColumn("__local_rn", F.row_number().over(w_local))
+    # Both downstream branches (the offsets aggregate and the final join)
+    # re-derive __pid from the range exchange, and RangePartitioner sampling
+    # is seeded per-RDD — correctness requires both branches to see ONE
+    # materialization of the ranged result, not ReuseExchange luck. persist()
+    # pins it; entries are small (one row number column over the input) and
+    # evicted LRU, so no explicit unpersist — callers consume the result
+    # immediately and an eager unpersist here would defeat the pin.
+    local = with_pid.withColumn(
+        "__local_rn", F.row_number().over(w_local)
+    ).persist()
 
     # One row per physical partition — tiny; the cumsum window over it is the
     # only non-parallel step and is O(num_partitions).

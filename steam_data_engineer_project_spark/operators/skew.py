@@ -41,8 +41,11 @@ def salted_aggregate(
     Phase 1 aggregates on (keys…, salt) — the hot key is spread over
     ``num_salts`` reducers; phase 2 combines the per-salt partials on the
     real keys (sum of sums, min of mins, max of maxs, sum of counts). The
-    salt is derived from a hash of the whole row (deterministic given row
-    content, uniform across salts), so results are reproducible.
+    salt cycles ``monotonically_increasing_id() % num_salts`` — one narrow
+    long per row (no whole-row hashing of wide payloads), and a hot key made
+    of IDENTICAL duplicate rows still spreads evenly, which a content hash
+    cannot do. The salt never leaves the plan and the decomposition is exact
+    for any salt assignment, so results are unaffected by its nondeterminism.
 
     ``count`` names the output column for ``COUNT(*)`` when set. Output
     columns keep their input names; count gets ``count``'s value as name.
@@ -56,7 +59,7 @@ def salted_aggregate(
     if count:
         phase1.append(F.count(F.lit(1)).alias("__cnt"))
     partial = df.withColumn(
-        _SALT, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(num_salts))
+        _SALT, F.pmod(F.monotonically_increasing_id(), F.lit(num_salts))
     ).groupBy(*keys, _SALT).agg(*phase1)
     phase2 = [F.sum(f"__s_{c}").alias(c) for c in sums]
     phase2 += [F.min(f"__mn_{c}").alias(c) for c in mins]
@@ -75,13 +78,19 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join a skewed big side to a small (but not broadcastable) side.
 
-    The big side gets a row-content salt; the small side is exploded across
+    The big side gets a cycling row salt; the small side is exploded across
     all ``num_salts`` salt values, so every (key, salt) shuffle bucket holds
-    ~1/num_salts of a hot key's rows. Exact for inner and left joins (every
-    big row keeps exactly its original match set).
+    ~1/num_salts of a hot key's rows. Exact ONLY for inner/left joins (every
+    big row keeps exactly its original match set); right/full outer would
+    duplicate each unmatched small-side row num_salts times, so those are
+    rejected.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join is exact only for inner/left joins, got how={how!r}"
+        )
     b = big.withColumn(
-        _SALT, F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(num_salts))
+        _SALT, F.pmod(F.monotonically_increasing_id(), F.lit(num_salts))
     )
     s = small.withColumn(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)).cast("array<bigint>"))

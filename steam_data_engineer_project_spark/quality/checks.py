@@ -27,9 +27,11 @@ def unique(df: DataFrame, cols: list[str], rule: str) -> DataFrame:
 
 
 def not_null(df: DataFrame, col: str, rule: str) -> DataFrame:
-    """dbt `not_null` (assert_games_not_null.sql:1-3 shape)."""
+    """dbt `not_null` (assert_games_not_null.sql:1-3 shape). SUM over an
+    empty table is NULL — coalesced to 0 so an empty input reports zero
+    violations, consistent with :func:`row_rules_single_pass`."""
     return df.agg(
-        F.sum(F.when(F.col(col).isNull(), 1).otherwise(0))
+        F.coalesce(F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)), F.lit(0))
         .cast("long")
         .alias("violations")
     ).select(F.lit(rule).alias("rule"), "violations")
@@ -39,10 +41,13 @@ def accepted_range(
     df: DataFrame, col: str, lo, hi, rule: str
 ) -> DataFrame:
     """dbt_utils `accepted_range` (schema.yml:29-33,82-97 shape). Nulls are
-    not violations (dbt tests them separately via not_null)."""
+    not violations (dbt tests them separately via not_null); an empty table
+    reports 0, not NULL."""
     bad = F.col(col).isNotNull() & ~F.col(col).between(lo, hi)
     return df.agg(
-        F.sum(F.when(bad, 1).otherwise(0)).cast("long").alias("violations")
+        F.coalesce(F.sum(F.when(bad, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("violations")
     ).select(F.lit(rule).alias("rule"), "violations")
 
 
@@ -89,7 +94,12 @@ def row_rules_single_pass(df: DataFrame, rules: list[tuple[str, "F.Column"]]) ->
             for i, (_, cond) in enumerate(rules)
         ]
     )
-    pairs = ", ".join(f"'{name}', v{i}" for i, (name, _) in enumerate(rules))
+    # Rule names are interpolated into the stack() SQL — escape embedded
+    # single quotes so a name like "game's id" can't break the expression.
+    pairs = ", ".join(
+        "'{}', v{}".format(name.replace("'", "''"), i)
+        for i, (name, _) in enumerate(rules)
+    )
     return agg.select(
         F.expr(f"stack({len(rules)}, {pairs}) AS (rule, violations)")
     )

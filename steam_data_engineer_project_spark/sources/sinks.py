@@ -124,16 +124,30 @@ def from_kafka_frame(frame: DataFrame, schema: T.StructType) -> DataFrame:
 def foreach_batch_webhook(
     notify,
     format_row,
+    max_rows_per_batch: int = 10_000,
 ) -> "callable":
     """S16: side-effecting notification sink (Discord webhook POST —
     tasks/steam_tasks_improved.py:687-729, kafka/consumers/discord.py:14-48)
     as a foreachBatch function: rows are formatted driver-side per batch and
     handed to ``notify`` (the HTTP POST in production, a buffer in tests).
-    Collect is bounded: notifications are change events, not the data stream.
+
+    Notifications are change events, not the data stream — but a pathological
+    batch must not OOM the driver, so the collect is hard-capped at
+    ``max_rows_per_batch``; overflow emits one summary notification with the
+    count of suppressed rows instead of the rows themselves.
     """
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        for row in batch_df.collect():
+        rows = batch_df.limit(max_rows_per_batch + 1).collect()
+        overflow = len(rows) > max_rows_per_batch
+        for row in rows[:max_rows_per_batch]:
             notify(format_row(row))
+        if overflow:
+            # Exact count only in the overflow path (one extra bounded job).
+            suppressed = batch_df.count() - max_rows_per_batch
+            notify(
+                f"[batch {batch_id}] {suppressed} further notifications "
+                f"suppressed (cap {max_rows_per_batch})"
+            )
 
     return _sink

@@ -369,3 +369,48 @@ def test_row_rules_single_pass_empty_table(spark):
     df = spark.createDataFrame([Row(title="a")]).filter(F.lit(False))
     rows = row_rules_single_pass(df, [("t", not_null_rule("title"))]).collect()
     assert [(r.rule, r.violations) for r in rows] == [("t", 0)]
+
+
+def test_single_rule_checks_report_zero_on_empty_table(spark):
+    from steam_data_engineer_project_spark.quality import accepted_range, not_null
+
+    df = spark.createDataFrame([Row(title="a", age=5)]).filter(F.lit(False))
+    assert not_null(df, "title", "t").collect()[0].violations == 0
+    assert accepted_range(df, "age", 0, 18, "a").collect()[0].violations == 0
+
+
+def test_row_rules_single_pass_escapes_quoted_rule_names(spark):
+    from steam_data_engineer_project_spark.quality import (
+        not_null_rule,
+        row_rules_single_pass,
+    )
+
+    df = spark.createDataFrame([(None,)], "title string")
+    rows = row_rules_single_pass(
+        df, [("game's title not null", not_null_rule("title"))]
+    ).collect()
+    assert [(r.rule, r.violations) for r in rows] == [("game's title not null", 1)]
+
+
+def test_salted_join_rejects_outer_joins(spark):
+    import pytest
+
+    from steam_data_engineer_project_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([("a", 1)], ["k", "bid"])
+    small = spark.createDataFrame([("a", "x")], ["k", "tag"])
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError):
+            salted_join(big, small, ["k"], 4, how)
+
+
+def test_salted_aggregate_spreads_identical_duplicate_rows(spark):
+    from steam_data_engineer_project_spark.operators.skew import salted_aggregate
+
+    # A hot key whose rows are ALL identical — a content-derived salt would
+    # put every row on one salt and stay skewed; the row-id salt must still
+    # produce the exact aggregate (and the decomposition is exact for any
+    # salt assignment, which is what this asserts).
+    df = spark.createDataFrame([("hot", 1.0)] * 1000, ["k", "v"])
+    got = salted_aggregate(df, ["k"], sums=["v"], count="n", num_salts=8).collect()
+    assert [(r.k, r.v, r.n) for r in got] == [("hot", 1000.0, 1000)]

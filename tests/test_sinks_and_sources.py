@@ -118,6 +118,18 @@ def test_webhook_sink_buffers_messages(spark):
     assert sorted(sent) == ["price change 1: 9.99", "price change 2: 5.0"]
 
 
+def test_webhook_sink_caps_oversized_batches(spark):
+    sent = []
+    sink = foreach_batch_webhook(
+        sent.append, lambda r: f"n{r.k}", max_rows_per_batch=5
+    )
+    sink(spark.createDataFrame([(i,) for i in range(12)], ["k"]), 3)
+    # 5 notifications + 1 overflow summary; never 12 collected rows.
+    assert len(sent) == 6
+    assert sum(1 for m in sent if m.startswith("n")) == 5
+    assert any("7 further notifications suppressed" in m for m in sent)
+
+
 def test_observed_metrics(spark):
     df = spark.createDataFrame([(i, float(i)) for i in range(10)], ["k", "v"])
     out, obs = observed(
