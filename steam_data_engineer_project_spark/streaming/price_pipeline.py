@@ -20,26 +20,48 @@ Reference behavior re-expressed (file:line under /root/reference):
   (S16, tasks/steam_tasks_improved.py:687-729) becomes an append-only
   notifications table a side-effecting sink would drain.
 
-Scale notes: every foreachBatch step is a keyed shuffle on appid (or an
-append). The state table is read+merged+rewritten per batch — at 100 TB
-state size the rewrite becomes the bottleneck and the table should be
-bucketed by appid (or held in a merge-on-read format); the merge itself is
-already associative, so nothing else changes.
+Scale + delivery semantics: crawl_state lives in the bucketed store
+(state_store.py) — a batch reads and rewrites ONLY the key-hash buckets it
+touches, so per-batch merge cost follows batch size, not lifetime state.
+File-source progress is exactly-once via the checkpoint; the foreachBatch
+body itself is at-least-once, made replay-safe per side effect: prices and
+notifications overwrite a per-batch directory (idempotent), and the state
+merge consults each bucket's _last_batch marker so a replayed batch can
+never double-count the additive n_events.
 """
 
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.scalars import initial_price
 from ..schemas import PRICE_EVENT
+from .state_store import bucket_of, merge_bucketed, read_state
 
 #: crawl_state columns maintained by the merge
 _STATE_COLS = ("appid", "last_ts_us", "last_event_id", "last_price", "n_events")
+
+def _state_aggs() -> list:
+    """The associative combine (struct-max + additive count) for crawl_state
+    — ON DUPLICATE KEY UPDATE, tasks/steam_tasks_improved.py:481-485. Built
+    lazily: Column construction needs an active session."""
+    return [
+        F.max(F.struct("last_ts_us", "last_event_id", "last_price")).alias("s"),
+        F.sum("n_events").alias("n_events"),
+    ]
+
+
+def _state_back() -> list:
+    return [
+        "appid",
+        F.col("s.last_ts_us").alias("last_ts_us"),
+        F.col("s.last_event_id").alias("last_event_id"),
+        F.col("s.last_price").alias("last_price"),
+        F.col("n_events").cast("long").alias("n_events"),
+    ]
 
 
 def transform_price_events(raw: DataFrame) -> DataFrame:
@@ -65,51 +87,23 @@ def transform_price_events(raw: DataFrame) -> DataFrame:
     )
 
 
-def _swap_in(df: DataFrame, target_dir: str, num_files: int = 4) -> None:
-    """Write df to <target>.tmp then atomically replace <target> — the
-    read-merge-overwrite step of an upsert without a mutable store.
-
-    Coalesced: the state table is small relative to the stream, and it is
-    re-read every micro-batch — 32 shuffle-partition files per rewrite is
-    pure small-file churn (at real state sizes, raise num_files or bucket
-    by the key instead)."""
-    tmp = target_dir + ".tmp"
-    df.coalesce(num_files).write.mode("overwrite").parquet(tmp)
-    if os.path.exists(target_dir):
-        shutil.rmtree(target_dir)
-    os.rename(tmp, target_dir)
-
-
-def merge_crawl_state(
-    spark: SparkSession, state_dir: str, batch_df: DataFrame
-) -> DataFrame:
-    """Associative crawl_state merge: per appid keep the row of the max
-    (ts, event_id) — a single struct-max aggregate — and add event counts.
-
-    Because max and + are associative/commutative, the final state is the
-    same for ANY partitioning of events into micro-batches, which is what
-    makes the pipeline replay-safe and oracle-checkable.
-    """
-    batch_state = batch_df.groupBy("appid").agg(
-        F.max(F.struct("last_ts_us", "last_event_id", "last_price")).alias("s"),
-        F.sum("n_events").alias("n_events"),
-    )
-    if os.path.exists(state_dir):
-        cur = spark.read.parquet(state_dir)
-        both = cur.select(*_STATE_COLS).unionByName(
-            batch_state.select(
-                "appid",
-                F.col("s.last_ts_us").alias("last_ts_us"),
-                F.col("s.last_event_id").alias("last_event_id"),
-                F.col("s.last_price").alias("last_price"),
-                "n_events",
+def batch_crawl_state(batch_df: DataFrame) -> DataFrame:
+    """Reduce one micro-batch to per-appid crawl_state rows: the row of the
+    max (ts, event_id) via a single struct-max aggregate, plus the event
+    count. Because max and + are associative/commutative, merging these
+    per-batch rows (state_store.merge_bucketed with _STATE_AGGS) yields the
+    same final state for ANY partitioning of events into micro-batches —
+    which is what makes the pipeline replay-safe and oracle-checkable."""
+    return batch_df.groupBy("appid").agg(
+        F.max(
+            F.struct(
+                F.col("ts_us").alias("last_ts_us"),
+                F.col("event_id").alias("last_event_id"),
+                F.col("price").alias("last_price"),
             )
-        )
-        batch_state = both.groupBy("appid").agg(
-            F.max(F.struct("last_ts_us", "last_event_id", "last_price")).alias("s"),
-            F.sum("n_events").alias("n_events"),
-        )
-    return batch_state.select(
+        ).alias("s"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).select(
         "appid",
         F.col("s.last_ts_us").alias("last_ts_us"),
         F.col("s.last_event_id").alias("last_event_id"),
@@ -161,13 +155,16 @@ def run_price_pipeline(
     work_dir: str,
     *,
     max_files_per_trigger: int | None = None,
+    num_state_buckets: int = 16,
 ) -> dict[str, str]:
     """Drain all available price-event files through the pipeline.
 
-    Returns the output table paths: prices (append-only), crawl_state
-    (merged registry), notifications (change stream). Re-running with the
-    same work_dir resumes from the checkpoint: already-processed files are
-    NOT reprocessed (exactly-once file progress).
+    Returns the output table paths: prices (append-only, one partition dir
+    per batch), crawl_state (bucketed registry), notifications (change
+    stream, one partition dir per batch). Re-running with the same work_dir
+    resumes from the checkpoint: already-processed files are NOT reprocessed
+    (exactly-once file progress), and a replayed in-flight batch is
+    idempotent (per-batch overwrite dirs + per-bucket merge markers).
     """
     prices_dir = os.path.join(work_dir, "prices")
     state_dir = os.path.join(work_dir, "crawl_state")
@@ -182,26 +179,46 @@ def run_price_pipeline(
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.persist()
         try:
-            # S10: append-only prices time series.
-            batch_df.write.mode("append").parquet(prices_dir)
-            # ST4: notifications against the PRE-merge state.
-            prev = (
-                spark.read.parquet(state_dir)
-                if os.path.exists(state_dir)
-                else None
+            # S10: append-only prices time series. Each batch owns the
+            # batch_id=N partition directory and overwrites it, so a
+            # replayed batch replaces its own rows instead of appending
+            # duplicates (idempotent under at-least-once foreachBatch).
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(prices_dir, f"batch_id={batch_id}")
             )
-            detect_changes(batch_df, prev).withColumn(
-                "batch_id", F.lit(batch_id).cast("long")
-            ).coalesce(4).write.mode("append").parquet(notif_dir)
-            # ST1/A6/A7: merge the watermark registry.
-            as_state = batch_df.select(
-                "appid",
-                F.col("ts_us").alias("last_ts_us"),
-                F.col("event_id").alias("last_event_id"),
-                F.col("price").alias("last_price"),
-                F.lit(1).alias("n_events"),
+            batch_state = batch_crawl_state(batch_df).persist()
+            # The buckets this batch's keys hash into — notifications and
+            # the merge only ever read/write these.
+            touched = sorted(
+                r.bucket
+                for r in batch_state.withColumn(
+                    "bucket", bucket_of(["appid"], num_state_buckets)
+                )
+                .select("bucket")
+                .distinct()
+                .collect()
             )
-            _swap_in(merge_crawl_state(spark, state_dir, as_state), state_dir)
+            # ST4: notifications against the PRE-merge state (touched
+            # buckets only — exact, since batch keys live nowhere else).
+            prev = read_state(spark, state_dir, touched)
+            if prev is not None:
+                prev = prev.drop("bucket")
+            detect_changes(batch_df, prev).coalesce(4).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(notif_dir, f"batch_id={batch_id}"))
+            # ST1/A6/A7: merge the watermark registry, touched buckets only.
+            merge_bucketed(
+                spark,
+                state_dir,
+                batch_state,
+                ["appid"],
+                _state_aggs(),
+                _state_back(),
+                batch_id,
+                num_buckets=num_state_buckets,
+                touched=touched,
+            )
+            batch_state.unpersist()
         finally:
             batch_df.unpersist()
 

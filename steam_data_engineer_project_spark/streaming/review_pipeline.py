@@ -18,8 +18,12 @@ Reference behavior (file:line under /root/reference):
   replay; event-time-first is the replay-safe refinement).
 
 Both merges are associative and commutative, so the final tables do not
-depend on micro-batch boundaries — replay-safe, and checkable against a
-plain batch oracle.
+depend on micro-batch boundaries — and both live in the bucketed state
+store (state_store.py): a batch rewrites only the key-hash buckets it
+touches, and each bucket's _last_batch marker keeps a replayed batch from
+double-counting the additive n_reviews (foreachBatch is at-least-once;
+file-source progress is exactly-once via the checkpoint). Checkable
+against a plain batch oracle.
 """
 
 from __future__ import annotations
@@ -30,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..schemas import REVIEW_EVENT
-from .price_pipeline import _swap_in
+from .state_store import merge_bucketed
 
 _KEY = ("appid", "author_steamid")
 
@@ -54,30 +58,17 @@ def transform_review_events(raw: DataFrame) -> DataFrame:
     )
 
 
-def _merge(
-    spark: SparkSession,
-    state_dir: str,
-    batch_state: DataFrame,
-    agg_exprs: list,
-    select_back: list,
-) -> DataFrame:
-    if os.path.exists(state_dir):
-        cur = spark.read.parquet(state_dir)
-        batch_state = (
-            cur.unionByName(batch_state).groupBy(*_KEY).agg(*agg_exprs)
-        ).select(*select_back)
-    return batch_state
-
-
 def run_review_pipeline(
     spark: SparkSession,
     events_dir: str,
     work_dir: str,
     *,
     max_files_per_trigger: int | None = None,
+    num_state_buckets: int = 16,
 ) -> dict[str, str]:
     """Drain review-event JSONL files; maintain the latest-wins review store
-    and the first-wins summaries table. Resumable via checkpoint."""
+    and the first-wins summaries table, both bucketed by the upsert key.
+    Resumable via checkpoint; replayed batches are merge-idempotent."""
     store_dir = os.path.join(work_dir, "reviews_latest")
     summary_dir = os.path.join(work_dir, "review_summaries")
     ckpt_dir = os.path.join(work_dir, "checkpoint")
@@ -123,9 +114,15 @@ def run_review_pipeline(
                 )).alias("s"),
                 F.count("*").alias("n_reviews"),
             ).select(*latest_back)
-            _swap_in(
-                _merge(spark, store_dir, latest_batch, latest_aggs, latest_back),
+            merge_bucketed(
+                spark,
                 store_dir,
+                latest_batch,
+                list(_KEY),
+                latest_aggs,
+                latest_back,
+                batch_id,
+                num_buckets=num_state_buckets,
             )
             # S11: first-wins INSERT IGNORE summaries.
             first_batch = batch_df.groupBy(*_KEY).agg(
@@ -134,9 +131,15 @@ def run_review_pipeline(
                     F.col("recommendationid").alias("first_recommendationid"),
                 )).alias("s")
             ).select(*first_back)
-            _swap_in(
-                _merge(spark, summary_dir, first_batch, first_aggs, first_back),
+            merge_bucketed(
+                spark,
                 summary_dir,
+                first_batch,
+                list(_KEY),
+                first_aggs,
+                first_back,
+                batch_id,
+                num_buckets=num_state_buckets,
             )
         finally:
             batch_df.unpersist()

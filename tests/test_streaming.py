@@ -92,3 +92,114 @@ def test_price_pipeline_resume_late_data_and_notifications(spark):
         assert ops == [(1, "c", None), (1, "u", 10.0), (2, "c", None), (2, "u", 5.0)]
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def _bucket_files(state_dir: str) -> dict[str, bytes]:
+    """bucket-relative path -> file bytes, for every data/marker file."""
+    out = {}
+    for root, _, files in os.walk(state_dir):
+        for f in files:
+            p = os.path.join(root, f)
+            with open(p, "rb") as fh:
+                out[os.path.relpath(p, state_dir)] = fh.read()
+    return out
+
+
+def test_untouched_state_buckets_stay_byte_identical(spark):
+    from pyspark.sql import functions as F
+
+    base = os.path.join(REPO_ROOT, ".scratch")
+    os.makedirs(base, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="test_buckets_", dir=base)
+    events_dir = os.path.join(work, "events")
+    try:
+        # Two appids in DIFFERENT state buckets (probed with the store's own
+        # hash so the test can't rot if the bucketing changes).
+        n_buckets = 4
+        cands = spark.sql(
+            f"SELECT id, CAST(pmod(xxhash64(id), {n_buckets}) AS INT) AS b "
+            "FROM range(1, 40)"
+        ).collect()
+        by_bucket = {}
+        for r in cands:
+            by_bucket.setdefault(r.b, r.id)
+            if len(by_bucket) == 2:
+                break
+        (b_hot, a_hot), (b_cold, a_cold) = list(by_bucket.items())[:2]
+
+        _write_events(
+            events_dir, "a.jsonl", [_ev(a_hot, 1, 10.0, 100), _ev(a_cold, 2, 5.0, 100)]
+        )
+        run_price_pipeline(spark, events_dir, work, num_state_buckets=n_buckets)
+        state_dir = os.path.join(work, "crawl_state")
+        before = _bucket_files(state_dir)
+
+        # Second run touches ONLY a_hot's bucket.
+        _write_events(events_dir, "b.jsonl", [_ev(a_hot, 3, 11.0, 200)])
+        out = run_price_pipeline(spark, events_dir, work, num_state_buckets=n_buckets)
+        after = _bucket_files(state_dir)
+
+        cold_prefix = f"bucket={b_cold}" + os.sep
+        hot_prefix = f"bucket={b_hot}" + os.sep
+        cold_before = {k: v for k, v in before.items() if k.startswith(cold_prefix)}
+        cold_after = {k: v for k, v in after.items() if k.startswith(cold_prefix)}
+        assert cold_before and cold_before == cold_after  # not rewritten at all
+        assert {k for k in before if k.startswith(hot_prefix)} and before != after
+
+        # and the merged state is still correct
+        state = {
+            r.appid: r for r in spark.read.parquet(out["crawl_state"]).collect()
+        }
+        assert state[a_hot].last_price == 11.0 and state[a_hot].n_events == 2
+        assert state[a_cold].last_price == 5.0 and state[a_cold].n_events == 1
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_replayed_batch_does_not_double_count(spark):
+    """foreachBatch is at-least-once: merging the SAME batch_id twice must be
+    a no-op the second time (bucket markers), so additive n_events survives
+    a replay; a LATER batch with the same content still merges."""
+    from pyspark.sql import functions as F
+
+    from steam_data_engineer_project_spark.streaming.price_pipeline import (
+        _state_aggs,
+        _state_back,
+        batch_crawl_state,
+    )
+    from steam_data_engineer_project_spark.streaming.state_store import (
+        merge_bucketed,
+        read_state,
+    )
+
+    base = os.path.join(REPO_ROOT, ".scratch")
+    os.makedirs(base, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="test_replay_", dir=base)
+    state_dir = os.path.join(work, "crawl_state")
+    try:
+        batch = spark.createDataFrame(
+            [(1, 1, 10.0, 100), (1, 2, 12.0, 200), (2, 3, 5.0, 100)],
+            "appid long, event_id long, price double, ts_us long",
+        )
+        bs = batch_crawl_state(batch)
+        for _ in range(2):  # second call = crash-replay of batch 0
+            merge_bucketed(
+                spark, state_dir, bs, ["appid"], _state_aggs(), _state_back(), 0
+            )
+        got = {r.appid: r for r in read_state(spark, state_dir).collect()}
+        assert got[1].n_events == 2 and got[1].last_price == 12.0
+        assert got[2].n_events == 1
+
+        # a genuinely new batch (id 1) with one more appid-1 event merges
+        nxt = batch_crawl_state(
+            spark.createDataFrame(
+                [(1, 4, 13.0, 300)],
+                "appid long, event_id long, price double, ts_us long",
+            )
+        )
+        merge_bucketed(spark, state_dir, nxt, ["appid"], _state_aggs(), _state_back(), 1)
+        got = {r.appid: r for r in read_state(spark, state_dir).collect()}
+        assert got[1].n_events == 3 and got[1].last_price == 13.0
+        assert got[2].n_events == 1  # untouched key unchanged
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
