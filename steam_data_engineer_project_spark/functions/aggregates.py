@@ -30,7 +30,10 @@ def davg(col):
     """
     num = (F.sum(col.cast("decimal(24,2)")) * 1000000).cast("long")
     cnt = F.count(col)
-    exact_quot = ((num - F.pmod(num, cnt)).cast("decimal(38,0)") / cnt).cast("long")
+    # IntegralDivide: the whole quotient stays in LONG space (exact for any
+    # sum that fits a long, i.e. well past 2^53 — where a double-division
+    # detour would silently round). Matches DuckDB's BIGINT `//` exactly.
+    exact_quot = F.call_function("div", num, cnt)
     return F.when(cnt > 0, exact_quot / F.lit(1000000.0)).otherwise(
         F.lit(None).cast("double")
     )

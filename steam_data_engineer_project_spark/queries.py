@@ -979,7 +979,10 @@ def quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q1/Q2/Q4/A4: the dbt data-quality checks (incl. row counts) as one
     violations report
     (models/staging/schema.yml:19-139; tests/assert_*.sql —
-    query-returns-zero-rows convention, reported as counts per rule)."""
+    query-returns-zero-rows convention, reported as counts per rule).
+    All row-level lineitem rules run in ONE scan via
+    ``quality.row_rules_single_pass``; only the groupBy (pk) and anti-join
+    (fk) rules need their own shuffles."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer")
@@ -991,25 +994,23 @@ def quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("violations"))
         .select(F.lit("lineitem_pk_duplicate").alias("rule"), "violations")
     )
-    null_key = orders.agg(
-        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias("violations")
-    ).select(F.lit("orders_orderkey_null").alias("rule"), "violations")
-    disc_range = li.agg(
-        F.sum(
-            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1).otherwise(0)
-        ).alias("violations")
-    ).select(F.lit("lineitem_discount_range").alias("rule"), "violations")
-    price_neg = li.agg(
-        F.sum(F.when(F.col("l_extendedprice") < 0, 1).otherwise(0)).alias("violations")
-    ).select(F.lit("lineitem_price_negative").alias("rule"), "violations")
+    null_key = not_null(orders, "o_orderkey", "orders_orderkey_null")
+    li_rows = row_rules_single_pass(
+        li,
+        [
+            (
+                "lineitem_discount_range",
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 1),
+            ),
+            ("lineitem_price_negative", F.col("l_extendedprice") < 0),
+        ],
+    )
     fk = (
         orders.join(customer, orders.o_custkey == customer.c_custkey, "left_anti")
         .agg(F.count("*").alias("violations"))
         .select(F.lit("orders_fk_customer").alias("rule"), "violations")
     )
-    return pk_dups.unionByName(null_key).unionByName(disc_range).unionByName(
-        price_neg
-    ).unionByName(fk)
+    return pk_dups.unionByName(null_key).unionByName(li_rows).unionByName(fk)
 
 
 QUALITY_SUITE_ORACLE = """

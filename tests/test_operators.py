@@ -392,6 +392,22 @@ def test_row_rules_single_pass_escapes_quoted_rule_names(spark):
     assert [(r.rule, r.violations) for r in rows] == [("game's title not null", 1)]
 
 
+def test_davg_exact_past_double_precision(spark):
+    """The davg quotient must be computed in long space: with micro-unit
+    sums beyond 2^53 a double-division detour silently rounds. Values are
+    chosen so sum*1e6 ≈ 4.5e16 > 2^53 ≈ 9.0e15."""
+    from steam_data_engineer_project_spark.functions.aggregates import davg
+
+    vals = [15_000_000_000.01, 15_000_000_000.03, 15_000_000_000.07]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = df.agg(davg(F.col("v")).alias("a")).collect()[0].a
+    # exact integer reference: micro-unit cents arithmetic in Python ints
+    micro = sum(round(v * 100) * 10_000 for v in vals)
+    assert micro > 2**53
+    want = (micro // len(vals)) / 1_000_000.0
+    assert got == want
+
+
 def test_salted_join_rejects_outer_joins(spark):
     import pytest
 
