@@ -223,6 +223,75 @@ def ivf_cosine_topk(
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 
+def lsh_bucket_cosine_topk_pruned(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    probe_hamming: int = 1,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """The SCALE PATH of :func:`lsh_bucket_cosine_topk`: the table has been
+    WRITTEN partitioned by its LSH bucket (``write.partitionBy(bucket_col)``),
+    so the probe set becomes a literal IN-predicate on the partition column —
+    the scan reads only the probed bucket directories (static partition
+    pruning: the FileScan's PartitionFilters carry the probe list, asserted
+    in tests/test_operators.py). Probe buckets are enumerated driver-side
+    from the query bucket (≤ 1 + n_planes ids for Hamming-1 — metadata, not
+    data). Results are identical to the in-plan variant by construction."""
+    q_bucket = query_bucket_id(query_vec, n_planes)
+    probes = [
+        b
+        for b in range(1 << n_planes)
+        if bin(b ^ q_bucket).count("1") <= probe_hamming
+    ]
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    scored = df.filter(F.col(bucket_col).isin(probes)).select(
+        F.col(id_col),
+        F.col(bucket_col).cast("long").alias("bucket"),
+        F.round(cosine_similarity(F.col(vec_col), q), 6).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def ivf_cosine_topk_pruned(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    centroid_col: str = "centroid_id",
+) -> DataFrame:
+    """The SCALE PATH of :func:`ivf_cosine_topk`: the inverted file — the
+    table written partitioned by ``centroid_col`` (each vector already
+    assigned) — probed via a broadcast join against the ``n_probe`` centroids
+    nearest the query. The join key is the partition column, so dynamic
+    partition pruning skips the unprobed centroid directories entirely (the
+    FileScan's PartitionFilters gain a dynamicpruning expression, asserted in
+    tests). No collect anywhere; the codebook stays a DataFrame."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    probe = (
+        centroids.select(
+            F.col(centroid_col),
+            F.round(cosine_similarity(F.col("cv"), q), 6).alias("q_cos"),
+        )
+        .orderBy(F.desc("q_cos"), F.asc(centroid_col))
+        .limit(n_probe)
+        .select(centroid_col)
+    )
+    candidates = df.join(F.broadcast(probe), centroid_col)
+    scored = candidates.select(
+        F.col(id_col),
+        F.col(centroid_col).cast("long").alias("centroid_id"),
+        F.round(cosine_similarity(F.col(vec_col), q), 6).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
 def lsh_bucket_cosine_topk(
     df: DataFrame,
     vec_col: str,

@@ -1214,9 +1214,12 @@ FROM scores ORDER BY cosine DESC, vec_id LIMIT 10
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate cosine top-10: sign-projection bucket
     prefilter (8 axis-aligned planes, stride 7, modulus = the embedding's own
-    dimension) with Hamming-1 multi-probe (the query bucket plus its 8
-    one-bit-flip neighbors — 9 of 256 buckets), then exact scoring within
-    the probed buckets."""
+    dimension) with Hamming-2 multi-probe (the query bucket plus its one- and
+    two-bit-flip neighbors — 37 of 256 buckets, ~7× scan reduction), then
+    exact scoring within the probed buckets. The probe radius is the
+    recall/cost knob: tests/test_recall.py pins the recall@10 floor this
+    setting achieves on the near-random synthetic embeddings (real clustered
+    embedding spaces do much better at the same radius)."""
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qv"),
@@ -1228,7 +1231,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         bucketed.join(
             F.broadcast(q),
-            F.bit_count(bucketed.bucket.bitwiseXOR(q.q_bucket)) <= 1,
+            F.bit_count(bucketed.bucket.bitwiseXOR(q.q_bucket)) <= 2,
         )
         .select(
             "vec_id",
@@ -1254,7 +1257,7 @@ pairs AS (
   SELECT b.vec_id, CAST(b.bucket AS BIGINT) AS bucket,
          CAST(UNNEST(b.embedding) AS DOUBLE) AS x,
          CAST(UNNEST(q.qv) AS DOUBLE) AS y
-  FROM b, q WHERE bit_count(xor(b.bucket::BIGINT, q.q_bucket::BIGINT)) <= 1
+  FROM b, q WHERE bit_count(xor(b.bucket::BIGINT, q.q_bucket::BIGINT)) <= 2
 ), scores AS (
   SELECT vec_id, bucket, SUM(x*y) AS dot, SUM(x*x) AS nx, SUM(y*y) AS ny
   FROM pairs GROUP BY vec_id, bucket

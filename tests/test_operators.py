@@ -38,6 +38,17 @@ def _one_col(spark, values, name="v"):
     return spark.createDataFrame([Row(**{name: v}) for v in values])
 
 
+def _scratch(prefix):
+    import os
+    import tempfile
+
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch"
+    )
+    os.makedirs(base, exist_ok=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=base)
+
+
 # ---------------------------------------------------------------- scalars
 
 
@@ -430,3 +441,88 @@ def test_salted_aggregate_spreads_identical_duplicate_rows(spark):
     df = spark.createDataFrame([("hot", 1.0)] * 1000, ["k", "v"])
     got = salted_aggregate(df, ["k"], sums=["v"], count="n", num_salts=8).collect()
     assert [(r.k, r.v, r.n) for r in got] == [("hot", 1000.0, 1000)]
+
+
+# ------------------------------------------------- pruned physical layouts
+
+
+def test_lsh_bucketed_layout_prunes_partitions_and_matches(spark):
+    """similarity.lsh_bucket_cosine_topk_pruned over a table WRITTEN
+    partitioned by LSH bucket: the probe list must land in the FileScan's
+    PartitionFilters (only probed bucket dirs are read) and results must
+    equal the compute-in-plan variant."""
+    import os
+    import re
+    import shutil
+
+    from steam_data_engineer_project_spark.operators.similarity import (
+        lsh_bucket_cosine_topk,
+        lsh_bucket_cosine_topk_pruned,
+        lsh_bucket_id,
+    )
+
+    work = _scratch("lsh_layout_")
+    try:
+        e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first().embedding]
+        layout = os.path.join(work, "emb_by_bucket")
+        e.withColumn("bucket", lsh_bucket_id(F.col("embedding"), 8)).write.partitionBy(
+            "bucket"
+        ).parquet(layout)
+
+        bdf = spark.read.parquet(layout)
+        out = lsh_bucket_cosine_topk_pruned(bdf, "embedding", "vec_id", qv, k=10)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert re.search(r"PartitionFilters: \[[^\]]*bucket", plan), plan
+
+        got = [(r.vec_id, int(r.bucket), r.cosine) for r in out.collect()]
+        want = [
+            (r.vec_id, int(r.bucket), r.cosine)
+            for r in lsh_bucket_cosine_topk(e, "embedding", "vec_id", qv, k=10).collect()
+        ]
+        assert got == want
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_ivf_inverted_file_prunes_partitions_and_matches(spark):
+    """similarity.ivf_cosine_topk_pruned over the inverted file (table
+    partitioned by centroid_id): the broadcast probe join must prune the
+    scan via dynamic partition pruning, and results must equal the
+    assign-in-plan variant."""
+    import os
+    import shutil
+
+    from steam_data_engineer_project_spark.operators.similarity import (
+        ivf_assignments,
+        ivf_cosine_topk,
+        ivf_cosine_topk_pruned,
+    )
+
+    work = _scratch("ivf_layout_")
+    try:
+        e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first().embedding]
+        assigned, centroids = ivf_assignments(e, "embedding", "vec_id", 16)
+        layout = os.path.join(work, "inverted_file")
+        e.join(assigned.select("vec_id", "centroid_id"), "vec_id").write.partitionBy(
+            "centroid_id"
+        ).parquet(layout)
+
+        idf = spark.read.parquet(layout)
+        out = ivf_cosine_topk_pruned(
+            idf, "embedding", "vec_id", centroids, qv, k=10, n_probe=4
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan, plan
+
+        got = [(r.vec_id, r.centroid_id, r.cosine) for r in out.collect()]
+        want = [
+            (r.vec_id, r.centroid_id, r.cosine)
+            for r in ivf_cosine_topk(
+                e, "embedding", "vec_id", qv, k=10, n_centroids=16, n_probe=4
+            ).collect()
+        ]
+        assert got == want
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

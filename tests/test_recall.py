@@ -1,0 +1,86 @@
+"""Recall floors for the approximate operators against their exact
+counterparts, on the sf0.01 fixture.
+
+A training-data pipeline lives or dies on its approximate operators not
+silently degrading: a future "optimization" that guts MinHash banding or the
+ANN probe radius would still pass every value-correctness oracle (the
+operators are correct BY DEFINITION of their own algorithm) while quietly
+destroying dedup/search quality. These tests pin measured recall floors so
+that class of regression fails loudly.
+
+Floors are set just below the measured values at the pinned configurations
+(see each test) — tight enough to catch a real quality drop, loose enough
+to survive benign nondeterminism (there is none today: every operator is
+deterministic).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from steam_data_engineer_project_spark.queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def exact_top10(spark):
+    return [r.vec_id for r in QUERIES["ann_cosine_topk"].spark(spark, SF_DIR).collect()]
+
+
+def test_ann_lsh_recall_floor(spark, exact_top10):
+    """8 planes / Hamming-2 probe scans ~14.5% of buckets; measured
+    recall@10 = 0.40 on the near-random synthetic embeddings (clustered real
+    embeddings do far better at the same radius — random vectors are LSH's
+    worst case). Floor: 0.30."""
+    got = [r.vec_id for r in QUERIES["ann_lsh_topk"].spark(spark, SF_DIR).collect()]
+    recall = len(set(exact_top10) & set(got)) / len(exact_top10)
+    assert recall >= 0.30, f"ann_lsh recall@10 fell to {recall}"
+
+
+def test_ann_ivf_recall_floor(spark, exact_top10):
+    """16 centroids / probe 4; measured recall@10 = 1.0. Floor: 0.90."""
+    got = [r.vec_id for r in QUERIES["ann_ivf_topk"].spark(spark, SF_DIR).collect()]
+    recall = len(set(exact_top10) & set(got)) / len(exact_top10)
+    assert recall >= 0.90, f"ann_ivf recall@10 fell to {recall}"
+
+
+@pytest.fixture(scope="module")
+def truth_pairs(spark):
+    """Ground-truth near-dup pairs: n-gram Jaccard >= 0.5 (the exact
+    inverted-index operator — itself oracle-verified)."""
+    rows = QUERIES["dedup_ngram_jaccard_docs"].spark(spark, SF_DIR).collect()
+    truth = {(r.id_a, r.id_b) for r in rows if r.jaccard >= 0.5}
+    assert len(truth) >= 20  # the fixture seeds real near-dups
+    return truth
+
+
+def test_minhash_lsh_candidate_recall_floor(spark, truth_pairs):
+    """32 hashes / 8 bands over 3-shingles; measured candidate-pair recall
+    over the Jaccard>=0.5 truth = 0.96. Floor: 0.90."""
+    cands = {
+        (r.id_a, r.id_b)
+        for r in QUERIES["dedup_minhash_lsh_docs"].spark(spark, SF_DIR).collect()
+    }
+    recall = len(truth_pairs & cands) / len(truth_pairs)
+    assert recall >= 0.90, f"minhash candidate recall fell to {recall}"
+
+
+def test_simhash_hamming_recall_floor(spark, truth_pairs):
+    """64-bit SimHash; a Jaccard>=0.5 pair should land within Hamming
+    distance 12 (the usual near-dup radius at 64 bits). Measured recall =
+    1.0. Floor: 0.90."""
+    fps = {
+        r.doc_id: r.simhash
+        for r in QUERIES["dedup_simhash_docs"].spark(spark, SF_DIR).collect()
+    }
+    mask = (1 << 64) - 1
+
+    def hamming(a: int, b: int) -> int:
+        return bin((a ^ b) & mask).count("1")
+
+    close = {
+        (a, b) for (a, b) in truth_pairs if hamming(fps[a], fps[b]) <= 12
+    }
+    recall = len(close) / len(truth_pairs)
+    assert recall >= 0.90, f"simhash hamming-12 recall fell to {recall}"
