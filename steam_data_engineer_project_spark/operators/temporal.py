@@ -1,0 +1,146 @@
+"""Temporal joins Spark lacks as built-ins: as-of join and range join.
+
+Neither exists in the reference (its MySQL layer never needed them), but any
+event-stream feature pipeline built on this engine does: "the latest price
+known at the time of each view" is an as-of join, "which fee band does this
+order fall in" is a range join. Both are implemented as compositions of
+existing DataFrame ops — no Pandas UDF, no driver loop — chosen for their
+100 TB shape:
+
+- :func:`asof_join` is the union + ordered-window formulation: ONE shuffle on
+  the equality keys (the window partition), zero join operators, and the
+  right side is streamed through the frame in time order. The naive
+  formulation — inequality join then argmax per left row — materializes
+  every (left, right-earlier) pair before collapsing them: quadratic in the
+  per-key row count, unusable at scale. Here the per-key cost is the sort.
+- :func:`range_join_bucketed` turns a point-in-interval predicate into an
+  equi-join by exploding each interval to the fixed-width buckets it covers:
+  Spark executes a plain hash join on the bucket id (broadcast when the
+  interval side is small) plus a residual filter, instead of the
+  BroadcastNestedLoopJoin a bare inequality join plans — the difference
+  between O(points) and O(points × intervals).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    payload: list[str],
+    matched_ts: str = "asof_ts",
+) -> DataFrame:
+    """Backward as-of LEFT join: for every left row, attach ``payload`` from
+    the right row with the greatest ``right_ts`` <= ``left_ts`` within the
+    same ``on`` keys (inclusive: an equal timestamp matches), or typed nulls
+    when no earlier right row exists.
+
+    Right rows must be unique per (``on``, ``right_ts``) — pre-reduce with a
+    keep-latest window if they are not; ambiguous duplicates would make the
+    match order-dependent in ANY engine (DuckDB's ASOF JOIN has the same
+    precondition).
+
+    Implementation: tag right rows side=0 and left rows side=1, union, and
+    take ``last(payload, ignorenulls) OVER (PARTITION BY on ORDER BY ts,
+    side ROWS UNBOUNDED PRECEDING)`` — at an equal timestamp the right row
+    sorts first, giving the inclusive match. The payload travels packed in a
+    struct so a legitimately-NULL payload VALUE on the matched row cannot be
+    skipped for an older non-null one (ignorenulls tests the struct, not the
+    fields). One shuffle total; a hot key serializes into one partition's
+    sort, which is the as-of join's irreducible order dependency — split hot
+    keys upstream by a coarse time range if that ever binds.
+    """
+    ltypes = dict(left.dtypes)
+    rtypes = dict(right.dtypes)
+    lcols = list(left.columns)
+    l2 = left.select(
+        *[F.col(c) for c in lcols],
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(rtypes[c]).alias(f"__p_{c}") for c in payload],
+        F.lit(None).cast(rtypes[right_ts]).alias("__rts"),
+    )
+    r2 = right.select(
+        *[F.col(c) for c in on],
+        *[
+            F.lit(None).cast(ltypes[c]).alias(c)
+            for c in lcols
+            if c not in on
+        ],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__p_{c}") for c in payload],
+        F.col(right_ts).alias("__rts"),
+    )
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = F.when(
+        F.col("__side") == 0,
+        F.struct(
+            F.col("__rts").alias("ts"),
+            *[F.col(f"__p_{c}").alias(c) for c in payload],
+        ),
+    )
+    return (
+        l2.unionByName(r2)
+        .withColumn("__m", F.last(packed, ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+        .select(
+            *[F.col(c) for c in lcols],
+            F.col("__m.ts").alias(matched_ts),
+            *[F.col(f"__m.{c}").alias(c) for c in payload],
+        )
+    )
+
+
+def range_join_bucketed(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+) -> DataFrame:
+    """INNER join of ``points`` to every interval containing them,
+    ``lo <= point < hi``, as a bucketized equi-join.
+
+    Each interval explodes to the integer buckets ``floor(lo/w) ..
+    floor(hi/w)`` it overlaps; points compute their single bucket; the join
+    is then a plain (broadcast-able, AQE-skew-splittable) hash join on the
+    bucket id with the exact containment predicate as a residual filter.
+    Pick ``bucket_width`` near the typical interval width: expansion factor
+    is ~1 + width/bucket_width rows per interval, while a too-small width
+    multiplies the interval side and a too-large one degrades toward one
+    giant bucket. Only the interval side is replicated — never the
+    (large) point side.
+    """
+    w = float(bucket_width)
+    p2 = points.withColumn(
+        "__bucket", F.floor(F.col(point_col) / F.lit(w)).cast("long")
+    )
+    iv = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / F.lit(w)).cast("long"),
+                F.floor(F.col(hi_col) / F.lit(w)).cast("long"),
+            )
+        ),
+    )
+    return (
+        p2.join(iv, "__bucket")
+        .where(
+            (F.col(point_col) >= F.col(lo_col))
+            & (F.col(point_col) < F.col(hi_col))
+        )
+        .drop("__bucket")
+    )

@@ -55,6 +55,7 @@ from .multimodal.binary import (
     sniff_format,
 )
 from .operators.ranking import global_row_number
+from .operators.temporal import asof_join, range_join_bucketed
 from .plans.adapter import steam_sources
 from .plans.models import build as build_models
 from .plans.sql import DIM_GAMES_SQL, run_model_sql
@@ -2676,6 +2677,115 @@ FROM ({SRC_RESUME_ORACLE})
 """
 
 
+def temporal_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join + bucketed range join suite (operators/temporal.py —
+    operators Spark lacks as built-ins, needed by any event-time feature
+    pipeline; no reference counterpart, DuckDB ASOF JOIN is the oracle).
+
+    asof part: for each view event, the price of that user's most recent
+    purchase at-or-before the view (backward inclusive, LEFT: views with no
+    earlier purchase keep null payload). The purchase side is pre-reduced to
+    one row per (user_id, ts_us) — keep-max-event_id — so the match is
+    deterministic in both engines. id1 = view event_id, id2 = matched
+    purchase event_id, val_a = gap in µs, val_b = matched price.
+
+    range part: orders binned into 50 OVERLAPPING price bands
+    [10000·k, 10000·k + 25000) via the bucketized equi-join (each order
+    lands in ~2-3 bands), aggregated per band. id1 = band_id, id2 = order
+    count, val_a = sum of floor(o_totalprice) (integer-stable across
+    engines), val_b = null.
+    """
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    pur = (
+        ev.filter(
+            (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+        )
+        .select("user_id", F.unix_micros("ts").alias("ts_us"), "event_id", "value")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "ts_us").orderBy(F.desc("event_id"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "ts_us",
+            F.col("event_id").alias("p_event_id"),
+            F.col("value").alias("p_price"),
+        )
+    )
+    a = asof_join(
+        views, pur, ["user_id"], "ts_us", "ts_us", ["p_event_id", "p_price"]
+    ).select(
+        F.lit("asof").alias("part"),
+        F.col("event_id").alias("id1"),
+        F.col("p_event_id").alias("id2"),
+        (F.col("ts_us") - F.col("asof_ts")).alias("val_a"),
+        F.col("p_price").alias("val_b"),
+    )
+    bands = spark.range(50).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 10000.0).alias("lo"),
+        (F.col("id") * 10000.0 + 25000.0).alias("hi"),
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    r = (
+        range_join_bucketed(
+            orders, F.broadcast(bands), "o_totalprice", "lo", "hi", 25000.0
+        )
+        .groupBy("band_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor("o_totalprice").cast("long")).alias("s"),
+        )
+        .select(
+            F.lit("range").alias("part"),
+            F.col("band_id").alias("id1"),
+            F.col("n").alias("id2"),
+            F.col("s").alias("val_a"),
+            F.lit(None).cast("double").alias("val_b"),
+        )
+    )
+    return a.unionByName(r)
+
+
+TEMPORAL_JOIN_ORACLE = """
+WITH v AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type = 'view'
+), p AS (
+  SELECT user_id, ts_us, event_id AS p_event_id, value AS p_price FROM (
+    SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
+           row_number() OVER (
+             PARTITION BY user_id, epoch_us(ts) ORDER BY event_id DESC
+           ) AS rn
+    FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+  ) WHERE rn = 1
+), a AS (
+  SELECT v.event_id AS id1, p.p_event_id AS id2,
+         v.ts_us - p.ts_us AS val_a, p.p_price AS val_b
+  FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts_us >= p.ts_us
+), bands AS (
+  SELECT range AS band_id, range * 10000.0 AS lo,
+         range * 10000.0 + 25000.0 AS hi
+  FROM range(50)
+), r AS (
+  SELECT b.band_id AS id1, COUNT(*) AS id2,
+         CAST(SUM(CAST(FLOOR(o.o_totalprice) AS BIGINT)) AS BIGINT) AS val_a
+  FROM orders o JOIN bands b
+    ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+  GROUP BY b.band_id
+)
+SELECT 'asof' AS part, id1, id2, val_a, val_b FROM a
+UNION ALL
+SELECT 'range', id1, id2, val_a, CAST(NULL AS DOUBLE) FROM r
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2708,6 +2818,7 @@ QUERIES: dict[str, QuerySpec] = {
     "crawl_state_registry": QuerySpec(crawl_state_registry, CRAWL_STATE_ORACLE, "ST1/A6/A7/F3: per-key watermark registry (GREATEST)"),
     "time_filter_suite": QuerySpec(time_filter_suite, TIME_FILTER_ORACLE, "P7+P8: watermark-freshness + midnight time filters"),
     "set_ops_suite": QuerySpec(set_ops_suite, SET_OPS_ORACLE, "§2.7 + S11: union-distinct, except, INSERT IGNORE anti-join"),
+    "temporal_join_suite": QuerySpec(temporal_join_suite, TEMPORAL_JOIN_ORACLE, "temporal: backward as-of join + bucketized range join"),
     # --- scalar-function suites.
     "fx_price_parsing": QuerySpec(fx_price_parsing, FX_PRICE_ORACLE, "F2/F4/F6/F7/F13: price scalar functions + casts"),
     "fx_time_suite": QuerySpec(fx_time_suite, FX_TIME_ORACLE, "F9 + F1/F14: date parse round-trip + epoch conversions"),

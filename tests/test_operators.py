@@ -526,3 +526,79 @@ def test_ivf_inverted_file_prunes_partitions_and_matches(spark):
         assert got == want
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# ------------------------------------------------------------ temporal joins
+
+
+def test_asof_join_backward_inclusive_left(spark):
+    """Equal ts matches (inclusive), later right rows don't, keys are
+    isolated, and a left row with no earlier right row keeps typed nulls."""
+    from steam_data_engineer_project_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 5, "c"), (2, 50, "d"), (3, 7, "e")],
+        ["k", "ts", "tag"],
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 15, 150.0), (2, 60, 600.0), (9, 1, 900.0)],
+        ["k", "ts", "price"],
+    )
+    out = asof_join(left, right, ["k"], "ts", "ts", ["price"])
+    got = {(r.k, r.ts): (r.asof_ts, r.price) for r in out.collect()}
+    assert got == {
+        (1, 10): (10, 100.0),  # inclusive: equal ts matches
+        (1, 20): (15, 150.0),  # latest at-or-before
+        (1, 5): (None, None),  # nothing earlier
+        (2, 50): (None, None),  # right row is later
+        (3, 7): (None, None),  # key absent on the right
+    }
+    assert out.count() == left.count()  # LEFT join: every left row survives
+
+
+def test_asof_join_null_payload_value_not_skipped(spark):
+    """A matched right row whose payload VALUE is null must win over an older
+    non-null row (the struct pack guards last(ignorenulls))."""
+    from steam_data_engineer_project_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 30)], ["k", "ts"])
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 20, None)], ["k", "ts", "price"]
+    )
+    got = asof_join(left, right, ["k"], "ts", "ts", ["price"]).collect()[0]
+    assert got.asof_ts == 20 and got.price is None
+
+
+def test_range_join_bucketed_matches_inequality_join(spark):
+    """Bucketized range join == the naive inequality join, across bucket
+    widths that do and don't divide the interval widths."""
+    import random
+
+    from steam_data_engineer_project_spark.operators.temporal import (
+        range_join_bucketed,
+    )
+
+    rng = random.Random(7)
+    points = spark.createDataFrame(
+        [(i, rng.uniform(0, 100)) for i in range(300)], ["pid", "x"]
+    )
+    ivs = spark.createDataFrame(
+        [
+            (j, lo, lo + rng.uniform(0.5, 25))
+            for j in range(40)
+            for lo in [rng.uniform(-5, 95)]
+        ],
+        ["iid", "lo", "hi"],
+    )
+    want = sorted(
+        (r.pid, r.iid)
+        for r in points.join(
+            ivs, (points.x >= ivs.lo) & (points.x < ivs.hi)
+        ).collect()
+    )
+    for width in (10.0, 7.3):
+        got = sorted(
+            (r.pid, r.iid)
+            for r in range_join_bucketed(points, ivs, "x", "lo", "hi", width).collect()
+        )
+        assert got == want, f"width={width}"
