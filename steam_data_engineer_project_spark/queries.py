@@ -2159,7 +2159,9 @@ def streaming_price_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     events_dir = os.path.join(work, "events")
     msgs.repartition(8).write.mode("overwrite").json(events_dir)
-    out = run_price_pipeline(spark, events_dir, work, max_files_per_trigger=4)
+    out = run_price_pipeline(
+        spark, events_dir, work, max_files_per_trigger=4, batch_shuffle_partitions=8
+    )
     return spark.read.parquet(out["crawl_state"]).select(
         "appid", "last_ts_us", "last_event_id", "last_price", "n_events"
     )
@@ -2205,7 +2207,9 @@ def streaming_review_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     events_dir = os.path.join(work, "events")
     msgs.repartition(8).write.mode("overwrite").json(events_dir)
-    out = run_review_pipeline(spark, events_dir, work, max_files_per_trigger=4)
+    out = run_review_pipeline(
+        spark, events_dir, work, max_files_per_trigger=4, batch_shuffle_partitions=8
+    )
     store = spark.read.parquet(out["reviews_latest"])
     summ = spark.read.parquet(out["review_summaries"])
     return store.join(summ, ["appid", "author_steamid"]).select(

@@ -156,6 +156,7 @@ def run_price_pipeline(
     *,
     max_files_per_trigger: int | None = None,
     num_state_buckets: int = 16,
+    batch_shuffle_partitions: int | None = None,
 ) -> dict[str, str]:
     """Drain all available price-event files through the pipeline.
 
@@ -165,6 +166,13 @@ def run_price_pipeline(
     resumes from the checkpoint: already-processed files are NOT reprocessed
     (exactly-once file progress), and a replayed in-flight batch is
     idempotent (per-batch overwrite dirs + per-bucket merge markers).
+
+    ``batch_shuffle_partitions``: per-key work inside a micro-batch scales
+    with BATCH size, not corpus size, and AQE does not coalesce partitions
+    inside streaming micro-batch plans — so streaming jobs size their
+    shuffles explicitly (the standard Structured Streaming tuning). When
+    set, the session's ``spark.sql.shuffle.partitions`` is pinned to it for
+    the drain and restored afterwards; None leaves the session value.
     """
     prices_dir = os.path.join(work_dir, "prices")
     state_dir = os.path.join(work_dir, "crawl_state")
@@ -222,11 +230,17 @@ def run_price_pipeline(
         finally:
             batch_df.unpersist()
 
-    q = (
-        events.writeStream.foreachBatch(handle_batch)
-        .option("checkpointLocation", ckpt_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    if batch_shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(batch_shuffle_partitions))
+    try:
+        q = (
+            events.writeStream.foreachBatch(handle_batch)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
     return {"prices": prices_dir, "crawl_state": state_dir, "notifications": notif_dir}

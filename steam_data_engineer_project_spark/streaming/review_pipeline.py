@@ -65,10 +65,14 @@ def run_review_pipeline(
     *,
     max_files_per_trigger: int | None = None,
     num_state_buckets: int = 16,
+    batch_shuffle_partitions: int | None = None,
 ) -> dict[str, str]:
     """Drain review-event JSONL files; maintain the latest-wins review store
     and the first-wins summaries table, both bucketed by the upsert key.
-    Resumable via checkpoint; replayed batches are merge-idempotent."""
+    Resumable via checkpoint; replayed batches are merge-idempotent.
+    ``batch_shuffle_partitions`` pins the per-batch shuffle width for the
+    drain (restored after) — see run_price_pipeline for why streaming jobs
+    size micro-batch shuffles explicitly."""
     store_dir = os.path.join(work_dir, "reviews_latest")
     summary_dir = os.path.join(work_dir, "review_summaries")
     ckpt_dir = os.path.join(work_dir, "checkpoint")
@@ -144,11 +148,17 @@ def run_review_pipeline(
         finally:
             batch_df.unpersist()
 
-    q = (
-        events.writeStream.foreachBatch(handle_batch)
-        .option("checkpointLocation", ckpt_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    if batch_shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(batch_shuffle_partitions))
+    try:
+        q = (
+            events.writeStream.foreachBatch(handle_batch)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
     return {"reviews_latest": store_dir, "review_summaries": summary_dir}
