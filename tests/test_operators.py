@@ -602,3 +602,40 @@ def test_range_join_bucketed_matches_inequality_join(spark):
             for r in range_join_bucketed(points, ivs, "x", "lo", "hi", width).collect()
         )
         assert got == want, f"width={width}"
+
+
+def test_asof_join_matches_bruteforce_on_random_data(spark):
+    """Differential test: 5 seeded random datasets (duplicate left
+    timestamps, sparse keys, nullable payload) vs a per-row Python brute
+    force. Guards the union+window formulation's subtle parts: tie
+    ordering, struct packing, per-key isolation."""
+    import random
+
+    from steam_data_engineer_project_spark.operators.temporal import asof_join
+
+    for seed in range(5):
+        rng = random.Random(seed)
+        keys = list(range(4))
+        lrows = [
+            (rng.choice(keys), rng.randrange(0, 40), i) for i in range(60)
+        ]
+        rrows = []
+        used = set()
+        for _ in range(30):
+            k, ts = rng.choice(keys), rng.randrange(0, 40)
+            if (k, ts) in used:  # asof precondition: unique (key, ts)
+                continue
+            used.add((k, ts))
+            rrows.append(
+                (k, ts, None if rng.random() < 0.2 else rng.random())
+            )
+        left = spark.createDataFrame(lrows, ["k", "ts", "lid"])
+        right = spark.createDataFrame(rrows, ["k", "ts", "v"])
+        got = {
+            r.lid: (r.asof_ts, r.v)
+            for r in asof_join(left, right, ["k"], "ts", "ts", ["v"]).collect()
+        }
+        for k, ts, lid in lrows:
+            cands = [(rts, v) for (rk, rts, v) in rrows if rk == k and rts <= ts]
+            want = max(cands, key=lambda c: c[0]) if cands else (None, None)
+            assert got[lid] == want, f"seed={seed} lid={lid}"
