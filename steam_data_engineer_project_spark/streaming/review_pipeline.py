@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..schemas import REVIEW_EVENT
-from .state_store import merge_bucketed
+from .state_store import bucket_of, merge_bucketed
 
 _KEY = ("appid", "author_steamid")
 
@@ -107,17 +107,50 @@ def run_review_pipeline(
     ]
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.persist()
-        try:
-            # S13: latest-wins review store keyed (appid, author_steamid).
-            latest_batch = batch_df.groupBy(*_KEY).agg(
-                F.max(F.struct(
-                    F.col("ts_s").alias("last_ts_s"),
-                    F.col("recommendationid").alias("last_recommendationid"),
-                    F.col("voted_up").alias("last_voted_up"),
-                )).alias("s"),
+        # Both stores reduce over the same (appid, author_steamid) keys, so
+        # ONE aggregate computes the latest-wins and first-wins summaries
+        # together (one shuffle, not two) and one bucket probe serves both
+        # merges (the bucket set depends only on the keys).
+        combined = (
+            batch_df.groupBy(*_KEY)
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("ts_s").alias("last_ts_s"),
+                        F.col("recommendationid").alias("last_recommendationid"),
+                        F.col("voted_up").alias("last_voted_up"),
+                    )
+                ).alias("s_last"),
                 F.count("*").alias("n_reviews"),
-            ).select(*latest_back)
+                F.min(
+                    F.struct(
+                        F.col("ts_s").alias("first_ts_s"),
+                        F.col("recommendationid").alias("first_recommendationid"),
+                    )
+                ).alias("s_first"),
+            )
+            .persist()
+        )
+        try:
+            touched = sorted(
+                r.bucket
+                for r in combined.withColumn(
+                    "bucket", bucket_of(list(_KEY), num_state_buckets)
+                )
+                .select("bucket")
+                .distinct()
+                .collect()
+            )
+            # S13: latest-wins review store keyed (appid, author_steamid).
+            latest_batch = combined.select(
+                *_KEY,
+                F.col("s_last.last_ts_s").alias("last_ts_s"),
+                F.col("s_last.last_recommendationid").alias(
+                    "last_recommendationid"
+                ),
+                F.col("s_last.last_voted_up").alias("last_voted_up"),
+                F.col("n_reviews").cast("long").alias("n_reviews"),
+            )
             merge_bucketed(
                 spark,
                 store_dir,
@@ -127,14 +160,16 @@ def run_review_pipeline(
                 latest_back,
                 batch_id,
                 num_buckets=num_state_buckets,
+                touched=touched,
             )
             # S11: first-wins INSERT IGNORE summaries.
-            first_batch = batch_df.groupBy(*_KEY).agg(
-                F.min(F.struct(
-                    F.col("ts_s").alias("first_ts_s"),
-                    F.col("recommendationid").alias("first_recommendationid"),
-                )).alias("s")
-            ).select(*first_back)
+            first_batch = combined.select(
+                *_KEY,
+                F.col("s_first.first_ts_s").alias("first_ts_s"),
+                F.col("s_first.first_recommendationid").alias(
+                    "first_recommendationid"
+                ),
+            )
             merge_bucketed(
                 spark,
                 summary_dir,
@@ -144,9 +179,10 @@ def run_review_pipeline(
                 first_back,
                 batch_id,
                 num_buckets=num_state_buckets,
+                touched=touched,
             )
         finally:
-            batch_df.unpersist()
+            combined.unpersist()
 
     saved = spark.conf.get("spark.sql.shuffle.partitions")
     if batch_shuffle_partitions is not None:
