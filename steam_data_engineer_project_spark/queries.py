@@ -162,13 +162,25 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _scratch_dir(prefix: str) -> str:
     """Fresh scratch dir under <repo>/.scratch (gitignored) — streaming
     queries materialize event files + checkpoints there; a new dir per
-    invocation keeps repeated runs (driver, bench, tests) independent."""
+    invocation keeps repeated runs (driver, bench, tests) independent.
+    Sibling dirs untouched for >1 h are reaped best-effort so repeated
+    bench/driver runs don't accumulate unboundedly."""
+    import shutil
     import tempfile
+    import time
 
     base = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch"
     )
     os.makedirs(base, exist_ok=True)
+    cutoff = time.time() - 3600
+    for name in os.listdir(base):
+        p = os.path.join(base, name)
+        try:
+            if os.path.isdir(p) and os.path.getmtime(p) < cutoff:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
     return tempfile.mkdtemp(prefix=prefix, dir=base)
 
 
