@@ -39,7 +39,7 @@ def main() -> None:
     spark = get_spark("steam-spark-bench", master=f"local[{cpus}]",
                       shuffle_partitions=cpus)
 
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
 
     # Warm every query's plan at the smallest SF so measured times reflect
