@@ -203,3 +203,77 @@ def test_replayed_batch_does_not_double_count(spark):
         assert got[2].n_events == 1  # untouched key unchanged
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_apply_in_pandas_with_state_matches_batch_crawl_state(spark):
+    """streaming/stateful.py: the engine-managed (applyInPandasWithState)
+    crawl state, drained over multiple micro-batches, must converge to the
+    same per-key state as the batch groupBy over all events — the same
+    associativity property the external bucketed store is tested for."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from steam_data_engineer_project_spark.streaming.price_pipeline import (
+        batch_crawl_state,
+    )
+    from steam_data_engineer_project_spark.streaming.stateful import (
+        run_crawl_state_stream,
+    )
+
+    base = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".scratch")
+    os.makedirs(base, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="test_stateful_", dir=base)
+    try:
+        rows = [
+            # (appid, event_id, discount, price, epoch-seconds ts)
+            (1, 10, 0.0, 9.99, 100.0),
+            (1, 11, 5.0, 7.99, 300.0),
+            (2, 12, 0.0, 19.99, 200.0),
+            (1, 13, 0.0, 8.49, 200.0),
+            (3, 14, 0.0, 1.99, 50.0),
+            (2, 15, 0.0, 18.99, 400.0),
+        ]
+        msgs = spark.createDataFrame(
+            [("price", a, e, d, p, t) for a, e, d, p, t in rows],
+            "type string, appid long, event_id long, discount double, "
+            "price double, timestamp double",
+        )
+        events_dir = os.path.join(work, "events")
+        msgs.repartition(3).write.mode("overwrite").json(events_dir)
+
+        batches = run_crawl_state_stream(
+            spark,
+            events_dir,
+            os.path.join(work, "ckpt"),
+            max_files_per_trigger=1,  # force several micro-batches
+        )
+        assert len(batches) >= 3  # state really crossed batch boundaries
+        final = (
+            pd.concat(batches)
+            .groupby("appid", as_index=False)
+            .last()  # the LAST emission per key is the converged state
+            .sort_values("appid")
+            .reset_index(drop=True)
+        )
+        typed = spark.createDataFrame(
+            [(a, e, p, int(t * 1_000_000)) for a, e, d, p, t in rows],
+            "appid long, event_id long, price double, ts_us long",
+        )
+        want = (
+            batch_crawl_state(typed)
+            .orderBy("appid")
+            .toPandas()
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            final[want.columns].astype(want.dtypes.to_dict()), want
+        )
+
+        # resume from the checkpoint: nothing new to process, state intact
+        again = run_crawl_state_stream(
+            spark, events_dir, os.path.join(work, "ckpt")
+        )
+        assert sum(len(b) for b in again) == 0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
