@@ -137,26 +137,34 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The documents table, spread across the cluster when the scan is
-    under-partitioned.
+def _spread(
+    spark: SparkSession, sf_dir: str, name: str, key_col: str
+) -> DataFrame:
+    """A table, spread across the cluster when its scan is under-partitioned
+    — for queries whose per-row work (shingling, hashing, regex parsing) is
+    CPU-bound, where a single-row-group fixture file = one scan task would
+    serialize everything on one core.
 
-    The heavy text operators (shingling, hashing, 64-bit simhash votes) are
-    CPU-bound per row; a small parquet table arrives as one file = one
-    partition and serializes all of it on a single core. Repartitioning by
-    the key is a cheap shuffle of raw text locally and a NO-OP at scale —
-    the guard keeps a well-partitioned 100 TB corpus (thousands of files)
-    from being reshuffled just to satisfy a local-mode artifact.
+    The guard (only repartition when below defaultParallelism) makes this a
+    NO-OP at scale: a well-partitioned 100 TB table (thousands of files)
+    never reshuffles to satisfy a local-mode artifact. Catalyst pushes
+    column pruning through the repartition, so downstream projections still
+    reach the scan. Cached per session like every catalog entry.
     """
     per = _CATALOG.setdefault(spark, {})
-    key = (os.path.abspath(sf_dir), "__docs_spread__")
+    key = (os.path.abspath(sf_dir), f"__spread_{name}__")
     if key not in per:
-        d = _t(spark, sf_dir, "documents")
+        d = _t(spark, sf_dir, name)
         target = spark.sparkContext.defaultParallelism
         if d.rdd.getNumPartitions() < target:
-            d = d.repartition(target, "doc_id")
+            d = d.repartition(target, key_col)
         per[key] = d
     return per[key]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table, spread for the CPU-bound text operators."""
+    return _spread(spark, sf_dir, "documents", "doc_id")
 
 
 def _scratch_dir(prefix: str) -> str:
@@ -729,7 +737,8 @@ def fx_price_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-tripping lineitem prices through display strings. Routed through
     the ``functions.scalars`` library (to_cents / parse_discount /
     initial_price_cents) so the library is oracle-verified."""
-    li = _t(spark, sf_dir, "lineitem")
+    # regex parsing is CPU-bound per row → spread the single-row-group scan
+    li = _spread(spark, sf_dir, "lineitem", "l_orderkey")
     price_dec = F.col("l_extendedprice").cast("decimal(12,2)")
     eu_price = F.regexp_replace(price_dec.cast("string"), r"\.", ",")
     disc_str = F.concat(
