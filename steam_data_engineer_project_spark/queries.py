@@ -1230,7 +1230,7 @@ FROM fp f JOIN ntok n USING (doc_id)
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine top-10 against the vec_id=0 embedding.
     Ordered by the ROUNDED score + id so both engines select identically."""
-    e = _t(spark, sf_dir, "embeddings")
+    e = _spread(spark, sf_dir, "embeddings", "vec_id")  # HOF vector math is interpreted: spread the single-row-group scan
     q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     scored = e.crossJoin(F.broadcast(q)).select(
         "vec_id",
@@ -1264,7 +1264,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall/cost knob: tests/test_recall.py pins the recall@10 floor this
     setting achieves on the near-random synthetic embeddings (real clustered
     embedding spaces do much better at the same radius)."""
-    e = _t(spark, sf_dir, "embeddings")
+    e = _spread(spark, sf_dir, "embeddings", "vec_id")  # HOF vector math is interpreted: spread the single-row-group scan
     q = e.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qv"),
         lsh_bucket_id(F.col("embedding"), 8).alias("q_bucket"),
@@ -1319,7 +1319,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     set ~n²/256; at scale the table is written bucketed by the LSH id so the
     join is co-partitioned. No reference analog (no embeddings there) — this
     is the training-data-pipeline surface the engine adds."""
-    e = _t(spark, sf_dir, "embeddings")
+    e = _spread(spark, sf_dir, "embeddings", "vec_id")  # HOF vector math is interpreted: spread the single-row-group scan
     return embedding_near_dup_pairs(e, "embedding", "vec_id", threshold=0.30)
 
 
@@ -1348,7 +1348,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Assignment is a broadcast nested-loop + map-side-combinable struct-max
     argmax; the probe is a broadcast semi-join (no collect), which at scale
     dynamic-partition-prunes an inverted file partitioned by centroid_id."""
-    e = _t(spark, sf_dir, "embeddings")
+    e = _spread(spark, sf_dir, "embeddings", "vec_id")  # HOF vector math is interpreted: spread the single-row-group scan
     q = [
         float(v)
         for v in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
