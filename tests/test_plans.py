@@ -105,3 +105,59 @@ def test_star_denorm_broadcasts_dimensions(spark):
     assert plan.count("BroadcastHashJoin") >= 4, plan
     smj = re.findall(r"SortMergeJoin \[([a-z_]+)", plan)
     assert all(k.startswith("o_orderkey") for k in smj), smj
+
+
+def test_bucketed_tables_join_without_exchange(spark):
+    """SCALE.md's co-located join story, demonstrated: two tables written
+    bucketed+sorted on the join key sort-merge-join with ZERO Exchange in
+    the plan — the shuffle happened once at write time, which is the whole
+    point of bucketing a 100 TB fact table that joins on the same key every
+    day."""
+    import uuid
+
+    suffix = uuid.uuid4().hex[:8]
+    ta, tb = f"bj_orders_{suffix}", f"bj_lineitem_{suffix}"
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    # sf0.001 tables are broadcast-sized, which would sidestep the bucketed
+    # path entirely — turn auto-broadcast off so the plan is the one a
+    # 100 TB fact⋈fact join would get.
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    for k in saved:
+        spark.conf.set(k, "-1")
+    try:
+        (
+            orders.write.bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .mode("overwrite")
+            .saveAsTable(ta)
+        )
+        (
+            lineitem.write.bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .mode("overwrite")
+            .saveAsTable(tb)
+        )
+        joined = spark.table(ta).join(
+            spark.table(tb),
+            spark.table(ta).o_orderkey == spark.table(tb).l_orderkey,
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan  # co-located: no shuffle at all
+        # and it actually runs: every lineitem row finds its order
+        assert joined.count() == lineitem.count()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        spark.sql(f"DROP TABLE IF EXISTS {ta}")
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")
