@@ -277,3 +277,82 @@ def test_apply_in_pandas_with_state_matches_batch_crawl_state(spark):
         assert sum(len(b) for b in again) == 0
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_watermarked_window_finalizes_and_drops_late_data(spark):
+    """streaming/windowed.py: append-mode watermarked windows — a window
+    emits exactly once, only after the watermark passes its end, and an
+    event arriving behind the watermark for a finalized window is dropped
+    by the engine (bounded state). Times in epoch seconds; windows are
+    1 h tumbling with a 30 min watermark."""
+    import json as _json
+    import time as _time
+
+    import pandas as pd
+
+    from steam_data_engineer_project_spark.streaming.windowed import (
+        run_windowed_stream,
+    )
+
+    H = 3600.0
+    base = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".scratch")
+    os.makedirs(base, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="test_window_", dir=base)
+    events_dir = os.path.join(work, "events")
+    os.makedirs(events_dir)
+
+    def write_file(name, rows):
+        with open(os.path.join(events_dir, name), "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        _time.sleep(1.05)  # distinct mtimes → deterministic batch order
+
+    try:
+        # batch 1: 10-11h window gets appid 1 and 2; an 11:40 event will
+        # push the watermark past 11:00 so the 10-11h window can finalize.
+        write_file(
+            "f1.json",
+            [
+                {"appid": 1, "price": 5.0, "ts": 10 * H + 600},
+                {"appid": 2, "price": 7.0, "ts": 10 * H + 1200},
+                {"appid": 1, "price": 6.0, "ts": 11 * H + 2400},
+            ],
+        )
+        # batch 2: advances the watermark further (to 12:30 once committed —
+        # the watermark a batch FILTERS with is derived from prior batches).
+        write_file("f2.json", [{"appid": 2, "price": 9.0, "ts": 13 * H}])
+        # batch 3: carries a LATE appid-1 event at 10:05 — far behind the
+        # committed watermark, its window long finalized: the engine must
+        # drop it (a naive groupBy would count it and bump max_price to 99).
+        write_file(
+            "f3.json",
+            [
+                {"appid": 1, "price": 99.0, "ts": 10 * H + 300},  # late
+                {"appid": 1, "price": 1.0, "ts": 15 * H},
+            ],
+        )
+        # batch 4: advances the watermark so the 13-14h window emits too.
+        write_file("f4.json", [{"appid": 1, "price": 2.0, "ts": 16 * H}])
+
+        batches = run_windowed_stream(
+            spark, events_dir, os.path.join(work, "ckpt")
+        )
+        got = pd.concat(batches, ignore_index=True)
+        rows = {
+            (int(r.window_start.timestamp()), r.appid): (
+                r.n_events,
+                r.max_price,
+            )
+            for r in got.itertuples()
+        }
+        # finalized windows only: the 15-16h and 16-17h windows are still
+        # open at drain end (final watermark 15:30) and must NOT have
+        # emitted; the late 10:05 event must not appear anywhere.
+        assert rows == {
+            (int(10 * H), 1): (1, 5.0),  # late event NOT counted (else 2/99.0)
+            (int(10 * H), 2): (1, 7.0),
+            (int(11 * H), 1): (1, 6.0),
+            (int(13 * H), 2): (1, 9.0),
+        }, rows
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
