@@ -1,0 +1,83 @@
+"""Deterministic sampling and splitting for training-data pipelines.
+
+`df.randomSplit` / `df.sample` are seed-dependent AND partitioning-dependent
+— rerun the job with different file splits and rows change sides, which
+poisons dataset reproducibility (the split must be a pure function of the
+ROW, not of the execution). These operators derive every decision from a
+content hash instead:
+
+- :func:`deterministic_split`: md5-bucket the key into [0, 10000) and cut at
+  the requested fractions. Engine-portable (md5 is standard), stable under
+  any partitioning, repartition-free — a narrow projection per row, no
+  shuffle at all.
+- :func:`stratified_sample_exact`: EXACTLY ``n_per_stratum`` rows per
+  stratum, chosen by hash order (deterministic "random"): one window over
+  the stratum key — the same single-shuffle shape as any per-key top-k.
+
+No reference counterpart (the reference never samples); engine-original
+surface for the 100 TB training-data story.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _hash_bucket(key: Column, modulus: int = 10_000) -> Column:
+    """Content-derived bucket in [0, modulus): first 8 md5 hex digits of the
+    key, mod modulus. Pure function of the value — engine- and
+    partitioning-independent."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % modulus
+    )
+
+
+def deterministic_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float],
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign each row to a named split ("train"/"valid"/"test"...) by its
+    key's hash bucket. Fractions must sum to ≤ 1 (any remainder lands in the
+    LAST split). Same key ⇒ same split, always — so near-duplicate groups
+    sharing a canonical key can be routed to one side to prevent test-set
+    leakage."""
+    assert fractions and sum(fractions.values()) <= 1.0 + 1e-9
+    bucket = _hash_bucket(F.col(key_col))
+    expr = None
+    edge = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        edge += fractions[name]
+        cond = bucket < int(round(edge * 10_000))
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    last = F.lit(names[-1])
+    out = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, out)
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    n_per_stratum: int,
+) -> DataFrame:
+    """Exactly min(n, stratum size) rows per stratum, picked by hash order
+    of the key (ties broken by the key itself, so the pick is total and
+    deterministic). One shuffle on the stratum key."""
+    w = Window.partitionBy(stratum_col).orderBy(
+        _hash_bucket(F.col(key_col), 1 << 31), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
+    )

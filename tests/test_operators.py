@@ -639,3 +639,47 @@ def test_asof_join_matches_bruteforce_on_random_data(spark):
             cands = [(rts, v) for (rk, rts, v) in rrows if rk == k and rts <= ts]
             want = max(cands, key=lambda c: c[0]) if cands else (None, None)
             assert got[lid] == want, f"seed={seed} lid={lid}"
+
+
+# ------------------------------------------------------------------ sampling
+
+
+def test_deterministic_split_is_stable_and_proportional(spark):
+    from steam_data_engineer_project_spark.operators.sampling import (
+        deterministic_split,
+    )
+
+    df = spark.range(20_000).withColumnRenamed("id", "doc_id")
+    fr = {"train": 0.8, "valid": 0.1, "test": 0.1}
+    a = deterministic_split(df, "doc_id", fr)
+    # stable under repartitioning: the split is a pure function of the key
+    b = deterministic_split(df.repartition(13), "doc_id", fr)
+    ga = {r.doc_id: r.split for r in a.collect()}
+    gb = {r.doc_id: r.split for r in b.collect()}
+    assert ga == gb
+    from collections import Counter
+
+    c = Counter(ga.values())
+    assert set(c) == {"train", "valid", "test"}
+    assert abs(c["train"] / 20_000 - 0.8) < 0.02
+    assert abs(c["valid"] / 20_000 - 0.1) < 0.01
+    assert abs(c["test"] / 20_000 - 0.1) < 0.01
+
+
+def test_stratified_sample_exact_counts_and_determinism(spark):
+    from steam_data_engineer_project_spark.operators.sampling import (
+        stratified_sample_exact,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 7, i) for i in range(5_000)] + [(99, 0)], ["stratum", "k"]
+    )
+    s1 = stratified_sample_exact(df, "stratum", "k", 25)
+    s2 = stratified_sample_exact(df.repartition(9), "stratum", "k", 25)
+    r1 = sorted((r.stratum, r.k) for r in s1.collect())
+    assert r1 == sorted((r.stratum, r.k) for r in s2.collect())
+    from collections import Counter
+
+    c = Counter(s for s, _ in r1)
+    assert all(c[s] == 25 for s in range(7))
+    assert c[99] == 1  # stratum smaller than n keeps all its rows
