@@ -683,3 +683,79 @@ def test_stratified_sample_exact_counts_and_determinism(spark):
     c = Counter(s for s, _ in r1)
     assert all(c[s] == 25 for s in range(7))
     assert c[99] == 1  # stratum smaller than n keeps all its rows
+
+
+# ------------------------------------------------------------ connected components
+
+
+def test_connected_components_matches_union_find(spark):
+    """Random graphs vs a Python union-find reference: same components,
+    min-id labeling, including chain graphs (worst-case diameter) and
+    isolated pairs."""
+    import random
+
+    from steam_data_engineer_project_spark.operators.components import (
+        connected_components,
+    )
+
+    for seed in range(3):
+        rng = random.Random(seed)
+        edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(50)]
+        edges += [(100 + i, 101 + i) for i in range(8)]  # a 9-node chain
+        df = spark.createDataFrame(edges, ["id_a", "id_b"])
+        got = {
+            r.node: r.component
+            for r in connected_components(df).collect()
+        }
+
+        parent: dict[int, int] = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        comp: dict[int, list[int]] = {}
+        for n in parent:
+            comp.setdefault(find(n), []).append(n)
+        want = {n: min(ns) for ns in comp.values() for n in ns}
+        # self-loops may leave a node absent from `got` if it had no real edge
+        want = {n: c for n, c in want.items() if n in got}
+        assert got == want, f"seed={seed}"
+
+
+def test_near_dup_pairs_to_canonical_docs(spark):
+    """End-to-end dedup story: n-gram Jaccard pairs → components →
+    canonical doc per cluster; components never straddle a
+    deterministic_split (the leakage guarantee the split exists for)."""
+    from steam_data_engineer_project_spark.operators.components import (
+        canonical_per_component,
+        connected_components,
+    )
+    from steam_data_engineer_project_spark.operators.sampling import (
+        deterministic_split,
+    )
+    from steam_data_engineer_project_spark.queries import QUERIES
+
+    pairs = QUERIES["dedup_ngram_jaccard_docs"].spark(
+        spark, "/root/testdata/sf0.01"
+    ).filter(F.col("jaccard") >= 0.5)
+    comps = connected_components(pairs, "id_a", "id_b").persist()
+    assert comps.count() > 0
+    canon = canonical_per_component(comps)
+    assert canon.count() < comps.count()  # real clustering happened
+
+    # route every member by its COMPONENT key: the whole cluster lands in
+    # one split, so near-dups can't leak across train/test
+    routed = deterministic_split(comps, "component", {"train": 0.8, "test": 0.2})
+    splits_per_comp = routed.groupBy("component").agg(
+        F.countDistinct("split").alias("n")
+    )
+    assert splits_per_comp.filter(F.col("n") > 1).count() == 0
+    comps.unpersist()
