@@ -135,3 +135,100 @@ def decode_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(F.col(id_col), "payload").mapInPandas(
         _decode, schema=_DECODE_SCHEMA
     )
+
+
+_RESIZE_SCHEMA = (
+    "doc_id long, format string, width int, height int, payload binary"
+)
+
+_FRAME_SCHEMA = "doc_id long, frame_idx long, frame binary"
+
+
+def resize_images(
+    df: DataFrame, target_w: int, target_h: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Resize, IMAGE payloads only — the JVM-side sniff gates which rows
+    cross into Python (wav/unknown payloads never reach a worker, the same
+    routing a mixed 100 TB media corpus needs). 1→1 rows; output carries the
+    new dimensions and the resampled payload.
+
+    The resample is the DETERMINISTIC FAKE consistent with the decode step:
+    strided byte selection down to a target_w×target_h-proportional buffer
+    (real byte slicing, fake pixels).
+    >>> PRODUCTION HOOK: PIL.Image.open(...).resize((w, h)) inside the
+    >>> closure, imports inside the function, config captured as data.
+    """
+    gated = df.select(
+        F.col(id_col).alias("doc_id"),
+        "payload",
+        sniff_format(F.col("payload")).alias("format"),
+    ).filter(F.col("format").isin("png", "jpeg"))
+
+    magic_len = {name: len(m) for name, m in MAGIC.items()}
+    n_out = max(1, (target_w * target_h) // 64)
+
+    def _resize(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        def one(payload: bytes, fmt: str) -> bytes:
+            hdr = magic_len[fmt]
+            head, body = payload[:hdr], payload[hdr:]
+            if not body:
+                return head
+            idx = [(i * len(body)) // n_out for i in range(n_out)]
+            return head + bytes(body[i] for i in idx)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "format": pdf["format"].values,
+                    "width": target_w,
+                    "height": target_h,
+                    "payload": [
+                        one(bytes(p), f)
+                        for p, f in zip(pdf["payload"], pdf["format"])
+                    ],
+                }
+            )
+
+    return gated.mapInPandas(_resize, schema=_RESIZE_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n: int,
+    frame_bytes: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Frame sampling, WAV payloads only (the audio/video stand-in): fan
+    each payload out to every ``every_n``-th fixed-width frame window — the
+    1→N ``mapInPandas`` shape a video frame-sampler has (one input row
+    yields many frame rows; Arrow batches amortize the fan-out). The JVM
+    gate keeps image rows out of the Python stage entirely.
+    """
+    gated = df.select(
+        F.col(id_col).alias("doc_id"),
+        "payload",
+        sniff_format(F.col("payload")).alias("format"),
+    ).filter(F.col("format") == "wav")
+
+    hdr_len = len(MAGIC["wav"])
+
+    def _frames(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                body = bytes(payload)[hdr_len:]
+                n_frames = len(body) // frame_bytes
+                for j in range(0, n_frames, every_n):
+                    ids.append(doc_id)
+                    idxs.append(j)
+                    frames.append(body[j * frame_bytes : (j + 1) * frame_bytes])
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return gated.mapInPandas(_frames, schema=_FRAME_SCHEMA)

@@ -759,3 +759,61 @@ def test_near_dup_pairs_to_canonical_docs(spark):
     )
     assert splits_per_comp.filter(F.col("n") > 1).count() == 0
     comps.unpersist()
+
+
+# ------------------------------------------------------------------ multimodal
+
+
+def test_resize_images_gates_and_resamples_deterministically(spark):
+    """resize_images: only image payloads cross to Python (wav rows gated
+    out JVM-side), output dims are the target, payload = header + strided
+    resample — deterministic across runs and partitionings."""
+    from steam_data_engineer_project_spark.multimodal.binary import (
+        attach_binary_payloads,
+        resize_images,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "x" * (40 + i)) for i in range(12)], ["doc_id", "body"]
+    )
+    payloads = attach_binary_payloads(docs, "body", "doc_id")
+    out = resize_images(payloads, 16, 16)
+    rows = {r.doc_id: r for r in out.collect()}
+    # id % 3 == 2 → wav → gated out; 0/1 → png/jpeg → present
+    assert set(rows) == {i for i in range(12) if i % 3 != 2}
+    assert all(r.width == 16 and r.height == 16 for r in rows.values())
+    again = {
+        r.doc_id: bytes(r.payload)
+        for r in resize_images(payloads.repartition(5), 16, 16).collect()
+    }
+    assert {k: bytes(v.payload) for k, v in rows.items()} == again
+    # resampled body has the target-proportional length (+ magic header)
+    n_out = (16 * 16) // 64
+    png = rows[0]
+    assert len(bytes(png.payload)) == 8 + n_out  # png header is 8 bytes
+
+
+def test_sample_frames_fans_out_wav_payloads(spark):
+    """sample_frames: 1→N fan-out of every-Nth fixed-width frame for wav
+    rows only, with exact frame indices and contents."""
+    from steam_data_engineer_project_spark.multimodal.binary import (
+        MAGIC,
+        sample_frames,
+    )
+
+    body = bytes(range(40))  # 10 frames of 4 bytes
+    rows = [
+        (1, bytearray(MAGIC["wav"] + body)),
+        (2, bytearray(MAGIC["png"] + body)),  # image: must be gated out
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = sorted(
+        (r.doc_id, r.frame_idx, bytes(r.frame))
+        for r in sample_frames(df, every_n=3).collect()
+    )
+    assert got == [
+        (1, 0, body[0:4]),
+        (1, 3, body[12:16]),
+        (1, 6, body[24:28]),
+        (1, 9, body[36:40]),
+    ]
