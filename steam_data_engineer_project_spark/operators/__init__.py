@@ -1,3 +1,4 @@
+from .components import canonical_per_component, connected_components
 from .dedup import (
     exact_dedup,
     minhash_signatures,
@@ -6,6 +7,7 @@ from .dedup import (
     simhash_fingerprints,
 )
 from .merge import insert_ignore, merge_monotone_max, upsert_last_wins
+from .sampling import deterministic_split, stratified_sample_exact
 from .sessionize import sessionize
 from .skew import salted_aggregate, salted_join
 from .similarity import (
@@ -14,10 +16,17 @@ from .similarity import (
     ivf_cosine_topk,
     lsh_bucket_cosine_topk,
 )
+from .temporal import asof_join, range_join_bucketed
 from .textstats import doc_fingerprint, language_id, text_quality
 from .topk import latest_per_key, top_k
 
 __all__ = [
+    "asof_join",
+    "canonical_per_component",
+    "connected_components",
+    "deterministic_split",
+    "range_join_bucketed",
+    "stratified_sample_exact",
     "exact_dedup",
     "minhash_signatures",
     "minhash_lsh_candidates",
