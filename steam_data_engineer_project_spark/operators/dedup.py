@@ -22,7 +22,7 @@ case — callers can pre-filter; LSH band hashing redistributes them).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 

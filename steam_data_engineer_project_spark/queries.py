@@ -45,7 +45,6 @@ from .functions.scalars import (
     initial_price,
     initial_price_cents,
     parse_discount,
-    parse_release_date,
     to_cents,
 )
 from .operators.merge import insert_ignore, merge_monotone_max, upsert_last_wins
@@ -86,7 +85,6 @@ from .operators.similarity import (
 )
 from .operators.textstats import doc_fingerprint, language_id, text_quality
 from .operators.topk import latest_per_key, top_k
-from .session import load_tables
 
 
 @dataclass(frozen=True)
