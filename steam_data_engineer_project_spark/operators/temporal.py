@@ -44,7 +44,10 @@ def asof_join(
     Right rows must be unique per (``on``, ``right_ts``) — pre-reduce with a
     keep-latest window if they are not; ambiguous duplicates would make the
     match order-dependent in ANY engine (DuckDB's ASOF JOIN has the same
-    precondition).
+    precondition). NULL join keys use group semantics (a NULL-keyed left row
+    can match a NULL-keyed right row, as window partitioning groups NULLs
+    together), unlike SQL join equality which never matches NULL — filter
+    NULL keys first if SQL semantics are required.
 
     Implementation: tag right rows side=0 and left rows side=1, union, and
     take ``last(payload, ignorenulls) OVER (PARTITION BY on ORDER BY ts,
