@@ -135,6 +135,39 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+#: every driver-provided parquet table
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def register_catalog(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Register every source table AND every dbt model as temp views so
+    ad-hoc ``spark.sql("SELECT ... FROM lineitem JOIN ...")`` just works —
+    the interactive surface a user switching from the reference's
+    MySQL/dbt stack expects. Views are zero-cost (Catalyst inlines them
+    with pushdown/pruning across the boundary); events gets the same
+    µs-timestamp normalization as every registry query. Returns the
+    registered view names."""
+    names = []
+    for name in TABLES:
+        _t(spark, sf_dir, name).createOrReplaceTempView(name)
+        names.append(name)
+    for name, df in _dag(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+        names.append(name)
+    return names
+
+
 def _spread(
     spark: SparkSession, sf_dir: str, name: str, key_col: str
 ) -> DataFrame:

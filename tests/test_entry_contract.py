@@ -37,3 +37,35 @@ def test_entry_runs_and_is_stable(spark):
     ra, rb = a.collect(), b.collect()
     assert len(ra) > 0 and ra == rb
     assert a.schema == b.schema
+
+
+def test_register_catalog_enables_adhoc_sql(spark):
+    """register_catalog: every table and model queryable via plain
+    spark.sql, values matching DuckDB on the same ad-hoc dialect-neutral
+    query."""
+    import duckdb
+
+    from steam_data_engineer_project_spark.queries import register_catalog
+
+    sf = "/root/testdata/sf0.01"
+    names = register_catalog(spark, sf)
+    assert set(names) >= {"lineitem", "orders", "dim_games", "fact_reviews"}
+
+    sql = """
+        SELECT o_orderstatus AS st, COUNT(*) AS n,
+               SUM(CAST(l_quantity AS BIGINT)) AS q
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderstatus ORDER BY st
+    """
+    got = [(r.st, r.n, r.q) for r in spark.sql(sql).collect()]
+
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    want = [tuple(r) for r in con.execute(sql).fetchall()]
+    assert got == want
+
+    # models are views too: the mart is queryable without touching the DAG
+    assert spark.sql("SELECT COUNT(*) AS n FROM dim_games").collect()[0].n > 0
