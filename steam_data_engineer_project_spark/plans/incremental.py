@@ -1,0 +1,83 @@
+"""dbt-style incremental materialization for batch marts.
+
+The reference's dbt project rebuilds every model from scratch per run
+(materialized='table'); at 100 TB a daily full rebuild is the first thing
+that dies. This is the `materialized='incremental'` equivalent: each refresh
+transforms ONLY source rows newer than the mart's stored high-watermark and
+merges them into the materialized table (last-wins per key), swapped in
+atomically with the new watermark. Refresh cost follows the DELTA, not the
+mart.
+
+Correctness contract (asserted in tests/test_plans.py): when the transform
+is row-local and the merge is last-wins on (key, order), any sequence of
+incremental refreshes over a partition of the source equals one full
+rebuild — the same associativity argument the streaming pipelines use,
+applied to batch.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.merge import upsert_last_wins
+
+_WM_FILE = "_high_watermark"
+
+
+def _read_watermark(mart_dir: str) -> int | None:
+    p = os.path.join(mart_dir, _WM_FILE)
+    if os.path.exists(p):
+        with open(p) as f:
+            return int(f.read().strip())
+    return None
+
+
+def incremental_refresh(
+    spark: SparkSession,
+    mart_dir: str,
+    source: DataFrame,
+    transform,
+    ts_col: str,
+    key_cols: list[str],
+    order_col: str,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Refresh the mart at ``mart_dir`` from ``source``.
+
+    ``ts_col`` must be a monotone long (epoch µs) on the SOURCE; only rows
+    strictly newer than the stored watermark are fed to ``transform``
+    (a row-local DataFrame → DataFrame function whose output contains
+    ``key_cols`` + ``order_col``). Returns the refreshed mart DataFrame.
+    Idempotent: re-running with no new source rows rewrites nothing.
+    """
+    wm = _read_watermark(mart_dir)
+    fresh = source if wm is None else source.filter(F.col(ts_col) > wm)
+    hi = fresh.agg(F.max(ts_col).alias("m")).collect()[0].m
+    if hi is None:
+        return spark.read.parquet(os.path.join(mart_dir, "data"))
+    delta = transform(fresh)
+
+    data_dir = os.path.join(mart_dir, "data")
+    existing = (
+        spark.read.parquet(data_dir)
+        if os.path.isdir(data_dir)
+        else delta.limit(0)
+    )
+    merged = upsert_last_wins(
+        existing, delta, key_cols, order_col, tiebreak_cols
+    )
+
+    tmp = f"{data_dir}.tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    swap = f"{data_dir}.old"
+    if os.path.isdir(data_dir):
+        os.rename(data_dir, swap)
+    os.rename(tmp, data_dir)
+    shutil.rmtree(swap, ignore_errors=True)
+    with open(os.path.join(mart_dir, _WM_FILE), "w") as f:
+        f.write(str(int(hi)))
+    return spark.read.parquet(data_dir)

@@ -161,3 +161,63 @@ def test_bucketed_tables_join_without_exchange(spark):
                 spark.conf.set(k, v)
         spark.sql(f"DROP TABLE IF EXISTS {ta}")
         spark.sql(f"DROP TABLE IF EXISTS {tb}")
+
+
+def test_incremental_refresh_equals_full_rebuild(spark):
+    """plans/incremental.py: three incremental refreshes over a time-split
+    source == one full rebuild (the dbt materialized='incremental'
+    contract), the watermark makes an empty refresh a no-op, and refresh
+    cost follows the delta."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from steam_data_engineer_project_spark.plans.incremental import (
+        incremental_refresh,
+    )
+    from steam_data_engineer_project_spark.queries import _t
+
+    def transform(df):
+        return df.filter(F.col("event_type") == "view").select(
+            F.col("event_id").alias("review_id"),
+            F.col("user_id").alias("appid"),
+            F.col("value").alias("score"),
+            F.unix_micros("ts").alias("ts_us"),
+        )
+
+    ev = _t(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "ts_us_src", F.unix_micros("ts")
+    )
+    cuts = ev.approxQuantile("ts_us_src", [0.33, 0.66], 0.01)
+    base = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".scratch")
+    os.makedirs(base, exist_ok=True)
+    mart = tempfile.mkdtemp(prefix="test_incr_", dir=base)
+    try:
+        slices = [
+            ev.filter(F.col("ts_us_src") <= cuts[0]),
+            ev.filter(F.col("ts_us_src") <= cuts[1]),  # overlaps slice 1
+            ev,  # overlaps everything: watermark must dedupe the work
+        ]
+        for s in slices:
+            out = incremental_refresh(
+                spark, mart, s, transform, "ts_us_src", ["review_id"], "ts_us"
+            )
+        got = sorted((r.review_id, r.appid, r.score, r.ts_us) for r in out.collect())
+        want = sorted(
+            (r.review_id, r.appid, r.score, r.ts_us)
+            for r in transform(ev).collect()
+        )
+        assert got == want
+
+        # nothing new → no rewrite (idempotent no-op: same mtime)
+        data = os.path.join(mart, "data")
+        before = os.path.getmtime(data)
+        again = incremental_refresh(
+            spark, mart, ev, transform, "ts_us_src", ["review_id"], "ts_us"
+        )
+        assert os.path.getmtime(data) == before
+        assert again.count() == len(want)
+    finally:
+        shutil.rmtree(mart, ignore_errors=True)
