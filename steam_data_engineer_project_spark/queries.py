@@ -982,6 +982,54 @@ FROM p3
 """
 
 
+def fx_price_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2/F4/F5/F6/F7/F13/F16 suite: EU-decimal price parsing + initial-price
+    guard chain (over lineitem) and the cents→display→cents round-trip +
+    DDMMYYYY tz partition key (over events) — tagged by `part`.
+
+    Both members are per-row scalar pipelines (no shuffle); the union keeps
+    them independent scans so neither inflates the other's plan."""
+    pp = fx_price_parsing(spark, sf_dir).select(
+        F.lit("price_parse").alias("part"),
+        F.col("l_orderkey").cast("long").alias("id"),
+        F.col("l_linenumber").cast("long").alias("id2"),
+        F.col("eu_price").alias("eu"),
+        F.col("cents").cast("long").alias("cents"),
+        F.col("initial_cents").cast("long").alias("derived_cents"),
+        F.col("discount_pct").cast("double").alias("discount_pct"),
+        F.lit(None).cast("string").alias("display"),
+        F.lit(None).cast("string").alias("partition_key"),
+        F.lit(None).cast("boolean").alias("roundtrip_ok"),
+    )
+    cr = fx_cents_roundtrip(spark, sf_dir).select(
+        F.lit("cents_roundtrip").alias("part"),
+        F.col("event_id").cast("long").alias("id"),
+        F.lit(None).cast("long").alias("id2"),
+        F.col("eu_value").alias("eu"),
+        F.col("cents").cast("long").alias("cents"),
+        F.col("reparsed_cents").cast("long").alias("derived_cents"),
+        F.lit(None).cast("double").alias("discount_pct"),
+        "display",
+        "partition_key",
+        "roundtrip_ok",
+    )
+    return pp.unionByName(cr)
+
+
+FX_PRICE_SUITE_ORACLE = f"""
+SELECT 'price_parse' AS part, CAST(l_orderkey AS BIGINT) AS id,
+       CAST(l_linenumber AS BIGINT) AS id2, eu_price AS eu, cents,
+       initial_cents AS derived_cents, CAST(discount_pct AS DOUBLE) AS discount_pct,
+       CAST(NULL AS VARCHAR) AS display, CAST(NULL AS VARCHAR) AS partition_key,
+       CAST(NULL AS BOOLEAN) AS roundtrip_ok
+FROM ({FX_PRICE_ORACLE})
+UNION ALL
+SELECT 'cents_roundtrip', CAST(event_id AS BIGINT), NULL, eu_value, cents,
+       reparsed_cents, NULL, display, partition_key, roundtrip_ok
+FROM ({FX_CENTS_ROUNDTRIP_ORACLE})
+"""
+
+
 def fx_clean_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F10/F11: clean_array_string (both modes) + comma_split over
     stringified lists (etl/transform/transform_game.py:8-25,
@@ -2505,6 +2553,73 @@ FROM ({TYPE_FILTER_ORACLE})
 """
 
 
+def filter_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2/P4/P5/P6/P10 suite: staging projection+filter, conjunctive
+    range predicates, regex-exclusion + record-type filters, and
+    sentinel/NaN normalization — tagged by `part`.
+
+    Each member stays a standalone narrow map stage (filter + project, no
+    shuffle); the union is a no-shuffle concatenation of their scans, so the
+    suite costs exactly the sum of its members and every filter still
+    reaches its parquet scan as a pushed predicate."""
+    stg = stg_projection_filter(spark, sf_dir).select(
+        F.lit("stg").alias("part"),
+        F.col("game_id").cast("long").alias("id"),
+        F.lit(None).cast("long").alias("id2"),
+        F.col("title").alias("name_a"),
+        F.col("segment").alias("name_b"),
+        F.lit(None).cast("double").alias("metric_a"),
+        F.lit(None).cast("double").alias("metric_b"),
+    )
+    rng = range_predicates(spark, sf_dir).select(
+        F.lit("range").alias("part"),
+        F.col("l_orderkey").cast("long").alias("id"),
+        F.col("l_linenumber").cast("long").alias("id2"),
+        F.lit(None).cast("string").alias("name_a"),
+        F.lit(None).cast("string").alias("name_b"),
+        F.col("price").cast("double").alias("metric_a"),
+        F.col("discount").cast("double").alias("metric_b"),
+    )
+    cat = categorical_filters(spark, sf_dir).select(
+        "part",
+        "id",
+        "id2",
+        "name_a",
+        "name_b",
+        F.col("metric").alias("metric_a"),
+        F.lit(None).cast("double").alias("metric_b"),
+    )
+    nan = nan_empty_normalization(spark, sf_dir).select(
+        F.lit("nan_norm").alias("part"),
+        F.col("event_id").cast("long").alias("id"),
+        F.lit(None).cast("long").alias("id2"),
+        F.col("event_type_clean").alias("name_a"),
+        F.lit(None).cast("string").alias("name_b"),
+        F.col("value_filled").cast("double").alias("metric_a"),
+        F.lit(None).cast("double").alias("metric_b"),
+    )
+    return stg.unionByName(rng).unionByName(cat).unionByName(nan)
+
+
+FILTER_SUITE_ORACLE = f"""
+SELECT 'stg' AS part, CAST(game_id AS BIGINT) AS id, CAST(NULL AS BIGINT) AS id2,
+       title AS name_a, segment AS name_b,
+       CAST(NULL AS DOUBLE) AS metric_a, CAST(NULL AS DOUBLE) AS metric_b
+FROM ({STG_PROJECTION_ORACLE})
+UNION ALL
+SELECT 'range', CAST(l_orderkey AS BIGINT), CAST(l_linenumber AS BIGINT),
+       NULL, NULL, CAST(price AS DOUBLE), CAST(discount AS DOUBLE)
+FROM ({RANGE_PRED_ORACLE})
+UNION ALL
+SELECT part, id, id2, name_a, name_b, metric AS metric_a, CAST(NULL AS DOUBLE) AS metric_b
+FROM ({CATEGORICAL_FILTERS_ORACLE})
+UNION ALL
+SELECT 'nan_norm', CAST(event_id AS BIGINT), NULL, event_type_clean, NULL,
+       CAST(value_filled AS DOUBLE), NULL
+FROM ({NAN_NORM_ORACLE})
+"""
+
+
 def join_membership_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3+J6/Q3 suite: FK-violation anti-join and existence semi-join,
     tagged by `part`."""
@@ -2946,10 +3061,7 @@ QUERIES: dict[str, QuerySpec] = {
     "streaming_review_upsert": QuerySpec(streaming_review_upsert, STREAMING_REVIEW_ORACLE, "S4/S13/S11/F17: checkpointed review upsert pipeline (ids cast to string)"),
     # --- relational core.
     "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_ORACLE, "A2: scan→filter→hash agg (flagship)"),
-    "stg_projection_filter": QuerySpec(stg_projection_filter, STG_PROJECTION_ORACLE, "P1/P4: staging projection+filter / pass-through"),
-    "range_predicates": QuerySpec(range_predicates, RANGE_PRED_ORACLE, "P2: conjunctive range predicates"),
-    "categorical_filters": QuerySpec(categorical_filters, CATEGORICAL_FILTERS_ORACLE, "P5+P6: regex exclusion + record-type filters"),
-    "nan_empty_normalization": QuerySpec(nan_empty_normalization, NAN_NORM_ORACLE, "P10: sentinel/NaN normalization"),
+    "filter_suite": QuerySpec(filter_suite, FILTER_SUITE_ORACLE, "P1/P2/P4/P5/P6/P10: projection, range, regex/type, NaN-normalization filters"),
     "dim_star_denorm": QuerySpec(dim_star_denorm, DIM_STAR_ORACLE, "J1/J4+A1: star denorm + left-merge enrich + GROUP_CONCAT"),
     "quality_metrics_fanout": QuerySpec(quality_metrics_fanout, QUALITY_FANOUT_ORACLE, "J2+A2: join-fanout aggregate"),
     "join_membership_suite": QuerySpec(join_membership_suite, JOIN_MEMBERSHIP_ORACLE, "J3+J6/Q3: FK anti-join + existence semi-join"),
@@ -2963,10 +3075,9 @@ QUERIES: dict[str, QuerySpec] = {
     "set_ops_suite": QuerySpec(set_ops_suite, SET_OPS_ORACLE, "§2.7 + S11: union-distinct, except, INSERT IGNORE anti-join"),
     "temporal_join_suite": QuerySpec(temporal_join_suite, TEMPORAL_JOIN_ORACLE, "temporal: backward as-of join + bucketized range join"),
     # --- scalar-function suites.
-    "fx_price_parsing": QuerySpec(fx_price_parsing, FX_PRICE_ORACLE, "F2/F4/F6/F7/F13: price scalar functions + casts"),
+    "fx_price_suite": QuerySpec(fx_price_suite, FX_PRICE_SUITE_ORACLE, "F2/F4/F5/F6/F7/F13/F16: price scalars + cents round-trip + tz partition key"),
     "fx_time_suite": QuerySpec(fx_time_suite, FX_TIME_ORACLE, "F9 + F1/F14: date parse round-trip + epoch conversions"),
     "fx_text_suite": QuerySpec(fx_text_suite, FX_TEXT_ORACLE, "F12 + F10/F11: HTML strip + array-string cleanup"),
-    "fx_cents_roundtrip": QuerySpec(fx_cents_roundtrip, FX_CENTS_ROUNDTRIP_ORACLE, "F4/F5/F16: cents round-trip + tz partition key"),
     "merge_strategies": QuerySpec(merge_strategies, MERGE_STRATEGIES_ORACLE, "S9/S11/A6/A7: three-way merge strategies"),
     "quality_suite": QuerySpec(quality_suite, QUALITY_SUITE_ORACLE, "Q1/Q2/Q4/A4: data-quality checks + counts"),
     # --- training-data pipeline operators.

@@ -62,10 +62,19 @@ def test_nested_loop_joins_only_with_tiny_broadcast_sides(plans):
     assert got <= BNLJ_OK, f"unexpected nested-loop joins in: {got - BNLJ_OK}"
 
 
-def test_projection_filter_pushed_into_parquet_scan(plans):
+def test_projection_filter_pushed_into_parquet_scan(spark):
     """P1: the staging filter must reach the scan (PushedFilters) and the
-    scan must read only the projected columns (pruned ReadSchema)."""
-    plan = plans["stg_projection_filter"]
+    scan must read only the projected columns (pruned ReadSchema). Built on
+    the standalone member (not the filter_suite union) so the plan has
+    exactly one scan to assert against."""
+    from steam_data_engineer_project_spark.queries import stg_projection_filter
+
+    plan = (
+        stg_projection_filter(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
     assert m and m.group(1).strip(), "no filters pushed to the parquet scan"
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
