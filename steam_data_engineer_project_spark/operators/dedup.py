@@ -412,3 +412,73 @@ def simhash_fingerprints(
         "n_tokens",
     )
     return fp
+
+
+def corpus_line_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_freq: int = 1,
+    line_delim: str = "\n",
+) -> DataFrame:
+    """C4-style corpus-level line dedup: drop every line whose corpus-wide
+    frequency exceeds ``max_freq`` (boilerplate — headers, footers, cookie
+    banners), then reassemble each document with surviving lines in their
+    original order.
+
+    Returns (id_col, clean_text, n_kept, n_dropped) — one row per input
+    document; a document whose every line is boilerplate keeps an empty
+    clean_text rather than vanishing.
+
+    Scale design: lines are counted by ``xxhash64`` (a long key — an 8-byte
+    shuffle key instead of the full line string; 64-bit collisions are
+    ~n²/2⁶⁵ and only ever over-drop a line). The banned set is built with
+    one map-side-combinable groupBy — a line duplicated a billion times is
+    a hot KEY but partial aggregation reduces it to one row per map task
+    before the exchange. Dropping is a left_anti equi-join on the hash, and
+    reassembly is one groupBy(id) with an in-array sort (array_sort over
+    (pos, line) structs), so order restoration costs no extra window or
+    per-doc Python.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(
+                F.transform(
+                    F.split(F.col(text_col), line_delim), lambda x: F.trim(x)
+                ),
+                lambda x: x != "",
+            )
+        ).alias("pos", "line"),
+    ).withColumn("h", F.xxhash64("line"))
+    banned = (
+        lines.groupBy("h")
+        .count()
+        .filter(F.col("count") > max_freq)
+        .select("h")
+    )
+    kept = lines.join(banned, on="h", how="left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            line_delim,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = lines.groupBy(id_col).agg(F.count("*").alias("n_total"))
+    return (
+        df.select(id_col)
+        .join(totals, on=id_col, how="left")
+        .join(reassembled, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (F.coalesce("n_total", F.lit(0)) - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+    )

@@ -325,3 +325,54 @@ def lsh_bucket_cosine_topk(
         F.round(cosine_similarity(F.col(vec_col), q), 6).alias("cosine"),
     )
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def quantize_int8(vec: Column) -> Column:
+    """Symmetric per-vector int8 quantization: scale = 127 / max|x_i|,
+    q_i = floor(x_i·scale + 0.5) ∈ [-127, 127].
+
+    The per-vector scale cancels in cosine similarity, so quantized vectors
+    are scored directly — no dequantization, no stored scale. floor(x+0.5)
+    is used instead of round() because its half-way behavior is identical
+    across engines (Java round-half-up vs RE2/C round-half-even would make
+    an oracle flaky on exact .5 products).
+
+    At scale this is the classic storage/bandwidth trade: an int8 vector is
+    4× narrower than float32 on the wire and in cache, which is usually the
+    difference between a shuffle-bound and a CPU-bound ANN pass; the recall
+    cost is pinned by tests/test_recall.py.
+    """
+    amax = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
+    scale = F.lit(127.0) / F.greatest(amax, F.lit(1e-30))
+    return F.transform(
+        vec, lambda x: F.floor(x.cast("double") * scale + F.lit(0.5))
+    )
+
+
+def quantized_cosine_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec: list[float],
+    k: int = 10,
+) -> DataFrame:
+    """Approximate cosine top-k over int8-quantized vectors.
+
+    Returns (id_col, q_cosine): cosine computed on the quantized
+    representations (the per-vector scales cancel), rounded to 6 places,
+    ties broken by id. Same plan shape as brute_force_cosine_topk — a scan
+    plus TakeOrderedAndProject — but the arithmetic is over small integers.
+    """
+    import math
+
+    amax = max((abs(float(v)) for v in query_vec), default=0.0)
+    scale = 127.0 / max(amax, 1e-30)
+    q = F.array(
+        *[F.lit(float(math.floor(float(v) * scale + 0.5))) for v in query_vec]
+    )
+    qv = quantize_int8(F.col(vec_col))
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine_similarity(qv, q), 6).alias("q_cosine"),
+    )
+    return scored.orderBy(F.desc("q_cosine"), F.asc(id_col)).limit(k)

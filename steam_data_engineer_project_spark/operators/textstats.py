@@ -115,6 +115,88 @@ def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def repetition_stats(
+    df: DataFrame, text_col: str, id_col: str, line_delim: str = "\n"
+) -> DataFrame:
+    """Within-document repetition signals (Gopher-style quality filters):
+    duplicate-line fraction, duplicate-line character fraction, and the
+    fraction of word bigrams taken by the single most frequent bigram.
+
+    Returns (id, n_lines, n_dup_lines, dup_line_frac, dup_line_char_frac,
+    n_bigrams, top_bigram_count, top_bigram_frac).
+
+    Scale design: the line stats are pure per-row array expressions
+    (split/array_distinct/aggregate — whole-stage codegen, zero shuffle).
+    The bigram mode genuinely needs a frequency table, so it is an
+    explode → groupBy(id, bigram) → groupBy(id) pipeline: both aggregates
+    partial (map-side combine), keys are (doc, bigram) so there is no hot
+    key, and the doc-length quadratic of computing an in-array mode with
+    ``filter`` per distinct element is avoided.
+    """
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), line_delim), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    n_lines = F.size(lines)
+    n_distinct = F.size(F.array_distinct(lines))
+    total_chars = F.aggregate(
+        lines, F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    distinct_chars = F.aggregate(
+        F.array_distinct(lines), F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    line_stats = df.select(
+        F.col(id_col),
+        n_lines.cast("long").alias("n_lines"),
+        (n_lines - n_distinct).cast("long").alias("n_dup_lines"),
+        F.round(
+            (n_lines - n_distinct) / F.greatest(n_lines, F.lit(1)), 6
+        ).alias("dup_line_frac"),
+        F.round(
+            (total_chars - distinct_chars) / F.greatest(total_chars, F.lit(1)), 6
+        ).alias("dup_line_char_frac"),
+    )
+
+    tokens = F.split(_norm_text(F.col(text_col)), " ")
+    bigrams = (
+        df.select(F.col(id_col), tokens.alias("tk"))
+        .filter(F.size("tk") >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("tk") - 2),
+                    lambda i: F.concat_ws(" ", F.col("tk")[i], F.col("tk")[i + 1]),
+                )
+            ).alias("bg"),
+        )
+    )
+    bigram_stats = (
+        bigrams.groupBy(id_col, "bg")
+        .count()
+        .groupBy(id_col)
+        .agg(
+            F.sum("count").alias("n_bigrams"),
+            F.max("count").alias("top_bigram_count"),
+        )
+    )
+    joined = line_stats.join(bigram_stats, on=id_col, how="left")
+    return joined.select(
+        id_col,
+        "n_lines",
+        "n_dup_lines",
+        "dup_line_frac",
+        "dup_line_char_frac",
+        F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        F.coalesce("top_bigram_count", F.lit(0)).cast("long").alias("top_bigram_count"),
+        F.round(
+            F.coalesce("top_bigram_count", F.lit(0))
+            / F.greatest(F.coalesce("n_bigrams", F.lit(0)), F.lit(1)),
+            6,
+        ).alias("top_bigram_frac"),
+    )
+
+
 def doc_fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Content fingerprint: md5 of normalized text + pow-2 length bucket.
 

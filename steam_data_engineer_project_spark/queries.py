@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators.dedup import (
+    corpus_line_dedup,
     exact_dedup,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
@@ -75,6 +76,7 @@ from .sources.rest import rest_fetch
 from .sources.sinks import from_kafka_frame, to_kafka_frame
 from .streaming.price_pipeline import run_price_pipeline
 from .streaming.review_pipeline import run_review_pipeline
+from .operators.pii import pii_stats
 from .operators.sessionize import sessionize
 from .operators.skew import salted_aggregate
 from .operators.similarity import (
@@ -82,8 +84,14 @@ from .operators.similarity import (
     embedding_near_dup_pairs,
     ivf_cosine_topk,
     lsh_bucket_id,
+    quantize_int8,
 )
-from .operators.textstats import doc_fingerprint, language_id, text_quality
+from .operators.textstats import (
+    doc_fingerprint,
+    language_id,
+    repetition_stats,
+    text_quality,
+)
 from .operators.topk import latest_per_key, top_k
 
 
@@ -1535,6 +1543,44 @@ ORDER BY cosine DESC, vec_id LIMIT 10
 """
 
 
+def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8-quantized cosine top-10 against the vec_id=0 embedding: both
+    sides symmetric-quantized (scale = 127/max|x|, floor(x·scale+0.5)), the
+    per-vector scales cancel in cosine, so scoring runs on small integers —
+    4× narrower vectors on the wire. Query side quantized JVM-side from the
+    same table scan (broadcast), mirroring ann_cosine_topk's shape."""
+    e = _spread(spark, sf_dir, "embeddings", "vec_id")  # HOF vector math is interpreted: spread the single-row-group scan
+    q = e.filter(F.col("vec_id") == 0).select(
+        quantize_int8(F.col("embedding")).alias("qv")
+    )
+    data = e.select("vec_id", quantize_int8(F.col("embedding")).alias("dv"))
+    scored = data.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        F.round(cosine_similarity(F.col("dv"), F.col("qv")), 6).alias("q_cosine"),
+    )
+    return scored.orderBy(F.desc("q_cosine"), F.asc("vec_id")).limit(10)
+
+
+_Q8 = (
+    "list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * (127.0 / "
+    "greatest(list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))), "
+    "1e-30)) + 0.5))"
+)
+
+ANN_QUANTIZED_ORACLE = f"""
+WITH q AS (SELECT {_Q8} AS qv FROM embeddings WHERE vec_id = 0),
+d AS (SELECT vec_id, {_Q8} AS dv FROM embeddings),
+pairs AS (
+  SELECT d.vec_id, UNNEST(d.dv) AS x, UNNEST(q.qv) AS y FROM d, q
+), scores AS (
+  SELECT vec_id, SUM(x*y) AS dot, SUM(x*x) AS nx, SUM(y*y) AS ny
+  FROM pairs GROUP BY vec_id
+)
+SELECT vec_id, ROUND(dot / (SQRT(nx) * SQRT(ny)), 6) AS q_cosine
+FROM scores ORDER BY q_cosine DESC, vec_id LIMIT 10
+"""
+
+
 def text_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: token counts, distinct/punct/stopword ratios,
     composite score."""
@@ -1639,6 +1685,177 @@ SELECT doc_id,
        md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
        CAST(FLOOR(LOG2(GREATEST(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1))) AS BIGINT) AS len_bucket
 FROM documents
+"""
+
+
+def dedup_corpus_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level line dedup (C4-style boilerplate removal). The corpus is
+    single-line docs, so the query synthesizes known boilerplate: a global
+    newsletter banner on even docs and a per-source footer line — both exceed
+    max_freq=1 across the corpus and must be dropped, while each doc's own
+    text line survives (unless two docs are literal duplicates, which is
+    exactly the signal the operator exists for)."""
+    d = _docs(spark, sf_dir)
+    mtext = F.concat_ws(
+        "\n",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("subscribe to our newsletter today")),
+        F.col("text"),
+        F.concat(F.lit("footer for "), F.col("source")),
+    )
+    return corpus_line_dedup(
+        d.select("doc_id", mtext.alias("mtext")), "mtext", "doc_id", max_freq=1
+    )
+
+
+DEDUP_CORPUS_LINES_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id,
+         concat_ws(chr(10),
+           CASE WHEN doc_id % 2 = 0 THEN 'subscribe to our newsletter today' END,
+           text, 'footer for ' || source) AS mtext
+  FROM documents
+), lifted AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(mtext, chr(10)), x -> trim(x)),
+                     x -> x <> '') AS ls
+  FROM base
+), lines AS (
+  SELECT doc_id, unnest(ls) AS line, generate_subscripts(ls, 1) AS pos FROM lifted
+), freq AS (
+  SELECT line, COUNT(*) AS c FROM lines GROUP BY line
+), kept AS (
+  SELECT l.doc_id, l.pos, l.line FROM lines l JOIN freq f USING (line) WHERE f.c <= 1
+), agg AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+), tot AS (
+  SELECT doc_id, COUNT(*) AS n_total FROM lines GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+       CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(COALESCE(t.n_total, 0) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_dropped
+FROM documents d
+LEFT JOIN tot t USING (doc_id)
+LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: regex detection counts + sequential redaction. The corpus
+    is clean word soup, so the query injects deterministic PII (an email, a
+    phone, an IPv4, keyed off doc_id) into 3 of every 4 docs — the remaining
+    quarter verifies the has_pii=false path."""
+    d = _docs(spark, sf_dir)
+    injected = F.concat(
+        F.lit("contact u"),
+        F.col("doc_id"),
+        F.lit("@mail.example.com or +1 555 01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        F.lit(" ip 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit("."),
+        ((F.col("doc_id") * 7) % 256).cast("string"),
+    )
+    mtext = F.concat_ws(
+        " ", F.col("text"), F.when(F.col("doc_id") % 4 != 0, injected)
+    )
+    return pii_stats(d.select("doc_id", mtext.alias("mtext")), "mtext", "doc_id")
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+_PII_PHONE = r"\+?\d[\d -]{7,}\d"
+
+TEXT_PII_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id,
+         concat_ws(' ', text,
+           CASE WHEN doc_id % 4 <> 0 THEN
+             'contact u' || CAST(doc_id AS VARCHAR) || '@mail.example.com or +1 555 01'
+             || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+             || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+             || CAST((doc_id * 7) % 256 AS VARCHAR)
+           END) AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(t, '{_PII_IPV4}')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT) AS n_phone,
+       (len(regexp_extract_all(t, '{_PII_EMAIL}')) > 0
+        OR len(regexp_extract_all(t, '{_PII_IPV4}')) > 0
+        OR len(regexp_extract_all(t, '{_PII_PHONE}')) > 0) AS has_pii,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_IPV4}', '<IP>', 'g'),
+         '{_PII_PHONE}', '<PHONE>', 'g') AS redacted
+FROM base
+"""
+
+
+def text_repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality filters (Gopher-style): duplicate-line fractions +
+    top-bigram fraction. The corpus is single-line word soup, so the query
+    synthesizes deterministic multiline text first — the full doc plus a
+    40-char header repeated 2 or 3 times depending on doc_id % 3 — giving
+    every doc a known nonzero duplicate-line signal to verify against."""
+    d = _docs(spark, sf_dir)
+    header = F.substring("text", 1, 40)
+    mtext = F.concat_ws(
+        "\n",
+        F.col("text"),
+        header,
+        header,
+        F.when(F.col("doc_id") % 3 == 0, header),
+    )
+    out = repetition_stats(
+        d.select("doc_id", mtext.alias("mtext")), "mtext", "doc_id"
+    )
+    return out
+
+
+TEXT_REPETITION_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id,
+         concat_ws(chr(10), text, substr(text, 1, 40), substr(text, 1, 40),
+                   CASE WHEN doc_id % 3 = 0 THEN substr(text, 1, 40) END) AS mtext
+  FROM documents
+), lined AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(mtext, chr(10)), x -> trim(x)),
+                     x -> x <> '') AS ls,
+         trim(regexp_replace(lower(mtext), '\s+', ' ', 'g')) AS norm
+  FROM base
+), linestats AS (
+  SELECT doc_id,
+         CAST(len(ls) AS BIGINT) AS n_lines,
+         CAST(len(ls) - len(list_distinct(ls)) AS BIGINT) AS n_dup_lines,
+         COALESCE(list_sum(list_transform(ls, x -> length(x))), 0) AS total_chars,
+         COALESCE(list_sum(list_transform(list_distinct(ls), x -> length(x))), 0) AS distinct_chars,
+         norm
+  FROM lined
+), toks AS (
+  SELECT doc_id, string_split(norm, ' ') AS tk FROM linestats WHERE norm <> ''
+), idx AS (
+  SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM toks WHERE len(tk) >= 2
+), bgs AS (
+  SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS bg FROM idx
+), bgc AS (
+  SELECT doc_id, bg, COUNT(*) AS c FROM bgs GROUP BY doc_id, bg
+), bstats AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+         CAST(MAX(c) AS BIGINT) AS top_bigram_count
+  FROM bgc GROUP BY doc_id
+)
+SELECT l.doc_id, l.n_lines, l.n_dup_lines,
+       ROUND(l.n_dup_lines / GREATEST(l.n_lines, 1), 6) AS dup_line_frac,
+       ROUND((l.total_chars - l.distinct_chars) / GREATEST(l.total_chars, 1), 6) AS dup_line_char_frac,
+       COALESCE(b.n_bigrams, 0) AS n_bigrams,
+       COALESCE(b.top_bigram_count, 0) AS top_bigram_count,
+       ROUND(COALESCE(b.top_bigram_count, 0) / GREATEST(COALESCE(b.n_bigrams, 0), 1), 6) AS top_bigram_frac
+FROM linestats l LEFT JOIN bstats b USING (doc_id)
 """
 
 
@@ -3085,13 +3302,17 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_ngram_jaccard_docs": QuerySpec(dedup_ngram_jaccard_docs, DEDUP_NGRAM_ORACLE, "dedup: n-gram Jaccard pairs"),
     "dedup_minhash_lsh_docs": QuerySpec(dedup_minhash_lsh_docs, DEDUP_MINHASH_ORACLE, "dedup: MinHash+LSH candidates"),
     "dedup_simhash_docs": QuerySpec(dedup_simhash_docs, DEDUP_SIMHASH_ORACLE, "dedup: SimHash fingerprints"),
+    "dedup_corpus_lines": QuerySpec(dedup_corpus_lines, DEDUP_CORPUS_LINES_ORACLE, "dedup: corpus-level line boilerplate removal (C4-style)"),
     "ann_cosine_topk": QuerySpec(ann_cosine_topk, ANN_COSINE_ORACLE, "similarity: brute-force cosine top-k"),
     "ann_lsh_topk": QuerySpec(ann_lsh_topk, ANN_LSH_ORACLE, "similarity: LSH-bucketed cosine top-k"),
     "ann_ivf_topk": QuerySpec(ann_ivf_topk, ANN_IVF_ORACLE, "similarity: IVF coarse-quantized cosine top-k"),
+    "ann_quantized_topk": QuerySpec(ann_quantized_topk, ANN_QUANTIZED_ORACLE, "similarity: int8-quantized cosine top-k (scale-cancelling)"),
     "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, DEDUP_EMBEDDING_ORACLE, "dedup: embedding-cosine near-dup pairs (LSH-bucketed)"),
     "text_quality_docs": QuerySpec(text_quality_docs, TEXT_QUALITY_ORACLE, "text: quality scoring"),
     "text_lang_id_docs": QuerySpec(text_lang_id_docs, TEXT_LANG_ORACLE, "text: language ID"),
     "doc_fingerprint_docs": QuerySpec(doc_fingerprint_docs, DOC_FINGERPRINT_ORACLE, "text: content fingerprint"),
+    "text_repetition_docs": QuerySpec(text_repetition_docs, TEXT_REPETITION_ORACLE, "text: repetition quality filters (dup lines, top bigram)"),
+    "text_pii_redaction": QuerySpec(text_pii_redaction, TEXT_PII_ORACLE, "text: PII detection counts + sequential redaction"),
     "sessionization": QuerySpec(sessionization, SESSIONIZATION_ORACLE, "sessionization: gap-based"),
     "tumbling_window_agg": QuerySpec(tumbling_window_agg, TUMBLING_ORACLE, "ST6: tumbling window agg"),
     # --- the dbt model DAG.

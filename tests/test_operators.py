@@ -817,3 +817,110 @@ def test_sample_frames_fans_out_wav_payloads(spark):
         (1, 6, body[24:28]),
         (1, 9, body[36:40]),
     ]
+
+
+def test_repetition_stats_pins_known_doc(spark):
+    """repetition_stats: hand-computed duplicate-line and top-bigram
+    fractions, plus the no-bigram short doc and empty-doc guards."""
+    from steam_data_engineer_project_spark.operators.textstats import (
+        repetition_stats,
+    )
+
+    rows = [
+        # 4 lines, "a b" appears twice as a line (1 dup of 3 chars / 22);
+        # flattened tokens: a b b c d a b a b c d a b -> 12 bigrams,
+        # "a b" at positions 1,6,8,12 -> top count 4.
+        (1, "a b\nb c d\na b\na b c d a b"),
+        (2, "solo"),  # one token: no bigrams, no dup lines
+        (3, ""),  # empty: all-zero row, no division blowup
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_stats(df, "text", "doc_id").collect()}
+
+    r1 = got[1]
+    assert (r1.n_lines, r1.n_dup_lines) == (4, 1)
+    assert r1.dup_line_frac == 0.25
+    # chars: lines [3,5,3,11] total 22; distinct drops one "a b" -> 3 dup chars
+    assert r1.dup_line_char_frac == round(3 / 22, 6)
+    assert (r1.n_bigrams, r1.top_bigram_count) == (12, 4)
+    assert r1.top_bigram_frac == round(4 / 12, 6)
+
+    r2 = got[2]
+    assert (r2.n_lines, r2.n_dup_lines, r2.n_bigrams, r2.top_bigram_frac) == (
+        1, 0, 0, 0.0,
+    )
+
+    r3 = got[3]
+    assert (r3.n_lines, r3.n_dup_lines, r3.dup_line_frac, r3.n_bigrams) == (
+        0, 0, 0.0, 0,
+    )
+
+
+def test_pii_stats_detects_and_redacts(spark):
+    """pii_stats: independent counts on the original text, sequential
+    redaction, dotted quads not eaten by the phone pattern, clean docs
+    report has_pii=false."""
+    from steam_data_engineer_project_spark.operators.pii import pii_stats
+
+    rows = [
+        (1, "mail a.b+c@x-corp.io and b@y.org call +1 555 0199 00 via 10.0.0.1"),
+        (2, "all clean here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in pii_stats(df, "text", "doc_id").collect()}
+
+    r1 = got[1]
+    assert (r1.n_email, r1.n_ipv4, r1.n_phone) == (2, 1, 1)
+    assert r1.has_pii
+    assert r1.redacted == "mail <EMAIL> and <EMAIL> call <PHONE> via <IP>"
+
+    r2 = got[2]
+    assert (r2.n_email, r2.n_ipv4, r2.n_phone, r2.has_pii) == (0, 0, 0, False)
+    assert r2.redacted == "all clean here"
+
+
+def test_corpus_line_dedup_drops_boilerplate_keeps_order(spark):
+    """corpus_line_dedup: cross-doc duplicate lines dropped everywhere,
+    surviving lines keep original order, all-boilerplate docs stay as empty
+    rows, max_freq raises the drop threshold."""
+    from steam_data_engineer_project_spark.operators.dedup import (
+        corpus_line_dedup,
+    )
+
+    rows = [
+        (1, "banner\nunique one\nfooter"),
+        (2, "banner\nunique two\nfooter"),
+        (3, "banner\nfooter"),  # nothing survives
+        (4, "z last\na first\nbanner"),  # order: original positions, not sort
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in corpus_line_dedup(df, "text", "doc_id").collect()}
+
+    assert got[1].clean_text == "unique one" and (got[1].n_kept, got[1].n_dropped) == (1, 2)
+    assert got[2].clean_text == "unique two"
+    assert got[3].clean_text == "" and (got[3].n_kept, got[3].n_dropped) == (0, 2)
+    assert got[4].clean_text == "z last\na first"
+
+    # max_freq=3: banner (4x) still dropped, footer (2x) now survives
+    relaxed = {
+        r.doc_id: r
+        for r in corpus_line_dedup(df, "text", "doc_id", max_freq=3).collect()
+    }
+    assert relaxed[3].clean_text == "footer"
+
+
+def test_quantize_int8_bounds_and_scale_cancellation(spark):
+    """quantize_int8: values land in [-127, 127] with max|x| -> ±127, and
+    a uniformly scaled vector quantizes identically (scale cancels)."""
+    from steam_data_engineer_project_spark.operators.similarity import (
+        quantize_int8,
+    )
+
+    rows = [
+        (1, [2.0, -1.0, 0.5, 0.0]),
+        (2, [200.0, -100.0, 50.0, 0.0]),  # 100x scaled copy of row 1
+    ]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    got = {r.id: r.q for r in df.select("id", quantize_int8(F.col("vec")).alias("q")).collect()}
+    assert got[1] == [127, -63, 32, 0]  # floor(-63.5+0.5)=-63, floor(31.75+0.5)=32
+    assert got[1] == got[2]

@@ -30,6 +30,7 @@ BNLJ_OK = {
     "ann_cosine_topk",  # broadcast single query vector
     "ann_lsh_topk",  # broadcast single query vector + bucket id
     "ann_ivf_topk",  # broadcast query against the tiny centroid codebook
+    "ann_quantized_topk",  # broadcast single quantized query vector
 }
 
 

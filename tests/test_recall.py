@@ -84,3 +84,13 @@ def test_simhash_hamming_recall_floor(spark, truth_pairs):
     }
     recall = len(close) / len(truth_pairs)
     assert recall >= 0.90, f"simhash hamming-12 recall fell to {recall}"
+
+
+def test_ann_quantized_recall_floor(spark, exact_top10):
+    """int8 symmetric quantization; measured recall@10 = 0.90 (one tail
+    swap between near-tied neighbors). Floor: 0.80."""
+    got = [
+        r.vec_id for r in QUERIES["ann_quantized_topk"].spark(spark, SF_DIR).collect()
+    ]
+    recall = len(set(exact_top10) & set(got)) / len(exact_top10)
+    assert recall >= 0.80, f"ann_quantized recall@10 fell to {recall}"
