@@ -29,6 +29,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .operators.dedup import (
     corpus_line_dedup,
@@ -115,10 +116,12 @@ _CATALOG: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read a driver parquet table (cached per session — see _CATALOG).
 
-    ``events.ts`` is physically TIMESTAMP(NANOS) which Spark's parquet reader
-    rejects; read it as raw nanos (legacy conf, runtime-settable) and truncate
-    to microseconds — matching DuckDB's ``epoch_us`` truncation of the same
-    column, so both engines see identical µs-precision event times.
+    ``events.ts`` has shipped in two physical generations: TIMESTAMP(NANOS)
+    (which Spark's parquet reader rejects — read as raw nanos via the legacy
+    conf and truncate to microseconds, matching DuckDB's ``epoch_us``
+    truncation) and plain TIMESTAMP(MICROS) (read as-is). Detect which by the
+    type the reader produces so both generations yield identical µs-precision
+    event times.
     """
     import os
 
@@ -134,9 +137,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path).withColumn(
-            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-        )
+        df = spark.read.parquet(path)
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        else:
+            # TIMESTAMP(MICROS) generation arrives as TIMESTAMP_NTZ; cast to
+            # session-zoned TIMESTAMP (session TZ is pinned UTC above) so
+            # unix_micros()/window() downstream see the same epoch values
+            # DuckDB's epoch_us() reads off the naive column.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     else:
         df = spark.read.parquet(path)
     per[key] = df
