@@ -482,3 +482,69 @@ def corpus_line_dedup(
             .alias("n_dropped"),
         )
     )
+
+
+def cross_corpus_contamination(
+    train: DataFrame,
+    eval_: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 3,
+    min_shared: int = 2,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Decontamination: n-gram overlap of every TRAIN document against an
+    EVAL/benchmark corpus — the leakage check a training-data pipeline runs
+    before any split ships (an eval question quoted inside a train document
+    inflates downstream scores invisibly).
+
+    Returns (train_id, eval_id, shared_shingles, jaccard) candidate pairs;
+    aggregate per train_id for a keep/drop verdict.
+
+    Scale design: same inverted-index shape as :func:`ngram_jaccard_pairs`
+    but the pair space is a CROSS join of posting lists, not a self-join —
+    each side builds its own posting list per shingle (one shuffle each),
+    the two are equi-joined on the shingle key (eval is the small side at
+    100 TB — a benchmark corpus is MBs — so Catalyst broadcasts it), and
+    (train, eval) pairs explode JVM-side bounded by
+    ``max_doc_freq_train × max_doc_freq_eval`` per shingle. The Jaccard
+    denominator uses each side's own capped shingle count.
+    """
+    tp = shingle_postings(train, text_col, id_col, n, max_doc_freq=max_doc_freq)
+    ep = shingle_postings(eval_, text_col, id_col, n, max_doc_freq=max_doc_freq)
+    t_sizes = (
+        tp.select(F.explode("ids").alias("train_id"))
+        .groupBy("train_id")
+        .agg(F.count("*").alias("n_t"))
+    )
+    e_sizes = (
+        ep.select(F.explode("ids").alias("eval_id"))
+        .groupBy("eval_id")
+        .agg(F.count("*").alias("n_e"))
+    )
+    cross = (
+        tp.select("shingle", F.col("ids").alias("t_ids"))
+        .join(ep.select("shingle", F.col("ids").alias("e_ids")), "shingle")
+        .select(
+            F.explode("t_ids").alias("train_id"), F.col("e_ids")
+        )
+        .select("train_id", F.explode("e_ids").alias("eval_id"))
+        .groupBy("train_id", "eval_id")
+        .agg(F.count("*").alias("shared_shingles"))
+        .filter(F.col("shared_shingles") >= min_shared)
+    )
+    return (
+        cross.join(t_sizes, "train_id")
+        .join(e_sizes, "eval_id")
+        .select(
+            "train_id",
+            "eval_id",
+            "shared_shingles",
+            F.round(
+                F.col("shared_shingles")
+                / (F.col("n_t") + F.col("n_e") - F.col("shared_shingles")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -209,3 +209,35 @@ def doc_fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             "len_bucket"
         ),
     )
+
+
+#: GPT-2-style pre-tokenizer regex, restricted to constructs whose semantics
+#: are identical in Java regex (Spark) and RE2 (DuckDB/most engines): no
+#: lookahead, leftmost-first alternation, explicit ASCII classes. Pieces:
+#: English contractions, space-prefixed letter runs, digit runs, punctuation
+#: runs, then bare whitespace.
+BPE_SPLIT_PATTERN = (
+    "'(?:s|t|re|ve|m|ll|d)"
+    "| ?[A-Za-z]+"
+    "| ?[0-9]+"
+    "| ?[^A-Za-z0-9\\s]+"
+    "|\\s+"
+)
+
+
+def bpe_token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Sub-word-style token accounting: count of BPE-ish pre-tokens (the
+    unit LLM token budgets are estimated in — whitespace tokens excluded)
+    and the distinct pre-token count. Pure per-row expressions — one narrow
+    projection, no shuffle, no UDF."""
+    pieces = F.regexp_extract_all(
+        F.col(text_col), F.lit(BPE_SPLIT_PATTERN), F.lit(0)
+    )
+    nonws = F.filter(pieces, lambda p: F.trim(p) != "")
+    return df.select(
+        F.col(id_col),
+        F.size(nonws).cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(F.transform(nonws, lambda p: F.trim(p))))
+        .cast("long")
+        .alias("n_bpe_distinct"),
+    )

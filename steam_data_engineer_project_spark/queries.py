@@ -33,11 +33,14 @@ from pyspark.sql import types as T
 
 from .operators.dedup import (
     corpus_line_dedup,
+    cross_corpus_contamination,
     exact_dedup,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
     simhash_fingerprints,
 )
+from .operators.components import connected_components
+from .operators.sampling import deterministic_split, stratified_sample_exact
 from .functions.aggregates import davg, dsum
 from .functions.scalars import (
     clean_array_string,
@@ -88,6 +91,7 @@ from .operators.similarity import (
     quantize_int8,
 )
 from .operators.textstats import (
+    bpe_token_stats,
     doc_fingerprint,
     language_id,
     repetition_stats,
@@ -1697,6 +1701,296 @@ FROM documents
 """
 
 
+def _bpe_oracle() -> str:
+    from .operators.textstats import BPE_SPLIT_PATTERN
+
+    pat = BPE_SPLIT_PATTERN.replace("'", "''")
+    return f"""
+SELECT doc_id,
+  CAST(len(list_filter(regexp_extract_all(text, '{pat}', 0),
+           p -> trim(p) <> '')) AS BIGINT) AS n_bpe_tokens,
+  CAST(len(list_distinct(list_transform(
+           list_filter(regexp_extract_all(text, '{pat}', 0), p -> trim(p) <> ''),
+           p -> trim(p)))) AS BIGINT) AS n_bpe_distinct
+FROM documents
+"""
+
+
+def text_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-profile suite: quality scoring, language ID, content
+    fingerprint, and BPE-ish pre-token accounting (the unit LLM token
+    budgets are estimated in), tagged by `part`.
+
+    Every member is a narrow per-row projection of the same documents scan
+    (no shuffle anywhere); the union concatenates the four projections, so
+    the suite costs the sum of its members and stays a single map stage at
+    any scale."""
+    q = text_quality_docs(spark, sf_dir).select(
+        F.lit("quality").alias("part"),
+        "doc_id",
+        F.lit(None).cast("string").alias("label"),
+        F.col("n_chars").alias("n_a"),
+        F.col("n_tokens").alias("n_b"),
+        F.col("n_distinct_tokens").alias("n_c"),
+        F.col("distinct_ratio").cast("double").alias("r_a"),
+        F.col("avg_token_len").cast("double").alias("r_b"),
+        F.col("punct_ratio").cast("double").alias("r_c"),
+        F.col("stopword_ratio").cast("double").alias("r_d"),
+        F.col("quality_score").cast("double").alias("r_e"),
+    )
+    _null_rs = [F.lit(None).cast("double").alias(c) for c in ("r_a", "r_b", "r_c", "r_d", "r_e")]
+    lg = text_lang_id_docs(spark, sf_dir).select(
+        F.lit("lang").alias("part"),
+        "doc_id",
+        F.col("predicted_lang").alias("label"),
+        F.col("marker_hits").alias("n_a"),
+        F.lit(None).cast("long").alias("n_b"),
+        F.lit(None).cast("long").alias("n_c"),
+        *_null_rs,
+    )
+    fp = doc_fingerprint_docs(spark, sf_dir).select(
+        F.lit("fingerprint").alias("part"),
+        "doc_id",
+        F.col("fingerprint").alias("label"),
+        F.col("len_bucket").alias("n_a"),
+        F.lit(None).cast("long").alias("n_b"),
+        F.lit(None).cast("long").alias("n_c"),
+        *_null_rs,
+    )
+    bpe = bpe_token_stats(_docs(spark, sf_dir), "text", "doc_id").select(
+        F.lit("bpe").alias("part"),
+        "doc_id",
+        F.lit(None).cast("string").alias("label"),
+        F.col("n_bpe_tokens").alias("n_a"),
+        F.col("n_bpe_distinct").alias("n_b"),
+        F.lit(None).cast("long").alias("n_c"),
+        *_null_rs,
+    )
+    return q.unionByName(lg).unionByName(fp).unionByName(bpe)
+
+
+def _text_profile_oracle() -> str:
+    return f"""
+SELECT 'quality' AS part, doc_id, CAST(NULL AS VARCHAR) AS label,
+       n_chars AS n_a, n_tokens AS n_b, n_distinct_tokens AS n_c,
+       CAST(distinct_ratio AS DOUBLE) AS r_a, CAST(avg_token_len AS DOUBLE) AS r_b,
+       CAST(punct_ratio AS DOUBLE) AS r_c, CAST(stopword_ratio AS DOUBLE) AS r_d,
+       CAST(quality_score AS DOUBLE) AS r_e
+FROM ({TEXT_QUALITY_ORACLE})
+UNION ALL
+SELECT 'lang', doc_id, predicted_lang, marker_hits,
+       NULL, NULL, NULL, NULL, NULL, NULL, NULL
+FROM ({TEXT_LANG_ORACLE})
+UNION ALL
+SELECT 'fingerprint', doc_id, fingerprint, len_bucket,
+       NULL, NULL, NULL, NULL, NULL, NULL, NULL
+FROM ({DOC_FINGERPRINT_ORACLE})
+UNION ALL
+SELECT 'bpe', doc_id, NULL, n_bpe_tokens, n_bpe_distinct,
+       NULL, NULL, NULL, NULL, NULL, NULL
+FROM ({_bpe_oracle()})
+"""
+
+
+def sampling_split_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic splitting/sampling suite, tagged by `part`:
+
+    - split_counts: md5-bucket train/valid/test split (80/10/10) of the
+      documents table, aggregated per (split, lang). The split is a pure
+      function of doc_id — stable under any partitioning or rerun, the
+      property `randomSplit` lacks.
+    - stratified: EXACTLY min(40, |stratum|) docs per lang, picked by hash
+      order — one window shuffle on the stratum key.
+
+    Both decisions are engine-portable md5 arithmetic, so the oracle
+    recomputes them bit-for-bit in SQL."""
+    d = _docs(spark, sf_dir)
+    counts = (
+        deterministic_split(d, "doc_id", {"train": 0.8, "valid": 0.1, "test": 0.1})
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("split_counts").alias("part"),
+            "split",
+            "lang",
+            F.lit(None).cast("long").alias("doc_id"),
+            F.col("n").cast("long").alias("n"),
+        )
+    )
+    strat = stratified_sample_exact(d, "lang", "doc_id", 40).select(
+        F.lit("stratified").alias("part"),
+        F.lit(None).cast("string").alias("split"),
+        "lang",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.lit(None).cast("long").alias("n"),
+    )
+    return counts.unionByName(strat)
+
+
+_MD5_BUCKET_SQL = (
+    "CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+)
+
+SAMPLING_SPLIT_ORACLE = f"""
+WITH bucketed AS (
+  SELECT doc_id, lang, {_MD5_BUCKET_SQL} % 10000 AS b
+  FROM documents
+), split AS (
+  SELECT lang,
+         CASE WHEN b < 8000 THEN 'train'
+              WHEN b < 9000 THEN 'valid'
+              ELSE 'test' END AS split
+  FROM bucketed
+), ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY {_MD5_BUCKET_SQL} % 2147483648, doc_id) AS rn
+  FROM documents
+)
+SELECT 'split_counts' AS part, split, lang,
+       CAST(NULL AS BIGINT) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n
+FROM split GROUP BY split, lang
+UNION ALL
+SELECT 'stratified', NULL, lang, doc_id, NULL
+FROM ranked WHERE rn <= 40
+"""
+
+
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse n-gram near-dup PAIRS into CLUSTERS (iterative min-label
+    connected components — operators/components.py) and mark the canonical
+    (minimum-id) document of each cluster: the keep/drop verdict a dedup
+    pipeline actually ships, and the unit a leakage-safe train/test split
+    routes as a whole.
+
+    Scale: pair generation is the capped inverted-index plan of
+    dedup_ngram_jaccard_docs; the component loop is O(cluster diameter)
+    shuffles on the edge key — near-dup clusters are dense and shallow, so
+    a handful of rounds converges (each round localCheckpoints to keep the
+    plan linear). The oracle recomputes the same fixpoint as a recursive
+    CTE."""
+    d = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(
+        d, "text", "doc_id", n=3, min_shared=2, max_doc_freq=100
+    )
+    comp = connected_components(pairs.select("id_a", "id_b"), "id_a", "id_b")
+    sizes = comp.groupBy("component").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return comp.join(sizes, "component").select(
+        F.col("node").alias("doc_id"),
+        "component",
+        "cluster_size",
+        (F.col("node") == F.col("component")).alias("is_canonical"),
+    )
+
+
+DEDUP_CLUSTER_ORACLE = f"""
+WITH RECURSIVE pairs AS ({DEDUP_NGRAM_ORACLE}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+cc AS (
+  SELECT DISTINCT a AS node, a AS label FROM edges
+  UNION
+  SELECT e.b AS node, cc.label FROM cc JOIN edges e ON cc.node = e.a
+),
+comp AS (SELECT node, MIN(label) AS component FROM cc GROUP BY node),
+sizes AS (SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component)
+SELECT comp.node AS doc_id, comp.component,
+       CAST(sizes.cluster_size AS BIGINT) AS cluster_size,
+       (comp.node = comp.component) AS is_canonical
+FROM comp JOIN sizes USING (component)
+"""
+
+
+def dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination: flag TRAIN documents whose n-gram shingles overlap
+    an EVAL/benchmark corpus (sources src0/src1 held out as the benchmark).
+    The corpus is clean word soup, so the query plants the contamination it
+    must find: every eval doc and every 7th train doc carry a benchmark
+    phrase keyed by doc_id % 5 — those train docs MUST surface with ≥2
+    shared shingles; the rest only match by natural text overlap.
+
+    Returns one row per contaminated train doc: match count against the
+    eval corpus, max shared shingles, max Jaccard."""
+    d = _docs(spark, sf_dir)
+    is_eval = F.col("source").isin("src0", "src1")
+    marker = F.concat(
+        F.lit("benchmark prompt alpha beta gamma variant "),
+        (F.col("doc_id") % 5).cast("string"),
+    )
+    with_m = d.select(
+        "doc_id",
+        "source",
+        F.concat_ws(
+            " ", F.col("text"), F.when(is_eval | (F.col("doc_id") % 7 == 0), marker)
+        ).alias("mtext"),
+    )
+    train = with_m.filter(~F.col("source").isin("src0", "src1"))
+    ev = with_m.filter(F.col("source").isin("src0", "src1"))
+    pairs = cross_corpus_contamination(
+        train, ev, "mtext", "doc_id", n=3, min_shared=2, max_doc_freq=200
+    )
+    return pairs.groupBy("train_id").agg(
+        F.count("*").cast("long").alias("n_eval_matches"),
+        F.max("shared_shingles").cast("long").alias("max_shared"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+
+
+DEDUP_CROSS_CORPUS_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id, source,
+         concat_ws(' ', text,
+           CASE WHEN source IN ('src0','src1') OR doc_id % 7 = 0 THEN
+             'benchmark prompt alpha beta gamma variant ' || CAST(doc_id % 5 AS VARCHAR)
+           END) AS mtext
+  FROM documents
+), toks AS (
+  SELECT doc_id, source,
+         string_split(trim(regexp_replace(lower(mtext), '\s+', ' ', 'g')), ' ') AS t
+  FROM base
+), sh0 AS (
+  SELECT DISTINCT doc_id, source, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 3
+), tr AS (
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df
+    FROM sh0 WHERE source NOT IN ('src0','src1'))
+  WHERE df <= 200
+), ev AS (
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df
+    FROM sh0 WHERE source IN ('src0','src1'))
+  WHERE df <= 200
+), tsz AS (
+  SELECT doc_id, COUNT(*) AS n_t FROM tr GROUP BY doc_id
+), esz AS (
+  SELECT doc_id, COUNT(*) AS n_e FROM ev GROUP BY doc_id
+), shared AS (
+  SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id, COUNT(*) AS shared_shingles
+  FROM tr JOIN ev USING (shingle)
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+), pairs AS (
+  SELECT train_id, eval_id, shared_shingles,
+         ROUND(shared_shingles / (n_t + n_e - shared_shingles), 6) AS jaccard
+  FROM shared
+  JOIN tsz ON tsz.doc_id = train_id
+  JOIN esz ON esz.doc_id = eval_id
+)
+SELECT train_id, CAST(COUNT(*) AS BIGINT) AS n_eval_matches,
+       CAST(MAX(shared_shingles) AS BIGINT) AS max_shared,
+       MAX(jaccard) AS max_jaccard
+FROM pairs GROUP BY train_id
+"""
+
+
 def dedup_corpus_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level line dedup (C4-style boilerplate removal). The corpus is
     single-line docs, so the query synthesizes known boilerplate: a global
@@ -2904,11 +3198,14 @@ FROM ({LATEST_PER_KEY_ORACLE})
 
 
 def window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W1 + W2/ST4 suite: partition count window and lag change detection."""
+    """W1 + W2/ST4 + ST6 suite: partition count window, lag change
+    detection, and the tumbling 1-hour event-time window aggregation (the
+    streaming `window()` operator run over the batch table), tagged."""
     wc = window_partition_count(spark, sf_dir).select(
         F.lit("partition_count").alias("part"),
         F.col("l_orderkey").cast("long").alias("key"),
         F.col("l_linenumber").alias("seq"),
+        F.lit(None).cast("string").alias("cat"),
         F.lit(None).cast("long").alias("ts_us"),
         F.lit(None).cast("double").alias("value"),
         F.lit(None).cast("double").alias("prev_value"),
@@ -2918,24 +3215,40 @@ def window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("lag_change").alias("part"),
         F.col("user_id").cast("long").alias("key"),
         F.col("event_id").cast("long").alias("seq"),
+        F.lit(None).cast("string").alias("cat"),
         "ts_us",
         "value",
         "prev_value",
         F.lit(None).cast("long").alias("cnt"),
     )
-    return wc.unionByName(lg)
+    tw = tumbling_window_agg(spark, sf_dir).select(
+        F.lit("tumbling").alias("part"),
+        F.lit(None).cast("long").alias("key"),
+        F.lit(None).cast("int").alias("seq"),
+        F.col("event_type").alias("cat"),
+        F.col("window_start_us").alias("ts_us"),
+        F.col("sum_value").alias("value"),
+        F.lit(None).cast("double").alias("prev_value"),
+        F.col("n_events").alias("cnt"),
+    )
+    return wc.unionByName(lg).unionByName(tw)
 
 
 WINDOW_SUITE_ORACLE = f"""
 SELECT 'partition_count' AS part, CAST(l_orderkey AS BIGINT) AS key,
-       l_linenumber AS seq, CAST(NULL AS BIGINT) AS ts_us,
+       l_linenumber AS seq, CAST(NULL AS VARCHAR) AS cat,
+       CAST(NULL AS BIGINT) AS ts_us,
        CAST(NULL AS DOUBLE) AS value, CAST(NULL AS DOUBLE) AS prev_value,
        order_line_count AS cnt
 FROM ({WINDOW_COUNT_ORACLE})
 UNION ALL
 SELECT 'lag_change', CAST(user_id AS BIGINT), CAST(event_id AS BIGINT),
-       ts_us, value, prev_value, CAST(NULL AS BIGINT)
+       NULL, ts_us, value, prev_value, CAST(NULL AS BIGINT)
 FROM ({PRICE_CHANGE_ORACLE})
+UNION ALL
+SELECT 'tumbling', NULL, NULL, event_type, window_start_us,
+       sum_value, NULL, n_events
+FROM ({TUMBLING_ORACLE})
 """
 
 
@@ -3294,7 +3607,7 @@ QUERIES: dict[str, QuerySpec] = {
     "outer_union_merge": QuerySpec(outer_union_merge, OUTER_MERGE_ORACLE, "J5: full-outer key merge"),
     "get_or_create_dim": QuerySpec(get_or_create_dim, GET_OR_CREATE_ORACLE, "J7: surrogate-key dimension build"),
     "rank_suite": QuerySpec(rank_suite, RANK_SUITE_ORACLE, "T1 + T2/J8/A5: global top-K + latest row per key"),
-    "window_suite": QuerySpec(window_suite, WINDOW_SUITE_ORACLE, "W1 + W2/ST4: partition count window + lag change detection"),
+    "window_suite": QuerySpec(window_suite, WINDOW_SUITE_ORACLE, "W1 + W2/ST4 + ST6: partition/lag windows + tumbling event-time window"),
     "duplicate_key_detector": QuerySpec(duplicate_key_detector, DUP_DETECTOR_ORACLE, "A3: HAVING count>1"),
     "crawl_state_registry": QuerySpec(crawl_state_registry, CRAWL_STATE_ORACLE, "ST1/A6/A7/F3: per-key watermark registry (GREATEST)"),
     "time_filter_suite": QuerySpec(time_filter_suite, TIME_FILTER_ORACLE, "P7+P8: watermark-freshness + midnight time filters"),
@@ -3317,13 +3630,13 @@ QUERIES: dict[str, QuerySpec] = {
     "ann_ivf_topk": QuerySpec(ann_ivf_topk, ANN_IVF_ORACLE, "similarity: IVF coarse-quantized cosine top-k"),
     "ann_quantized_topk": QuerySpec(ann_quantized_topk, ANN_QUANTIZED_ORACLE, "similarity: int8-quantized cosine top-k (scale-cancelling)"),
     "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, DEDUP_EMBEDDING_ORACLE, "dedup: embedding-cosine near-dup pairs (LSH-bucketed)"),
-    "text_quality_docs": QuerySpec(text_quality_docs, TEXT_QUALITY_ORACLE, "text: quality scoring"),
-    "text_lang_id_docs": QuerySpec(text_lang_id_docs, TEXT_LANG_ORACLE, "text: language ID"),
-    "doc_fingerprint_docs": QuerySpec(doc_fingerprint_docs, DOC_FINGERPRINT_ORACLE, "text: content fingerprint"),
+    "text_profile_docs": QuerySpec(text_profile_docs, _text_profile_oracle(), "text: quality scoring + language ID + fingerprint + BPE-ish token accounting"),
     "text_repetition_docs": QuerySpec(text_repetition_docs, TEXT_REPETITION_ORACLE, "text: repetition quality filters (dup lines, top bigram)"),
+    "sampling_split_suite": QuerySpec(sampling_split_suite, SAMPLING_SPLIT_ORACLE, "sampling: deterministic md5-bucket split + exact stratified sample"),
+    "dedup_cluster_canonical": QuerySpec(dedup_cluster_canonical, DEDUP_CLUSTER_ORACLE, "dedup: connected-component clusters + canonical doc per cluster"),
+    "dedup_cross_corpus": QuerySpec(dedup_cross_corpus, DEDUP_CROSS_CORPUS_ORACLE, "dedup: cross-corpus decontamination vs a held-out eval benchmark"),
     "text_pii_redaction": QuerySpec(text_pii_redaction, TEXT_PII_ORACLE, "text: PII detection counts + sequential redaction"),
     "sessionization": QuerySpec(sessionization, SESSIONIZATION_ORACLE, "sessionization: gap-based"),
-    "tumbling_window_agg": QuerySpec(tumbling_window_agg, TUMBLING_ORACLE, "ST6: tumbling window agg"),
     # --- the dbt model DAG.
     "dbt_dim_games": QuerySpec(dbt_dim_games, DBT_DIM_GAMES_ORACLE, "DAG: dim_games star rollup"),
     "dbt_dim_games_sql": QuerySpec(dbt_dim_games_sql, DBT_DIM_GAMES_ORACLE, "DAG: dim_games via the spark.sql surface"),
