@@ -924,3 +924,52 @@ def test_quantize_int8_bounds_and_scale_cancellation(spark):
     got = {r.id: r.q for r in df.select("id", quantize_int8(F.col("vec")).alias("q")).collect()}
     assert got[1] == [127, -63, 32, 0]  # floor(-63.5+0.5)=-63, floor(31.75+0.5)=32
     assert got[1] == got[2]
+
+
+def test_cross_corpus_contamination_flags_planted_overlap(spark):
+    """A train doc quoting an eval doc's phrase surfaces with the right
+    shared-shingle count; unrelated docs don't pair."""
+    from steam_data_engineer_project_spark.operators.dedup import (
+        cross_corpus_contamination,
+    )
+
+    # 'alpha beta gamma delta epsilon' = 3 shingles at n=3
+    phrase = "alpha beta gamma delta epsilon"
+    train = spark.createDataFrame(
+        [
+            (10, f"totally original words then {phrase}"),
+            (11, "nothing in common here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(90, f"benchmark question {phrase}")], "doc_id long, text string"
+    )
+    got = cross_corpus_contamination(
+        train, ev, "text", "doc_id", n=3, min_shared=2
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.train_id, r.eval_id) == (10, 90)
+    assert r.shared_shingles >= 3
+    assert 0 < r.jaccard <= 1
+
+
+def test_bpe_token_stats_known_strings(spark):
+    """Contractions split, punctuation runs group, whitespace excluded."""
+    from steam_data_engineer_project_spark.operators.textstats import (
+        bpe_token_stats,
+    )
+
+    rows = [
+        (1, "don't stop"),          # don | 't | ' stop' -> 3
+        (2, "hello,  world!!"),     # hello | , | ' world' | !! -> 4
+        (3, "a1b2"),                # a | 1 | b | 2 -> 4
+        (4, ""),                    # -> 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_bpe_tokens, r.n_bpe_distinct) for r in bpe_token_stats(df, "text", "doc_id").collect()}
+    assert got[1] == (3, 3)
+    assert got[2] == (4, 4)
+    assert got[3] == (4, 4)
+    assert got[4] == (0, 0)
