@@ -69,3 +69,43 @@ def test_register_catalog_enables_adhoc_sql(spark):
 
     # models are views too: the mart is queryable without touching the DAG
     assert spark.sql("SELECT COUNT(*) AS n FROM dim_games").collect()[0].n > 0
+
+
+def test_events_loader_handles_both_physical_ts_generations(spark, tmp_path):
+    """The driver's events.ts has shipped as TIMESTAMP(NANOS) (round ≤2) and
+    TIMESTAMP(MICROS) (round 3+). `queries._t` must yield identical
+    µs-precision session-zoned timestamps for the same instants either way."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from steam_data_engineer_project_spark.queries import _t
+
+    instants_us = [1_700_000_000_123_456, 1_700_000_001_000_000]
+    cols = {
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([7, 8], pa.int64()),
+        "event_type": pa.array(["a", "b"]),
+        "value": pa.array([1.0, 2.0]),
+        "props": pa.array(["{}", "{}"]),
+    }
+    gens = {}
+    for name, typ, vals in (
+        ("nanos", pa.timestamp("ns"), [u * 1000 for u in instants_us]),
+        ("micros", pa.timestamp("us"), instants_us),
+    ):
+        d = tmp_path / name
+        d.mkdir()
+        # store_schema=False drops the Arrow schema so readers see the raw
+        # parquet logical type, matching how the driver writes the table.
+        pq.write_table(
+            pa.table({**cols, "ts": pa.array(vals, typ)}),
+            str(d / "events.parquet"),
+            store_schema=False,
+        )
+        df = _t(spark, str(d), "events")
+        assert str(df.schema["ts"].dataType) == "TimestampType()"
+        gens[name] = {
+            r.event_id: r.us
+            for r in df.selectExpr("event_id", "unix_micros(ts) AS us").collect()
+        }
+    assert gens["nanos"] == gens["micros"] == dict(zip([1, 2], instants_us))
