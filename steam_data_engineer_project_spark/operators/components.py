@@ -48,6 +48,15 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+
+    def _label_sum(df: DataFrame):
+        # Labels only ever DECREASE (min-propagation), so the total strictly
+        # drops iff any node changed this round — one aggregate over the
+        # already-checkpointed frame replaces a per-round old-vs-new join.
+        # decimal(38,0) keeps the sum exact for any realistic id space.
+        return df.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym.b == labels.node)
@@ -65,16 +74,11 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") < F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        new_sum = _label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels.select(F.col("node"), F.col("label").alias("component"))
 
 
