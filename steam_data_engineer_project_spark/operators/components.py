@@ -49,20 +49,15 @@ def connected_components(
         .localCheckpoint()
     )
 
-    def _label_sum(df: DataFrame):
-        # Labels only ever DECREASE (min-propagation), so the total strictly
-        # drops iff any node changed this round — one aggregate over the
-        # already-checkpointed frame replaces a per-round old-vs-new join.
-        # decimal(38,0) keeps the sum exact for any realistic id space.
-        return df.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
-
-    prev_sum = _label_sum(labels)
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym.b == labels.node)
             .groupBy("a")
             .agg(F.min("label").alias("nbr_min"))
         )
+        # Carry the previous label through the checkpoint so the convergence
+        # check is a filter over already-materialized data — no extra join,
+        # and type-agnostic (works for string node ids, unlike a label-sum).
         new_labels = (
             labels.join(nbr_min, labels.node == nbr_min.a, "left")
             .select(
@@ -71,14 +66,14 @@ def connected_components(
                     F.col("label"),
                     F.coalesce(F.col("nbr_min"), F.col("label")),
                 ).alias("label"),
+                F.col("label").alias("prev"),
             )
             .localCheckpoint()
         )
-        new_sum = _label_sum(new_labels)
-        labels = new_labels
-        if new_sum == prev_sum:
+        changed = new_labels.filter(F.col("label") < F.col("prev")).limit(1).count()
+        labels = new_labels.drop("prev")
+        if changed == 0:
             break
-        prev_sum = new_sum
     return labels.select(F.col("node"), F.col("label").alias("component"))
 
 

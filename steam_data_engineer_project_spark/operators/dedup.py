@@ -440,12 +440,17 @@ def corpus_line_dedup(
     (pos, line) structs), so order restoration costs no extra window or
     per-doc Python.
     """
+    import re
+
+    # F.split takes a REGEX but reassembly concat_ws takes a LITERAL — escape
+    # the delimiter so both agree for metacharacter delimiters ('|', '.').
     lines = df.select(
         F.col(id_col),
         F.posexplode(
             F.filter(
                 F.transform(
-                    F.split(F.col(text_col), line_delim), lambda x: F.trim(x)
+                    F.split(F.col(text_col), re.escape(line_delim)),
+                    lambda x: F.trim(x),
                 ),
                 lambda x: x != "",
             )

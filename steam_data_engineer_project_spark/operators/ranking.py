@@ -49,13 +49,16 @@ def global_row_number(
     # Both downstream branches (the offsets aggregate and the final join)
     # re-derive __pid from the range exchange, and RangePartitioner sampling
     # is seeded per-RDD — correctness requires both branches to see ONE
-    # materialization of the ranged result, not ReuseExchange luck. persist()
-    # pins it; entries are small (one row number column over the input) and
-    # evicted LRU, so no explicit unpersist — callers consume the result
-    # immediately and an eager unpersist here would defeat the pin.
+    # materialization of the ranged result, not ReuseExchange luck.
+    # localCheckpoint (not persist): DataFrame.persist registers in the
+    # CacheManager, which holds the entry until an explicit unpersist — a
+    # storage leak from an operator that can't know when its lazy result was
+    # consumed. Checkpoint blocks are owned by the RDD and reclaimed by the
+    # ContextCleaner once the plan is garbage-collected, and the truncated
+    # lineage gives both branches the same materialization by construction.
     local = with_pid.withColumn(
         "__local_rn", F.row_number().over(w_local)
-    ).persist()
+    ).localCheckpoint()
 
     # One row per physical partition — tiny; the cumsum window over it is the
     # only non-parallel step and is O(num_partitions).

@@ -27,12 +27,11 @@ from pyspark.sql import functions as F
 def _hash_bucket(key: Column, modulus: int = 10_000) -> Column:
     """Content-derived bucket in [0, modulus): first 8 md5 hex digits of the
     key, mod modulus. Pure function of the value — engine- and
-    partitioning-independent."""
-    return (
-        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        % modulus
-    )
+    partitioning-independent. NULL keys are one key value (a fixed sentinel
+    string): they hash to a single deterministic bucket rather than falling
+    through every comparison into an arbitrary branch."""
+    keyed = F.coalesce(key.cast("string"), F.lit("__hash_bucket_null__"))
+    return F.conv(F.substring(F.md5(keyed), 1, 8), 16, 10).cast("long") % modulus
 
 
 def deterministic_split(
@@ -45,7 +44,9 @@ def deterministic_split(
     key's hash bucket. Fractions must sum to ≤ 1 (any remainder lands in the
     LAST split). Same key ⇒ same split, always — so near-duplicate groups
     sharing a canonical key can be routed to one side to prevent test-set
-    leakage."""
+    leakage. NULL keys are one key: they all land together in whichever
+    split their sentinel hash falls in (see _hash_bucket) — deduplicate or
+    fill keys upstream if NULLs should spread."""
     assert fractions and sum(fractions.values()) <= 1.0 + 1e-9
     bucket = _hash_bucket(F.col(key_col))
     expr = None

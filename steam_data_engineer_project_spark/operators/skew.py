@@ -41,11 +41,14 @@ def salted_aggregate(
     Phase 1 aggregates on (keys…, salt) — the hot key is spread over
     ``num_salts`` reducers; phase 2 combines the per-salt partials on the
     real keys (sum of sums, min of mins, max of maxs, sum of counts). The
-    salt cycles ``monotonically_increasing_id() % num_salts`` — one narrow
-    long per row (no whole-row hashing of wide payloads), and a hot key made
-    of IDENTICAL duplicate rows still spreads evenly, which a content hash
-    cannot do. The salt never leaves the plan and the decomposition is exact
-    for any salt assignment, so results are unaffected by its nondeterminism.
+    salt is ``xxhash64(all columns) % num_salts`` — a pure row function, so
+    a retried map task re-emits every row under the SAME salt. That
+    retry-stability is mandatory for anything on a shuffle key: a
+    nondeterministic salt (rand, monotonically_increasing_id) can re-assign
+    rows between attempts after a fetch failure, double-counting or dropping
+    them in phase 2. Known limitation, accepted for that guarantee: a hot
+    key consisting of byte-identical duplicate rows collapses onto one salt
+    and stays skewed (distinct-content hot keys — the common case — spread).
 
     ``count`` names the output column for ``COUNT(*)`` when set. Output
     columns keep their input names; count gets ``count``'s value as name.
@@ -59,7 +62,7 @@ def salted_aggregate(
     if count:
         phase1.append(F.count(F.lit(1)).alias("__cnt"))
     partial = df.withColumn(
-        _SALT, F.pmod(F.monotonically_increasing_id(), F.lit(num_salts))
+        _SALT, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(num_salts))
     ).groupBy(*keys, _SALT).agg(*phase1)
     phase2 = [F.sum(f"__s_{c}").alias(c) for c in sums]
     phase2 += [F.min(f"__mn_{c}").alias(c) for c in mins]
@@ -89,8 +92,10 @@ def salted_join(
         raise ValueError(
             f"salted_join is exact only for inner/left joins, got how={how!r}"
         )
+    # Content-derived salt for retry-stability on the shuffle key (see
+    # salted_aggregate); identical duplicate big-side rows share a salt.
     b = big.withColumn(
-        _SALT, F.pmod(F.monotonically_increasing_id(), F.lit(num_salts))
+        _SALT, F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(num_salts))
     )
     s = small.withColumn(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)).cast("array<bigint>"))

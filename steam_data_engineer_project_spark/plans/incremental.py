@@ -58,7 +58,12 @@ def incremental_refresh(
     fresh = source if wm is None else source.filter(F.col(ts_col) > wm)
     hi = fresh.agg(F.max(ts_col).alias("m")).collect()[0].m
     if hi is None:
-        return spark.read.parquet(os.path.join(mart_dir, "data"))
+        data_dir = os.path.join(mart_dir, "data")
+        if os.path.isdir(data_dir):
+            return spark.read.parquet(data_dir)
+        # First-ever refresh over an empty source: nothing materialized yet —
+        # an empty frame in the mart's schema, not a PATH_NOT_FOUND crash.
+        return transform(source.limit(0))
     delta = transform(fresh)
 
     data_dir = os.path.join(mart_dir, "data")

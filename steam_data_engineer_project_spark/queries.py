@@ -204,7 +204,7 @@ def _spread(
     reach the scan. Cached per session like every catalog entry.
     """
     per = _CATALOG.setdefault(spark, {})
-    key = (os.path.abspath(sf_dir), f"__spread_{name}__")
+    key = (os.path.abspath(sf_dir), f"__spread_{name}_{key_col}__")
     if key not in per:
         d = _t(spark, sf_dir, name)
         target = spark.sparkContext.defaultParallelism
@@ -234,10 +234,28 @@ def _scratch_dir(prefix: str) -> str:
     )
     os.makedirs(base, exist_ok=True)
     cutoff = time.time() - 3600
+
+    def _newest_mtime(root: str) -> float:
+        # A live streaming query updates checkpoint files deep inside the
+        # dir without touching the top-level mtime — reap only when NOTHING
+        # in the tree has been written since the cutoff, so a concurrent
+        # long run can never lose its checkpoint mid-stream.
+        newest = os.path.getmtime(root)
+        for dirpath, _dirnames, filenames in os.walk(root):
+            newest = max(newest, os.path.getmtime(dirpath))
+            for fn in filenames:
+                try:
+                    newest = max(
+                        newest, os.path.getmtime(os.path.join(dirpath, fn))
+                    )
+                except OSError:
+                    pass
+        return newest
+
     for name in os.listdir(base):
         p = os.path.join(base, name)
         try:
-            if os.path.isdir(p) and os.path.getmtime(p) < cutoff:
+            if os.path.isdir(p) and _newest_mtime(p) < cutoff:
                 shutil.rmtree(p, ignore_errors=True)
         except OSError:
             pass

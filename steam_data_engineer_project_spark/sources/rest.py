@@ -41,15 +41,16 @@ def rest_fetch(
     """
 
     # Output column names, parsed from the DDL schema string (top-level commas
-    # only, so array<...>/map<k,v> payload columns split correctly). The
-    # worker builds every yielded frame against this full column list, so a
-    # batch whose fetches ALL failed (API down — the retry path's target
-    # scenario) still yields null-payload rows instead of a schema mismatch.
+    # only, so array<...>/map<k,v>/decimal(p,s) payload columns split
+    # correctly). The worker builds every yielded frame against this full
+    # column list, so a batch whose fetches ALL failed (API down — the retry
+    # path's target scenario) still yields null-payload rows instead of a
+    # schema mismatch.
     out_cols, depth, start = [], 0, 0
     for pos, ch in enumerate(result_schema + ","):
-        if ch == "<":
+        if ch in "<(":
             depth += 1
-        elif ch == ">":
+        elif ch in ">)":
             depth -= 1
         elif ch == "," and depth == 0:
             out_cols.append(result_schema[start:pos].strip().split()[0])
@@ -76,6 +77,10 @@ def rest_fetch(
                     except Exception:
                         time.sleep(backoff_base_sec * (2**attempt))
                 rows.append({id_col: int(i), **(payload or {})})
-            yield pd.DataFrame(rows, columns=out_cols)
+            frame = pd.DataFrame(rows, columns=out_cols)
+            # Missing payload fields materialize as float NaN, which Arrow
+            # rejects for non-numeric columns (array/struct/string) — carry
+            # real None so failed fetches stay null in ANY payload type.
+            yield frame.astype(object).where(pd.notnull(frame), None)
 
     return ids.select(id_col).mapInPandas(_fetch, schema=result_schema)

@@ -208,12 +208,21 @@ def run_price_pipeline(
             )
             # ST4: notifications against the PRE-merge state (touched
             # buckets only — exact, since batch keys live nowhere else).
-            prev = read_state(spark, state_dir, touched)
-            if prev is not None:
-                prev = prev.drop("bucket")
-            detect_changes(batch_df, prev).coalesce(4).write.mode(
-                "overwrite"
-            ).parquet(os.path.join(notif_dir, f"batch_id={batch_id}"))
+            # Written BEFORE the state merge via tmp + atomic rename, and
+            # skipped when the final dir already exists: on a replay after a
+            # mid-merge crash the state is no longer pre-merge, so
+            # recomputing would silently drop change events — the first
+            # attempt's completed output is the correct one.
+            notif_batch = os.path.join(notif_dir, f"batch_id={batch_id}")
+            if not os.path.exists(notif_batch):
+                prev = read_state(spark, state_dir, touched)
+                if prev is not None:
+                    prev = prev.drop("bucket")
+                tmp_notif = f"{notif_batch}.tmp"
+                detect_changes(batch_df, prev).coalesce(4).write.mode(
+                    "overwrite"
+                ).parquet(tmp_notif)
+                os.rename(tmp_notif, notif_batch)
             # ST1/A6/A7: merge the watermark registry, touched buckets only.
             merge_bucketed(
                 spark,

@@ -973,3 +973,46 @@ def test_bpe_token_stats_known_strings(spark):
     assert got[2] == (4, 4)
     assert got[3] == (4, 4)
     assert got[4] == (0, 0)
+
+
+def test_connected_components_string_ids(spark):
+    """Node ids need not be numeric (e.g. md5 fingerprints): convergence
+    detection must be type-agnostic."""
+    from steam_data_engineer_project_spark.operators.components import (
+        connected_components,
+    )
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("x", "y")],
+        "id_a string, id_b string",
+    )
+    got = sorted((r.node, r.component) for r in connected_components(e).collect())
+    assert got == [
+        ("a", "a"), ("b", "a"), ("c", "a"), ("d", "a"), ("e", "a"),
+        ("x", "x"), ("y", "x"),
+    ]
+
+
+def test_rest_fetch_parenthesized_types_and_all_failed_batch(spark):
+    """decimal(p,s) in the result schema must not split at its internal
+    comma, and a batch where every fetch fails still yields null-payload
+    rows in the declared schema."""
+    from steam_data_engineer_project_spark.sources.rest import rest_fetch
+
+    ids = spark.range(3).withColumnRenamed("id", "appid")
+
+    def boom(_appid):
+        raise RuntimeError("api down")
+
+    out = rest_fetch(
+        ids,
+        "appid",
+        boom,
+        "appid bigint, price decimal(10,2), tags array<string>",
+        max_retries=1,
+        backoff_base_sec=0.0,
+    )
+    rows = out.collect()
+    assert out.columns == ["appid", "price", "tags"]
+    assert len(rows) == 3
+    assert all(r.price is None and r.tags is None for r in rows)
