@@ -356,3 +356,52 @@ def test_watermarked_window_finalizes_and_drops_late_data(spark):
         }, rows
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_replayed_batch_preserves_notifications(spark):
+    """foreachBatch redelivery after a crash between the notification write
+    and the checkpoint commit: the replay reads POST-merge state, so a
+    recompute would emit no 'u' rows — the handler must keep a completed
+    notification batch dir instead of overwriting it. (Engine-level commit
+    deletion trips Spark 4's checkpoint-tampering guard, so the replay is
+    exercised at the handler contract: a pre-existing batch output dir.)"""
+    base = os.path.join(REPO_ROOT, ".scratch")
+    os.makedirs(base, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="test_replay_notif_", dir=base)
+    events_dir = os.path.join(work, "events")
+    try:
+        _write_events(
+            events_dir,
+            "a.jsonl",
+            [_ev(1, 1, 10.0, 100), _ev(2, 3, 5.0, 100)],
+        )
+        out = run_price_pipeline(spark, events_dir, work)
+        state_before = {
+            r.appid: r.n_events
+            for r in spark.read.parquet(out["crawl_state"]).collect()
+        }
+
+        # Next batch (id=1) will carry a price change — but its notification
+        # output "already exists" (first delivery attempt completed before a
+        # crash): the handler must leave it untouched and still merge state.
+        notif_batch1 = os.path.join(out["notifications"], "batch_id=1")
+        os.makedirs(notif_batch1)
+        sentinel = os.path.join(notif_batch1, "_first_attempt")
+        with open(sentinel, "w") as f:
+            f.write("completed")
+
+        _write_events(events_dir, "b.jsonl", [_ev(1, 4, 12.0, 300)])
+        out = run_price_pipeline(spark, events_dir, work)
+
+        assert os.listdir(notif_batch1) == ["_first_attempt"], (
+            "replayed batch must not rewrite completed notification output"
+        )
+        state_after = {
+            r.appid: r.n_events
+            for r in spark.read.parquet(out["crawl_state"]).collect()
+        }
+        # state STILL merged the new batch (markers, not the notif guard)
+        assert state_after[1] == state_before[1] + 1
+        assert state_after[2] == state_before[2]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
