@@ -1016,3 +1016,24 @@ def test_rest_fetch_parenthesized_types_and_all_failed_batch(spark):
     assert out.columns == ["appid", "price", "tags"]
     assert len(rows) == 3
     assert all(r.price is None and r.tags is None for r in rows)
+
+
+def test_deterministic_split_null_keys_land_together(spark):
+    """NULL keys are one key: deterministically in ONE split, same under
+    repartitioning."""
+    from steam_data_engineer_project_spark.operators.sampling import (
+        deterministic_split,
+    )
+
+    df = spark.createDataFrame(
+        [(None,), (None,), ("k1",), ("k2",)], "key string"
+    )
+    fr = {"train": 0.5, "test": 0.5}
+    a = {(r.key, r.split) for r in deterministic_split(df, "key", fr).collect()}
+    b = {
+        (r.key, r.split)
+        for r in deterministic_split(df.repartition(7), "key", fr).collect()
+    }
+    assert a == b
+    null_splits = {s for k, s in a if k is None}
+    assert len(null_splits) == 1  # all NULLs in exactly one split
