@@ -80,6 +80,8 @@ from .sources.rest import rest_fetch
 from .sources.sinks import from_kafka_frame, to_kafka_frame
 from .streaming.price_pipeline import run_price_pipeline
 from .streaming.review_pipeline import run_review_pipeline
+from .streaming.stateful import run_crawl_state_to_table
+from .streaming.windowed import run_windowed_to_table
 from .operators.pii import pii_stats
 from .operators.sessionize import sessionize
 from .operators.skew import salted_aggregate
@@ -2952,6 +2954,120 @@ JOIN frst f ON l.appid = f.appid AND l.author_steamid = f.author_steamid
 """
 
 
+def streaming_stateful_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST1/ST8 via ENGINE-managed keyed state (applyInPandasWithState,
+    streaming/stateful.py) — the Spark-native twin of
+    ``streaming_price_pipeline``'s external bucketed store, same crawl-state
+    semantics (struct-max watermark + additive count; reference ON DUPLICATE
+    KEY UPDATE, tasks/steam_tasks_improved.py:481-485). Purchase events are
+    drained in checkpointed 4-file micro-batches; each batch's update rows
+    land in a batch_id=N parquet dir, and the converged state is the
+    max-batch_id emission per key. The merge is associative, so the final
+    state is independent of micro-batch boundaries — which is why the plain
+    batch SQL oracle is exact."""
+    work = _scratch_dir("stream_stateful_")
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    msgs = ev.select(
+        F.lit("price").alias("type"),
+        F.col("user_id").alias("appid"),
+        F.col("event_id"),
+        F.pmod(F.col("event_id"), F.lit(51)).cast("double").alias("discount"),
+        F.col("value").alias("price"),
+        (F.unix_micros("ts") / F.lit(1000000.0)).alias("timestamp"),
+    )
+    events_dir = os.path.join(work, "events")
+    msgs.repartition(8).write.mode("overwrite").json(events_dir)
+    updates_dir = run_crawl_state_to_table(
+        spark, events_dir, work, max_files_per_trigger=4,
+        batch_shuffle_partitions=8,
+    )
+    upd = spark.read.parquet(updates_dir)
+    w = Window.partitionBy("appid").orderBy(F.col("batch_id").desc())
+    return (
+        upd.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("appid", "last_ts_us", "last_event_id", "last_price", "n_events")
+    )
+
+
+def streaming_windowed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST2/ST6/ST7 streaming-native: watermarked tumbling-window aggregation
+    in APPEND mode (streaming/windowed.py) — each window emits exactly once,
+    only after the watermark passes its end, so state is bounded on an
+    unbounded stream. The fixture is written as time-ordered slice files
+    (one micro-batch each: a real deployment's files arrive roughly in
+    event-time order, and an out-of-order fixture would be *dropped* as
+    late — the engine behavior tests/test_streaming.py pins). A far-future
+    sentinel row (appid = -1) arrives last to push the final watermark past
+    every real window end, so ALL real windows finalize and the plain batch
+    tumbling GROUP BY is an exact oracle."""
+    import glob as _glob
+
+    work = _scratch_dir("stream_window_")
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    msgs = ev.select(
+        F.col("user_id").alias("appid"),
+        F.col("value").alias("price"),
+        (F.unix_micros("ts") / F.lit(1000000.0)).alias("ts"),
+    )
+    lo, hi = msgs.agg(F.min("ts"), F.max("ts")).first()
+    n_slices = 4
+    span = (hi - lo) / n_slices + 1e-6
+    events_dir = os.path.join(work, "events")
+    os.makedirs(events_dir)
+    # One file per time slice, mtimes in slice order → the file source
+    # (oldest-first) replays the stream in event-time order, one slice per
+    # micro-batch; within a slice nothing is behind the PRIOR slice's
+    # watermark, so no on-time fixture row is ever late-dropped.
+    base_mtime = None
+    for i in range(n_slices):
+        slice_dir = os.path.join(work, f"slice_{i}")
+        msgs.filter(
+            (F.col("ts") >= lo + i * span) & (F.col("ts") < lo + (i + 1) * span)
+        ).coalesce(1).write.mode("overwrite").json(slice_dir)
+        part = _glob.glob(os.path.join(slice_dir, "part-*.json"))[0]
+        dst = os.path.join(events_dir, f"slice{i}.json")
+        os.rename(part, dst)
+        if base_mtime is None:
+            base_mtime = os.path.getmtime(dst)
+        os.utime(dst, (base_mtime + 2 * i, base_mtime + 2 * i))
+    import json as _json
+
+    sentinel = os.path.join(events_dir, "zz-sentinel.json")
+    with open(sentinel, "w") as f:
+        f.write(_json.dumps({"appid": -1, "price": 0.0, "ts": hi + 45 * 86400.0}))
+    os.utime(sentinel, (base_mtime + 2 * n_slices + 60,) * 2)
+    out_dir = run_windowed_to_table(
+        spark, events_dir, work, max_files_per_trigger=1,
+        batch_shuffle_partitions=8,
+    )
+    return (
+        spark.read.parquet(out_dir)
+        .filter(F.col("appid") >= 0)
+        .select(
+            F.unix_micros("window_start").alias("window_start_us"),
+            "appid",
+            "n_events",
+            "max_price",
+        )
+    )
+
+
+STREAMING_WINDOWED_ORACLE = """
+SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+       user_id AS appid,
+       COUNT(*) AS n_events,
+       MAX(value) AS max_price
+FROM events
+WHERE value IS NOT NULL AND ts IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-key-immune two-phase aggregation (operators/skew.py).
 
@@ -3616,6 +3732,8 @@ QUERIES: dict[str, QuerySpec] = {
     "rest_fetch_appdetails": QuerySpec(rest_fetch_appdetails, REST_FETCH_ORACLE, "S7: distributed REST fetch (deterministic fake, retry + null-payload routing)"),
     "streaming_price_pipeline": QuerySpec(streaming_price_pipeline, STREAMING_PRICE_ORACLE, "ST1/ST4/ST5/ST7/ST8: checkpointed price pipeline"),
     "streaming_review_upsert": QuerySpec(streaming_review_upsert, STREAMING_REVIEW_ORACLE, "S4/S13/S11/F17: checkpointed review upsert pipeline (ids cast to string)"),
+    "streaming_stateful_crawl": QuerySpec(streaming_stateful_crawl, STREAMING_PRICE_ORACLE, "ST1/ST8: engine-managed keyed state (applyInPandasWithState) crawl registry"),
+    "streaming_windowed_stats": QuerySpec(streaming_windowed_stats, STREAMING_WINDOWED_ORACLE, "ST2/ST6/ST7: watermarked append-mode tumbling windows (exactly-once finalize)"),
     # --- relational core.
     "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_ORACLE, "A2: scan→filter→hash agg (flagship)"),
     "filter_suite": QuerySpec(filter_suite, FILTER_SUITE_ORACLE, "P1/P2/P4/P5/P6/P10: projection, range, regex/type, NaN-normalization filters"),

@@ -21,6 +21,7 @@ batch), never per row; per-group work is vectorized pandas.
 
 from __future__ import annotations
 
+import os
 from typing import TYPE_CHECKING, Any, Iterator
 
 import pandas as pd
@@ -126,3 +127,54 @@ def run_crawl_state_stream(
     )
     q.awaitTermination()
     return batches
+
+
+def run_crawl_state_to_table(
+    spark: Any,
+    events_dir: str,
+    work_dir: str,
+    *,
+    max_files_per_trigger: int | None = None,
+    batch_shuffle_partitions: int | None = None,
+) -> str:
+    """Production-shaped drain of crawl_state_stream: each micro-batch's
+    update rows land in an ``updates/batch_id=N`` parquet directory
+    (overwrite → replay-idempotent, same contract as the price pipeline's
+    append sink). The converged state is the max-``batch_id`` row per key.
+
+    ``batch_shuffle_partitions`` pins ``spark.sql.shuffle.partitions`` for
+    the drain (restored after): applyInPandasWithState hashes keys into
+    exactly that many engine state partitions, and the count is FROZEN into
+    the checkpoint at first start — a restart with a different value is
+    rejected by Spark, so size it for the target key cardinality up front.
+    """
+    from ..schemas import PRICE_EVENT
+    from .price_pipeline import transform_price_events
+
+    updates_dir = os.path.join(work_dir, "updates")
+    ckpt_dir = os.path.join(work_dir, "stateful_checkpoint")
+    reader = spark.readStream.schema(PRICE_EVENT)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    updates = crawl_state_stream(transform_price_events(reader.json(events_dir)))
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.coalesce(4).write.mode("overwrite").parquet(
+            os.path.join(updates_dir, f"batch_id={batch_id}")
+        )
+
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    if batch_shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(batch_shuffle_partitions))
+    try:
+        q = (
+            updates.writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+    return updates_dir

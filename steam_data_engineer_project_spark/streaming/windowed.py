@@ -23,6 +23,8 @@ verified).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -97,3 +99,59 @@ def run_windowed_stream(
     )
     q.awaitTermination()
     return batches
+
+
+def run_windowed_to_table(
+    spark,
+    events_dir: str,
+    work_dir: str,
+    *,
+    schema: str = "appid long, price double, ts double",
+    max_files_per_trigger: int | None = 1,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "30 minutes",
+    batch_shuffle_partitions: int | None = None,
+) -> str:
+    """Production-shaped drain: each micro-batch's FINALIZED windows land in
+    a ``windows/batch_id=N`` parquet directory (overwrite →
+    replay-idempotent). Append mode emits each window exactly once, so the
+    union over batch dirs IS the result table — no dedup needed downstream.
+
+    ``batch_shuffle_partitions`` pins ``spark.sql.shuffle.partitions`` for
+    the drain (restored after) — the count is frozen into the checkpoint's
+    window state at first start, same constraint as any stateful stream.
+    """
+    windows_dir = os.path.join(work_dir, "windows")
+    ckpt_dir = os.path.join(work_dir, "window_checkpoint")
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    events = reader.json(events_dir).select(
+        "appid", "price", F.timestamp_seconds(F.col("ts")).alias("event_time")
+    )
+    out = windowed_price_stats(
+        events,
+        window_duration=window_duration,
+        watermark_delay=watermark_delay,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.coalesce(4).write.mode("overwrite").parquet(
+            os.path.join(windows_dir, f"batch_id={batch_id}")
+        )
+
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    if batch_shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(batch_shuffle_partitions))
+    try:
+        q = (
+            out.writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+    return windows_dir
