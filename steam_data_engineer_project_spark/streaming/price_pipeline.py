@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 
 from ..functions.scalars import initial_price
 from ..schemas import PRICE_EVENT
-from .state_store import bucket_of, merge_bucketed, read_state
+from .state_store import bucket_of, merge_bucketed, read_state, resolve_num_buckets
 
 #: crawl_state columns maintained by the merge
 _STATE_COLS = ("appid", "last_ts_us", "last_event_id", "last_price", "n_events")
@@ -185,6 +185,10 @@ def run_price_pipeline(
     events = transform_price_events(reader.json(events_dir))
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # The store's stored layout wins over our argument (a reshard between
+        # drains changes the modulus; hashing with the old one would fork
+        # keys into wrong buckets).
+        n_buckets = resolve_num_buckets(state_dir, num_state_buckets)
         batch_df.persist()
         try:
             # S10: append-only prices time series. Each batch owns the
@@ -200,7 +204,7 @@ def run_price_pipeline(
             touched = sorted(
                 r.bucket
                 for r in batch_state.withColumn(
-                    "bucket", bucket_of(["appid"], num_state_buckets)
+                    "bucket", bucket_of(["appid"], n_buckets)
                 )
                 .select("bucket")
                 .distinct()
@@ -232,7 +236,7 @@ def run_price_pipeline(
                 _state_aggs(),
                 _state_back(),
                 batch_id,
-                num_buckets=num_state_buckets,
+                num_buckets=n_buckets,
                 touched=touched,
             )
             batch_state.unpersist()

@@ -37,7 +37,42 @@ from pyspark.sql import functions as F
 #: The leading underscore keeps Spark's file listing from reading it as data.
 MARKER = "_last_batch"
 
+#: store-level metadata file: the bucket count this store was laid out with.
+#: Stored IN the store (not the caller's head) so a restarted pipeline, a
+#: different caller, or a post-reshard drain all route keys consistently —
+#: a key hashed with the wrong modulus lands in the wrong bucket and forks
+#: the state.
+META_NUM_BUCKETS = "_num_buckets"
+
 DEFAULT_NUM_BUCKETS = 16
+
+
+def stored_num_buckets(state_dir: str) -> int | None:
+    """The store's laid-out bucket count, or None for a store that doesn't
+    exist yet (or predates the metadata file — see resolve_num_buckets)."""
+    path = os.path.join(state_dir, META_NUM_BUCKETS)
+    if os.path.exists(path):
+        with open(path) as f:
+            return int(f.read().strip())
+    return None
+
+
+def resolve_num_buckets(state_dir: str, requested: int) -> int:
+    """The bucket count to USE for this store: the stored layout wins over
+    the caller's argument (which only seeds a brand-new store). Writes the
+    metadata on first contact; adopts ``requested`` for a legacy store that
+    has bucket dirs but no metadata file (pre-metadata stores were always
+    written and read with the caller's constant, so the caller is the only
+    source of truth there)."""
+    stored = stored_num_buckets(state_dir)
+    if stored is not None:
+        return stored
+    os.makedirs(state_dir, exist_ok=True)
+    tmp = os.path.join(state_dir, META_NUM_BUCKETS + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(str(requested))
+    os.rename(tmp, os.path.join(state_dir, META_NUM_BUCKETS))
+    return requested
 
 
 def bucket_of(key_cols: list[str], num_buckets: int) -> Column:
@@ -98,8 +133,12 @@ def merge_bucketed(
     sum-of-counts). Only the buckets whose marker is behind ``batch_id`` are
     read, merged, and atomically swapped — one Spark job for all of them.
     ``touched`` skips the bucket probe when the caller already computed the
-    batch's bucket set (e.g. for pre-merge notification reads).
+    batch's bucket set (e.g. for pre-merge notification reads) — it must
+    have been computed with the RESOLVED bucket count
+    (``resolve_num_buckets``), which wins over ``num_buckets`` whenever the
+    store already exists (e.g. after a reshard).
     """
+    num_buckets = resolve_num_buckets(state_dir, num_buckets)
     bucketed = batch_state.withColumn("bucket", bucket_of(key_cols, num_buckets))
     if touched is None:
         touched = sorted(
@@ -142,3 +181,64 @@ def merge_bucketed(
             shutil.rmtree(dst)
         os.rename(src, dst)
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+def reshard(
+    spark: SparkSession,
+    state_dir: str,
+    key_cols: list[str],
+    new_num_buckets: int,
+) -> int:
+    """Re-lay the store out with ``new_num_buckets`` in ONE full rewrite
+    (the only time this store ever rewrites untouched buckets) — the growth
+    path when per-bucket files outgrow a batch's merge budget: double the
+    count, pay one linear pass, and every later batch is back to
+    O(touched-bucket) cost at half the bucket size.
+
+    MUST run at a quiescent point: stream stopped, last batch's checkpoint
+    committed (Trigger.AvailableNow drains end in exactly that state). Every
+    new bucket's replay marker is the MAX of the old markers: after a
+    committed drain no batch at or below that id can be redelivered, while a
+    replay of an id the store never saw still merges. Running this with a
+    batch in flight could instead mask that batch's replay — same contract
+    as resizing any hash-partitioned store (e.g. you also don't repartition
+    a Kafka topic mid-transaction).
+
+    Crash-safe via whole-directory swap: the new layout is staged beside the
+    store and renamed in; a crash mid-stage leaves the old store untouched.
+    Returns the new bucket count.
+    """
+    cur = read_state(spark, state_dir, None)
+    tmp = f"{state_dir}.reshard-{new_num_buckets}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    if cur is None:  # empty store: just (re)write the metadata
+        os.makedirs(state_dir, exist_ok=True)
+        with open(os.path.join(state_dir, META_NUM_BUCKETS), "w") as f:
+            f.write(str(new_num_buckets))
+        return new_num_buckets
+    marker = max(
+        _last_merged(os.path.join(state_dir, d))
+        for d in os.listdir(state_dir)
+        if d.startswith("bucket=")
+    )
+    rebucketed = cur.drop("bucket").withColumn(
+        "bucket", bucket_of(key_cols, new_num_buckets)
+    )
+    (
+        rebucketed.repartition(new_num_buckets, "bucket")
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(tmp)
+    )
+    for d in os.listdir(tmp):
+        if d.startswith("bucket="):
+            with open(os.path.join(tmp, d, MARKER), "w") as f:
+                f.write(str(marker))
+    with open(os.path.join(tmp, META_NUM_BUCKETS), "w") as f:
+        f.write(str(new_num_buckets))
+    old = f"{state_dir}.old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(state_dir, old)
+    os.rename(tmp, state_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    return new_num_buckets

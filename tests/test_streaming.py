@@ -405,3 +405,140 @@ def test_replayed_batch_preserves_notifications(spark):
         assert state_after[2] == state_before[2]
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_reshard_between_drains_preserves_state(spark):
+    """state_store.reshard: growing the bucket count at a quiescent point
+    (between AvailableNow drains) must preserve every key's state exactly,
+    relabel buckets under the new modulus, and OVERRIDE the caller's stale
+    bucket-count argument on the next drain (the stored layout wins)."""
+    from steam_data_engineer_project_spark.streaming.price_pipeline import (
+        batch_crawl_state,
+    )
+    from steam_data_engineer_project_spark.streaming.state_store import (
+        read_state,
+        reshard,
+        stored_num_buckets,
+    )
+
+    base = os.path.join(REPO_ROOT, ".scratch")
+    os.makedirs(base, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="test_reshard_", dir=base)
+    events_dir = os.path.join(work, "events")
+    state_dir = os.path.join(work, "crawl_state")
+    try:
+        rows1 = [_ev(a, a * 10 + i, float(a + i), 100 * (i + 1))
+                 for a in range(1, 9) for i in range(2)]
+        _write_events(events_dir, "a.jsonl", rows1)
+        run_price_pipeline(spark, events_dir, work, num_state_buckets=4)
+        before = {
+            (r.appid): (r.last_ts_us, r.last_event_id, r.last_price, r.n_events)
+            for r in read_state(spark, state_dir).collect()
+        }
+
+        reshard(spark, state_dir, ["appid"], 8)
+        assert stored_num_buckets(state_dir) == 8
+        buckets = {d for d in os.listdir(state_dir) if d.startswith("bucket=")}
+        assert all(int(b.split("=")[1]) < 8 for b in buckets)
+        after = {
+            (r.appid): (r.last_ts_us, r.last_event_id, r.last_price, r.n_events)
+            for r in read_state(spark, state_dir).collect()
+        }
+        assert after == before
+
+        # resume the stream; the STALE num_state_buckets=4 argument must be
+        # overridden by the stored 8-bucket layout.
+        rows2 = [_ev(a, 900 + a, 99.0 + a, 1000) for a in range(1, 9)]
+        _write_events(events_dir, "b.jsonl", rows2)
+        run_price_pipeline(spark, events_dir, work, num_state_buckets=4)
+        assert stored_num_buckets(state_dir) == 8
+
+        # final state == one-shot batch reduction over ALL events (exactness
+        # across the reshard boundary).
+        allrows = [
+            (r["appid"], r["event_id"], r["price"], int(r["timestamp"] * 1_000_000))
+            for r in rows1 + rows2
+        ]
+        typed = spark.createDataFrame(
+            allrows, "appid long, event_id long, price double, ts_us long"
+        )
+        want = {
+            (r.appid): (r.last_ts_us, r.last_event_id, r.last_price, r.n_events)
+            for r in batch_crawl_state(typed).collect()
+        }
+        got = {
+            (r.appid): (r.last_ts_us, r.last_event_id, r.last_price, r.n_events)
+            for r in read_state(spark, state_dir).collect()
+        }
+        assert got == want
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_compaction_preserves_contents_and_shrinks_files(spark):
+    """compaction.compact_appends: folding committed batch_id dirs into a
+    consolidated segment must preserve the table's rows exactly (batch_id
+    kept as a data column), shrink the file/dir count, keep later appends
+    working, and survive repeated runs (multi-segment reads)."""
+    from steam_data_engineer_project_spark.streaming.compaction import (
+        compact_appends,
+        compaction_watermark,
+        read_appends,
+    )
+
+    def _parquet_files(d):
+        return [
+            os.path.join(r, f)
+            for r, _, fs in os.walk(d)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+
+    base = os.path.join(REPO_ROOT, ".scratch")
+    os.makedirs(base, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="test_compact_", dir=base)
+    events_dir = os.path.join(work, "events")
+    try:
+        rows1 = [_ev(a, a * 100 + i, float(i), 100 * (i + 1))
+                 for a in range(1, 5) for i in range(3)]
+        for i, r in enumerate(rows1):  # one file per event → many batches
+            _write_events(events_dir, f"a{i:02d}.jsonl", [r])
+        out = run_price_pipeline(
+            spark, events_dir, work, max_files_per_trigger=2
+        )
+        prices_dir = out["prices"]
+
+        def rowset(df):
+            return sorted(
+                tuple(r) for r in df.select(sorted(df.columns)).collect()
+            )
+
+        before_rows = rowset(read_appends(spark, prices_dir))
+        n_dirs_before = len(
+            [d for d in os.listdir(prices_dir) if d.startswith("batch_id=")]
+        )
+        n_files_before = len(_parquet_files(prices_dir))
+        assert n_dirs_before >= 3  # many small batch dirs to fold
+
+        w = compact_appends(spark, prices_dir, target_files=1)
+        assert compaction_watermark(prices_dir) == w
+        assert (
+            len([d for d in os.listdir(prices_dir) if d.startswith("batch_id=")])
+            == 0
+        )
+        assert len(_parquet_files(prices_dir)) < n_files_before
+        assert rowset(read_appends(spark, prices_dir)) == before_rows
+
+        # the stream keeps appending live dirs after compaction…
+        _write_events(events_dir, "b.jsonl", [_ev(9, 999, 42.0, 5000)])
+        run_price_pipeline(spark, events_dir, work, max_files_per_trigger=2)
+        combined = read_appends(spark, prices_dir)
+        assert combined.filter("appid = 9").count() == 1
+        combined_rows = rowset(combined)  # materialize BEFORE the fold
+        assert len(combined_rows) == len(before_rows) + 1
+
+        # …and a second compaction folds the new tail into a second segment.
+        compact_appends(spark, prices_dir, target_files=1)
+        assert rowset(read_appends(spark, prices_dir)) == combined_rows
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
