@@ -1,4 +1,4 @@
-from .components import canonical_per_component, connected_components
+from .components import canonical_per_component, connected_components, connected_components_star
 from .dedup import (
     exact_dedup,
     minhash_signatures,
@@ -24,6 +24,7 @@ __all__ = [
     "asof_join",
     "canonical_per_component",
     "connected_components",
+    "connected_components_star",
     "deterministic_split",
     "range_join_bucketed",
     "stratified_sample_exact",

@@ -730,6 +730,68 @@ def test_connected_components_matches_union_find(spark):
         assert got == want, f"seed={seed}"
 
 
+def test_connected_components_star_deep_and_random_graphs(spark):
+    """Alternating large-star/small-star contraction: identical labeling to
+    union-find (and to min-label where min-label can afford the rounds) on
+    random graphs, and CORRECT on a deep path graph whose diameter (300)
+    dwarfs min-label's default max_iter=20 — the case the star variant
+    exists for, converging in O(log n) rounds."""
+    import random
+
+    from steam_data_engineer_project_spark.operators.components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    # deep path: 301 nodes in one chain, diameter 300 ≫ 20.
+    chain = [(i, i + 1) for i in range(300)]
+    df = spark.createDataFrame(chain, ["id_a", "id_b"])
+    got = {
+        r.node: r.component for r in connected_components_star(df).collect()
+    }
+    assert got == {i: 0 for i in range(301)}
+    # min-label alone would truncate at max_iter=20 here; its star fallback
+    # must finish the contraction and agree exactly.
+    hybrid = {
+        r.node: r.component for r in connected_components(df).collect()
+    }
+    assert hybrid == got
+    # a tiny budget exercises the fallback from a barely-contracted state
+    hybrid2 = {
+        r.node: r.component
+        for r in connected_components(df, max_iter=2).collect()
+    }
+    assert hybrid2 == got
+
+    for seed in range(3):
+        rng = random.Random(1000 + seed)
+        edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(50)]
+        edges += [(200 + i, 201 + i) for i in range(8)]
+        e = spark.createDataFrame(
+            [(a, b) for a, b in edges if a != b], ["id_a", "id_b"]
+        )
+        star = {
+            r.node: r.component
+            for r in connected_components_star(e).collect()
+        }
+        minl = {
+            r.node: r.component
+            for r in connected_components(e).collect()
+        }
+        assert star == minl, f"seed={seed}"
+
+    # type-agnostic: string ids label by lexicographic minimum, same as the
+    # min-label variant.
+    se = spark.createDataFrame(
+        [("d", "b"), ("b", "a"), ("x", "y")], ["id_a", "id_b"]
+    )
+    sgot = sorted(
+        (r.node, r.component)
+        for r in connected_components_star(se).collect()
+    )
+    assert sgot == [("a", "a"), ("b", "a"), ("d", "a"), ("x", "x"), ("y", "x")]
+
+
 def test_near_dup_pairs_to_canonical_docs(spark):
     """End-to-end dedup story: n-gram Jaccard pairs → components →
     canonical doc per cluster; components never straddle a
