@@ -16,12 +16,13 @@ from .similarity import (
     ivf_cosine_topk,
     lsh_bucket_cosine_topk,
 )
-from .temporal import asof_join, range_join_bucketed
+from .temporal import asof_join, asof_join_split, range_join_bucketed
 from .textstats import doc_fingerprint, language_id, text_quality
 from .topk import latest_per_key, top_k
 
 __all__ = [
     "asof_join",
+    "asof_join_split",
     "canonical_per_component",
     "connected_components",
     "connected_components_star",

@@ -56,6 +56,12 @@ def global_row_number(
     # consumed. Checkpoint blocks are owned by the RDD and reclaimed by the
     # ContextCleaner once the plan is garbage-collected, and the truncated
     # lineage gives both branches the same materialization by construction.
+    # Trade-offs accepted: localCheckpoint blocks are NOT fault-tolerant
+    # (losing the executor holding them — e.g. under dynamic allocation —
+    # fails the job instead of recomputing) and materialize eagerly even if
+    # the caller never consumes the result. On a cluster where that
+    # matters, swap in reliable checkpoint() to HDFS, as components.py
+    # recommends for its iteration.
     local = with_pid.withColumn(
         "__local_rn", F.row_number().over(w_local)
     ).localCheckpoint()

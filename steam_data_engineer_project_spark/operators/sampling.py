@@ -26,11 +26,14 @@ from pyspark.sql import functions as F
 
 def _hash_bucket(key: Column, modulus: int = 10_000) -> Column:
     """Content-derived bucket in [0, modulus): first 8 md5 hex digits of the
-    key, mod modulus. Pure function of the value — engine- and
-    partitioning-independent. NULL keys are one key value (a fixed sentinel
-    string): they hash to a single deterministic bucket rather than falling
-    through every comparison into an arbitrary branch."""
-    keyed = F.coalesce(key.cast("string"), F.lit("__hash_bucket_null__"))
+    (is-null, value) PAIR, mod modulus. Pure function of the value — engine-
+    and partitioning-independent. Non-null keys hash ``'v:' + value`` and
+    NULLs hash the constant ``'n:'``, so the NULL population shares one
+    deterministic bucket and NO string key can ever be silently merged into
+    it (every non-null hash input starts with the other prefix)."""
+    keyed = F.when(key.isNull(), F.lit("n:")).otherwise(
+        F.concat(F.lit("v:"), key.cast("string"))
+    )
     return F.conv(F.substring(F.md5(keyed), 1, 8), 16, 10).cast("long") % modulus
 
 

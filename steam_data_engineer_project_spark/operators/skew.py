@@ -22,8 +22,38 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import MapType
 
 _SALT = "__salt"
+
+
+def _salt_col(df: DataFrame, num_salts: int) -> Column:
+    """Retry-stable salt in [0, num_salts): xxhash64 over the row's hashable
+    columns MIXED WITH the input partition id.
+
+    - Content hashing makes a retried map task re-emit every row under the
+      same salt — mandatory on a shuffle key (rand() /
+      monotonically_increasing_id can re-assign rows between attempts after
+      a fetch failure, double-counting or dropping them downstream).
+    - ``spark_partition_id()`` spreads a hot key of BYTE-IDENTICAL rows
+      across input partitions instead of collapsing them all onto one salt;
+      it is deterministic per task attempt as long as the upstream
+      partitioning is (file scans are — the same split always becomes the
+      same partition). Identical rows within one input partition still share
+      a salt, which is bounded by maxPartitionBytes rather than by the hot
+      key's total size.
+    - Map-typed columns are excluded (Spark forbids hashing maps), and
+      column names are backtick-quoted (with `` escaped) so dotted names
+      resolve literally instead of parsing as nested fields.
+    """
+    hashable = [
+        F.col("`" + c.replace("`", "``") + "`")
+        for c in df.columns
+        if not isinstance(df.schema[c].dataType, MapType)
+    ]
+    return F.pmod(
+        F.xxhash64(*hashable, F.spark_partition_id()), F.lit(num_salts)
+    )
 
 
 def salted_aggregate(
@@ -41,14 +71,9 @@ def salted_aggregate(
     Phase 1 aggregates on (keys…, salt) — the hot key is spread over
     ``num_salts`` reducers; phase 2 combines the per-salt partials on the
     real keys (sum of sums, min of mins, max of maxs, sum of counts). The
-    salt is ``xxhash64(all columns) % num_salts`` — a pure row function, so
-    a retried map task re-emits every row under the SAME salt. That
-    retry-stability is mandatory for anything on a shuffle key: a
-    nondeterministic salt (rand, monotonically_increasing_id) can re-assign
-    rows between attempts after a fetch failure, double-counting or dropping
-    them in phase 2. Known limitation, accepted for that guarantee: a hot
-    key consisting of byte-identical duplicate rows collapses onto one salt
-    and stays skewed (distinct-content hot keys — the common case — spread).
+    salt is retry-stable content+partition hashing — see :func:`_salt_col`
+    for the guarantees (and why byte-identical duplicate rows no longer
+    collapse onto a single salt).
 
     ``count`` names the output column for ``COUNT(*)`` when set. Output
     columns keep their input names; count gets ``count``'s value as name.
@@ -61,9 +86,9 @@ def salted_aggregate(
     phase1 += [F.max(c).alias(f"__mx_{c}") for c in maxs]
     if count:
         phase1.append(F.count(F.lit(1)).alias("__cnt"))
-    partial = df.withColumn(
-        _SALT, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(num_salts))
-    ).groupBy(*keys, _SALT).agg(*phase1)
+    partial = df.withColumn(_SALT, _salt_col(df, num_salts)).groupBy(
+        *keys, _SALT
+    ).agg(*phase1)
     phase2 = [F.sum(f"__s_{c}").alias(c) for c in sums]
     phase2 += [F.min(f"__mn_{c}").alias(c) for c in mins]
     phase2 += [F.max(f"__mx_{c}").alias(c) for c in maxs]
@@ -92,11 +117,9 @@ def salted_join(
         raise ValueError(
             f"salted_join is exact only for inner/left joins, got how={how!r}"
         )
-    # Content-derived salt for retry-stability on the shuffle key (see
-    # salted_aggregate); identical duplicate big-side rows share a salt.
-    b = big.withColumn(
-        _SALT, F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(num_salts))
-    )
+    # Retry-stable content+partition salt (see _salt_col): identical
+    # duplicate big-side rows spread across input partitions too.
+    b = big.withColumn(_SALT, _salt_col(big, num_salts))
     s = small.withColumn(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)).cast("array<bigint>"))
     )

@@ -1488,6 +1488,58 @@ FROM scores ORDER BY cosine DESC, vec_id LIMIT 10
 """
 
 
+def ann_lsh_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE PATH of ann_lsh_topk, driver-verified end to end: the
+    embeddings are WRITTEN partitioned by their LSH bucket (the one-time
+    layout cost a real deployment pays at ingest), and the Hamming-2 probe
+    set becomes a literal IN-predicate on the partition column — the
+    FileScan reads only the 37/256 probed bucket directories
+    (PartitionFilters, asserted in tests/test_plans.py). Semantically
+    identical to ann_lsh_topk by construction, so it shares its oracle —
+    what this row proves is that the pruned LAYOUT returns the same answer."""
+    work = _scratch_dir("ann_pruned_")
+    e = _t(spark, sf_dir, "embeddings")
+    layout = os.path.join(work, "embeddings_by_bucket")
+    e.select(
+        "vec_id",
+        "embedding",
+        lsh_bucket_id(F.col("embedding"), 8).alias("bucket"),
+    ).write.partitionBy("bucket").mode("overwrite").parquet(layout)
+    # the query vector is driver-side metadata (one row), as any ANN client's
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    from .operators.similarity import lsh_bucket_cosine_topk_pruned
+
+    return lsh_bucket_cosine_topk_pruned(
+        spark.read.parquet(layout),
+        "embedding",
+        "vec_id",
+        qv,
+        k=10,
+        n_planes=8,
+        probe_hamming=2,
+    )
+
+
+def ann_lsh_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both LSH top-k paths, tagged: part='in_plan' computes buckets in the
+    plan (prunes compute), part='pruned' reads the bucket-PARTITIONED layout
+    so the probe set prunes the SCAN (PartitionFilters — plan-asserted in
+    tests/test_plans.py). Identical answers by construction: one shared
+    oracle, duplicated per tag."""
+    a = ann_lsh_topk(spark, sf_dir).select(F.lit("in_plan").alias("part"), "*")
+    b = ann_lsh_topk_pruned(spark, sf_dir).select(
+        F.lit("pruned").alias("part"), "*"
+    )
+    return a.unionByName(b)
+
+
+ANN_LSH_SUITE_ORACLE = f"""
+SELECT 'in_plan' AS part, * FROM ({ANN_LSH_ORACLE})
+UNION ALL
+SELECT 'pruned' AS part, * FROM ({ANN_LSH_ORACLE})
+"""
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the dense-vector sibling of the
     MinHash/SimHash text dedups): sign-projection LSH bucket self-join (8
@@ -1848,7 +1900,7 @@ def sampling_split_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MD5_BUCKET_SQL = (
-    "CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+    "CAST(concat('0x', substring(md5('v:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
 )
 
 SAMPLING_SPLIT_ORACLE = f"""
@@ -2373,6 +2425,24 @@ def dbt_dim_games_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_model_sql(spark, dag, DIM_GAMES_SQL)
 
 
+def dbt_dim_games_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both dim_games builds, tagged: part='df' = the model-registry
+    DataFrame build, part='sql' = the Spark-SQL-surface translation of
+    models/marts/core/dim_games.sql run over the same staged views. The two
+    legs must hash-match each other (one shared mart oracle, duplicated per
+    tag) — the §3.1 DataFrame≡SQL equivalence as a single driver row."""
+    a = dbt_dim_games(spark, sf_dir).select(F.lit("df").alias("part"), "*")
+    b = dbt_dim_games_sql(spark, sf_dir).select(F.lit("sql").alias("part"), "*")
+    return a.unionByName(b)
+
+
+DBT_DIM_GAMES_SUITE_ORACLE = f"""
+SELECT 'df' AS part, * FROM ({DBT_DIM_GAMES_ORACLE})
+UNION ALL
+SELECT 'sql' AS part, * FROM ({DBT_DIM_GAMES_ORACLE})
+"""
+
+
 def dbt_fact_reviews(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U2 repaired + W1 via the model registry: stg_reviews (real source +
     CAST/FROM_UNIXTIME, replacing the reference's undefined-macro model) and
@@ -2835,35 +2905,6 @@ FROM b
 # --------------------------------------------------------------------------
 
 
-def streaming_price_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ST1/ST4/ST5/ST7/ST8 + S10/S16: the reference's price pipeline
-    (flows/steam_price_pipeline.py:25-91, tasks/steam_tasks_improved.py:
-    437-487) end to end — purchase events serialized as the price-event JSON
-    envelope, drained via readStream + Trigger.AvailableNow in 4-file
-    micro-batches through foreachBatch {append prices, merge crawl_state,
-    emit change notifications}, checkpointed. Returns the final crawl_state."""
-    work = _scratch_dir("stream_price_")
-    ev = _t(spark, sf_dir, "events").filter(
-        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
-    )
-    msgs = ev.select(
-        F.lit("price").alias("type"),
-        F.col("user_id").alias("appid"),
-        F.col("event_id"),
-        F.pmod(F.col("event_id"), F.lit(51)).cast("double").alias("discount"),
-        F.col("value").alias("price"),
-        (F.unix_micros("ts") / F.lit(1000000.0)).alias("timestamp"),
-    )
-    events_dir = os.path.join(work, "events")
-    msgs.repartition(8).write.mode("overwrite").json(events_dir)
-    out = run_price_pipeline(
-        spark, events_dir, work, max_files_per_trigger=4, batch_shuffle_partitions=8
-    )
-    return spark.read.parquet(out["crawl_state"]).select(
-        "appid", "last_ts_us", "last_event_id", "last_price", "n_events"
-    )
-
-
 STREAMING_PRICE_ORACLE = """
 WITH p AS (
   SELECT user_id AS appid, event_id, value AS price, epoch_us(ts) AS ts_us
@@ -2878,6 +2919,12 @@ WITH p AS (
 )
 SELECT l.appid, l.last_ts_us, l.last_event_id, l.last_price, c.n_events
 FROM latest l JOIN c USING (appid)
+"""
+
+STREAMING_STATE_SUITE_ORACLE = f"""
+SELECT 'ext' AS part, * FROM ({STREAMING_PRICE_ORACLE})
+UNION ALL
+SELECT 'engine' AS part, * FROM ({STREAMING_PRICE_ORACLE})
 """
 
 
@@ -2954,18 +3001,24 @@ JOIN frst f ON l.appid = f.appid AND l.author_steamid = f.author_steamid
 """
 
 
-def streaming_stateful_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ST1/ST8 via ENGINE-managed keyed state (applyInPandasWithState,
-    streaming/stateful.py) — the Spark-native twin of
-    ``streaming_price_pipeline``'s external bucketed store, same crawl-state
-    semantics (struct-max watermark + additive count; reference ON DUPLICATE
-    KEY UPDATE, tasks/steam_tasks_improved.py:481-485). Purchase events are
-    drained in checkpointed 4-file micro-batches; each batch's update rows
-    land in a batch_id=N parquet dir, and the converged state is the
-    max-batch_id emission per key. The merge is associative, so the final
-    state is independent of micro-batch boundaries — which is why the plain
-    batch SQL oracle is exact."""
-    work = _scratch_dir("stream_stateful_")
+def streaming_state_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both keyed-state designs drained over ONE shared checkpointed event
+    fixture, tagged:
+
+    - part='ext': the full price pipeline with the EXTERNAL bucketed state
+      store (streaming_price_pipeline's plan — prices append + notifications
+      + state_store merge; ST1/ST4/ST5/ST7/ST8 + S10/S16).
+    - part='engine': ENGINE-managed keyed state via applyInPandasWithState
+      (streaming/stateful.py; ST1/ST8) — each batch's update rows land in a
+      batch_id=N dir and the converged state is the max-batch_id emission
+      per key.
+
+    Same crawl-state semantics in both (struct-max watermark + additive
+    count — reference ON DUPLICATE KEY UPDATE, tasks/steam_tasks_improved.py
+    :481-485); the merge is associative, so micro-batch boundaries can't
+    change the final state and ONE batch SQL oracle (duplicated per tag)
+    checks both designs against each other."""
+    work = _scratch_dir("stream_state_")
     ev = _t(spark, sf_dir, "events").filter(
         (F.col("event_type") == "purchase") & F.col("value").isNotNull()
     )
@@ -2979,17 +3032,45 @@ def streaming_stateful_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     events_dir = os.path.join(work, "events")
     msgs.repartition(8).write.mode("overwrite").json(events_dir)
+
+    out = run_price_pipeline(
+        spark,
+        events_dir,
+        os.path.join(work, "ext"),
+        max_files_per_trigger=4,
+        batch_shuffle_partitions=8,
+    )
+    ext = spark.read.parquet(out["crawl_state"]).select(
+        F.lit("ext").alias("part"),
+        "appid",
+        "last_ts_us",
+        "last_event_id",
+        "last_price",
+        "n_events",
+    )
+
     updates_dir = run_crawl_state_to_table(
-        spark, events_dir, work, max_files_per_trigger=4,
+        spark,
+        events_dir,
+        os.path.join(work, "engine"),
+        max_files_per_trigger=4,
         batch_shuffle_partitions=8,
     )
     upd = spark.read.parquet(updates_dir)
     w = Window.partitionBy("appid").orderBy(F.col("batch_id").desc())
-    return (
+    eng = (
         upd.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("appid", "last_ts_us", "last_event_id", "last_price", "n_events")
+        .select(
+            F.lit("engine").alias("part"),
+            "appid",
+            "last_ts_us",
+            "last_event_id",
+            "last_price",
+            "n_events",
+        )
     )
+    return ext.unionByName(eng)
 
 
 def streaming_windowed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3730,9 +3811,8 @@ QUERIES: dict[str, QuerySpec] = {
     "cdc_suite": QuerySpec(cdc_suite, CDC_SUITE_ORACLE, "S15/ST4/F15 + ST3: Debezium-envelope CDC diff + keyed redelivery dedup"),
     "skew_salted_agg": QuerySpec(skew_salted_agg, SKEW_SALTED_AGG_ORACLE, "skew: salted two-phase hot-key aggregation"),
     "rest_fetch_appdetails": QuerySpec(rest_fetch_appdetails, REST_FETCH_ORACLE, "S7: distributed REST fetch (deterministic fake, retry + null-payload routing)"),
-    "streaming_price_pipeline": QuerySpec(streaming_price_pipeline, STREAMING_PRICE_ORACLE, "ST1/ST4/ST5/ST7/ST8: checkpointed price pipeline"),
+    "streaming_state_suite": QuerySpec(streaming_state_suite, STREAMING_STATE_SUITE_ORACLE, "ST1/ST4/ST5/ST7/ST8 + S10/S16: checkpointed price pipeline (external bucketed store) + engine-managed applyInPandasWithState state, one shared fixture"),
     "streaming_review_upsert": QuerySpec(streaming_review_upsert, STREAMING_REVIEW_ORACLE, "S4/S13/S11/F17: checkpointed review upsert pipeline (ids cast to string)"),
-    "streaming_stateful_crawl": QuerySpec(streaming_stateful_crawl, STREAMING_PRICE_ORACLE, "ST1/ST8: engine-managed keyed state (applyInPandasWithState) crawl registry"),
     "streaming_windowed_stats": QuerySpec(streaming_windowed_stats, STREAMING_WINDOWED_ORACLE, "ST2/ST6/ST7: watermarked append-mode tumbling windows (exactly-once finalize)"),
     # --- relational core.
     "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_ORACLE, "A2: scan→filter→hash agg (flagship)"),
@@ -3762,7 +3842,7 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_simhash_docs": QuerySpec(dedup_simhash_docs, DEDUP_SIMHASH_ORACLE, "dedup: SimHash fingerprints"),
     "dedup_corpus_lines": QuerySpec(dedup_corpus_lines, DEDUP_CORPUS_LINES_ORACLE, "dedup: corpus-level line boilerplate removal (C4-style)"),
     "ann_cosine_topk": QuerySpec(ann_cosine_topk, ANN_COSINE_ORACLE, "similarity: brute-force cosine top-k"),
-    "ann_lsh_topk": QuerySpec(ann_lsh_topk, ANN_LSH_ORACLE, "similarity: LSH-bucketed cosine top-k"),
+    "ann_lsh_suite": QuerySpec(ann_lsh_suite, ANN_LSH_SUITE_ORACLE, "similarity: LSH-bucketed cosine top-k, in-plan + partition-pruned layout legs"),
     "ann_ivf_topk": QuerySpec(ann_ivf_topk, ANN_IVF_ORACLE, "similarity: IVF coarse-quantized cosine top-k"),
     "ann_quantized_topk": QuerySpec(ann_quantized_topk, ANN_QUANTIZED_ORACLE, "similarity: int8-quantized cosine top-k (scale-cancelling)"),
     "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, DEDUP_EMBEDDING_ORACLE, "dedup: embedding-cosine near-dup pairs (LSH-bucketed)"),
@@ -3774,8 +3854,7 @@ QUERIES: dict[str, QuerySpec] = {
     "text_pii_redaction": QuerySpec(text_pii_redaction, TEXT_PII_ORACLE, "text: PII detection counts + sequential redaction"),
     "sessionization": QuerySpec(sessionization, SESSIONIZATION_ORACLE, "sessionization: gap-based"),
     # --- the dbt model DAG.
-    "dbt_dim_games": QuerySpec(dbt_dim_games, DBT_DIM_GAMES_ORACLE, "DAG: dim_games star rollup"),
-    "dbt_dim_games_sql": QuerySpec(dbt_dim_games_sql, DBT_DIM_GAMES_ORACLE, "DAG: dim_games via the spark.sql surface"),
+    "dbt_dim_games_suite": QuerySpec(dbt_dim_games_suite, DBT_DIM_GAMES_SUITE_ORACLE, "DAG: dim_games star rollup, DataFrame + spark.sql legs (must hash-match)"),
     "dbt_fact_reviews": QuerySpec(dbt_fact_reviews, DBT_FACT_REVIEWS_ORACLE, "DAG: fact_reviews (repaired stg_reviews + W1)"),
     "dbt_game_quality_metrics": QuerySpec(dbt_game_quality_metrics, DBT_GQM_ORACLE, "DAG: business mart w/ fanout AVG"),
     "dbt_quality_report": QuerySpec(dbt_quality_report, DBT_QUALITY_ORACLE, "DAG: quality runner (clean + seeded-dirty)"),

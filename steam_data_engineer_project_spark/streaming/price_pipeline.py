@@ -216,7 +216,10 @@ def run_price_pipeline(
             # skipped when the final dir already exists: on a replay after a
             # mid-merge crash the state is no longer pre-merge, so
             # recomputing would silently drop change events — the first
-            # attempt's completed output is the correct one.
+            # attempt's completed output is the correct one. The exists
+            # check + rename assume LOCAL-FS (POSIX) atomicity, like every
+            # sink in this pipeline; on an object store / HDFS route them
+            # through a commit service or Delta-style log instead.
             notif_batch = os.path.join(notif_dir, f"batch_id={batch_id}")
             if not os.path.exists(notif_batch):
                 prev = read_state(spark, state_dir, touched)

@@ -432,15 +432,49 @@ def test_salted_join_rejects_outer_joins(spark):
 
 
 def test_salted_aggregate_spreads_identical_duplicate_rows(spark):
-    from steam_data_engineer_project_spark.operators.skew import salted_aggregate
+    from steam_data_engineer_project_spark.operators.skew import (
+        _salt_col,
+        salted_aggregate,
+    )
 
-    # A hot key whose rows are ALL identical — a content-derived salt would
-    # put every row on one salt and stay skewed; the row-id salt must still
-    # produce the exact aggregate (and the decomposition is exact for any
-    # salt assignment, which is what this asserts).
-    df = spark.createDataFrame([("hot", 1.0)] * 1000, ["k", "v"])
+    # A hot key whose rows are ALL byte-identical: pure content hashing
+    # would collapse every row onto ONE salt and stay skewed. The
+    # partition-id mix must spread them while the aggregate stays exact.
+    df = spark.createDataFrame([("hot", 1.0)] * 1000, ["k", "v"]).repartition(8)
     got = salted_aggregate(df, ["k"], sums=["v"], count="n", num_salts=8).collect()
     assert [(r.k, r.v, r.n) for r in got] == [("hot", 1000.0, 1000)]
+    n_salts = (
+        df.select(_salt_col(df, 8).alias("s")).distinct().count()
+    )
+    assert n_salts > 1, "identical duplicate rows all landed on one salt"
+
+
+def test_salt_hash_tolerates_map_columns_and_dotted_names(spark):
+    """ADVICE regressions on the salt hash itself: a MapType column must not
+    break it (Spark forbids hashing maps — it is excluded), and a column
+    name containing a dot must resolve literally, not as a nested-field
+    path. The aggregate over such a frame stays exact."""
+    from steam_data_engineer_project_spark.operators.skew import (
+        _salt_col,
+        salted_aggregate,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0, {"x": 1}), ("a", 2.0, {"y": 2}), ("b", 3.0, None)],
+        "k string, v double, m map<string,int>",
+    ).withColumnRenamed("v", "val.ue")
+    # the salt evaluates (no AnalysisException) and stays in range
+    salts = [r.s for r in df.select(_salt_col(df, 4).alias("s")).collect()]
+    assert all(0 <= s < 4 for s in salts)
+    # and the full aggregate over a map-bearing frame is exact
+    got = sorted(
+        (r.k, r.v, r.n)
+        for r in salted_aggregate(
+            df.selectExpr("k", "`val.ue` AS v", "m"), ["k"], sums=["v"],
+            count="n", num_salts=4,
+        ).collect()
+    )
+    assert got == [("a", 3.0, 2), ("b", 3.0, 1)]
 
 
 # ------------------------------------------------- pruned physical layouts
@@ -639,6 +673,67 @@ def test_asof_join_matches_bruteforce_on_random_data(spark):
             cands = [(rts, v) for (rk, rts, v) in rrows if rk == k and rts <= ts]
             want = max(cands, key=lambda c: c[0]) if cands else (None, None)
             assert got[lid] == want, f"seed={seed} lid={lid}"
+
+
+def test_asof_join_split_matches_plain_on_skewed_data(spark):
+    """asof_join_split must equal asof_join EXACTLY on a hot-key fixture:
+    one key holds most rows, ranges exist where the hot key has left rows
+    but NO right rows (the carrier must cross several empty ranges), plus
+    boundary-exact timestamps and a key with no earlier right row at all."""
+    import random
+
+    from steam_data_engineer_project_spark.operators.temporal import (
+        asof_join,
+        asof_join_split,
+    )
+
+    for seed in range(3):
+        rng = random.Random(seed)
+        lrows, rrows, used = [], [], set()
+        lid = 0
+        # hot key 0: left rows over [0, 400); right rows ONLY in [0, 100) —
+        # ranges 1..3 (width 100) have no right rows, forcing carry-across.
+        for _ in range(120):
+            lrows.append((0, rng.randrange(0, 400), lid)); lid += 1
+        for _ in range(25):
+            ts = rng.randrange(0, 100)
+            if (0, ts) not in used:
+                used.add((0, ts))
+                rrows.append((0, ts, rng.random()))
+        # boundary-exact: left and right rows AT a range boundary (ts=200)
+        lrows.append((0, 200, lid)); lid += 1
+        if (0, 200) not in used:
+            used.add((0, 200)); rrows.append((0, 200, 7.7))
+        # cold keys, including one whose left rows precede every right row
+        for k in (1, 2):
+            for _ in range(10):
+                lrows.append((k, rng.randrange(0, 400), lid)); lid += 1
+            for _ in range(5):
+                ts = rng.randrange(300, 400)
+                if (k, ts) not in used:
+                    used.add((k, ts)); rrows.append((k, ts, rng.random()))
+        left = spark.createDataFrame(lrows, "k long, ts long, lid long")
+        right = spark.createDataFrame(rrows, "k long, ts long, v double")
+        plain = {
+            r.lid: (r.asof_ts, r.v)
+            for r in asof_join(left, right, ["k"], "ts", "ts", ["v"]).collect()
+        }
+        split = {
+            r.lid: (r.asof_ts, r.v)
+            for r in asof_join_split(
+                left, right, ["k"], "ts", "ts", ["v"], range_width=100.0
+            ).collect()
+        }
+        assert split == plain, f"seed={seed}"
+        # sanity: the fixture really exercised carriers (some hot-key match
+        # came from a range earlier than the left row's own)
+        crossed = [
+            1
+            for (k, ts, i) in lrows
+            if k == 0 and plain[i][0] is not None
+            and ts // 100 > plain[i][0] // 100
+        ]
+        assert crossed, "fixture never crossed a range boundary"
 
 
 # ------------------------------------------------------------------ sampling
@@ -1099,3 +1194,29 @@ def test_deterministic_split_null_keys_land_together(spark):
     assert a == b
     null_splits = {s for k, s in a if k is None}
     assert len(null_splits) == 1  # all NULLs in exactly one split
+
+
+def test_hash_bucket_no_string_collides_with_null_population(spark):
+    """The (is-null, value)-pair hash: NULLs bucket as md5('n:'); every
+    non-null key hashes 'v:'+value, so no string — including ones crafted
+    to look like a sentinel — can be silently merged into the NULL bucket's
+    hash input. (Bucket-value collisions mod 10k remain possible for any
+    hash; what's excluded is input-level aliasing.)"""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from steam_data_engineer_project_spark.operators.sampling import _hash_bucket
+
+    probes = [None, "n:", "", "v:", "__hash_bucket_null__"]
+    df = spark.createDataFrame([(p,) for p in probes], "key string")
+    got = {
+        r.key: r.b
+        for r in df.select("key", _hash_bucket(F.col("key")).alias("b")).collect()
+    }
+    def md5b(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % 10_000
+
+    assert got[None] == md5b("n:")
+    for p in probes[1:]:
+        assert got[p] == md5b("v:" + p)  # value-domain, never the null input

@@ -28,7 +28,7 @@ SF_DIR = "/root/testdata/sf0.001"
 BNLJ_OK = {
     "time_filter_suite",  # scalar watermark row broadcast against events
     "ann_cosine_topk",  # broadcast single query vector
-    "ann_lsh_topk",  # broadcast single query vector + bucket id
+    "ann_lsh_suite",  # broadcast single query vector + bucket id
     "ann_ivf_topk",  # broadcast query against the tiny centroid codebook
     "ann_quantized_topk",  # broadcast single quantized query vector
 }
@@ -171,6 +171,21 @@ def test_bucketed_tables_join_without_exchange(spark):
                 spark.conf.set(k, v)
         spark.sql(f"DROP TABLE IF EXISTS {ta}")
         spark.sql(f"DROP TABLE IF EXISTS {tb}")
+
+
+def test_pruned_ann_registry_query_prunes_partitions(spark):
+    """ann_lsh_topk_pruned's scan must carry the Hamming-2 probe set as
+    PartitionFilters (bucket IN (...)) — the registry row proves the ANSWER
+    matches the oracle; this pins that the answer came from a PRUNED scan,
+    not a full one."""
+    from steam_data_engineer_project_spark.queries import ann_lsh_topk_pruned
+
+    df = ann_lsh_topk_pruned(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "bucket" in m.group(1), plan
+    # the probe list is a strict subset of the 256 buckets (Hamming-2 = 37)
+    assert m.group(1).count(",") < 255, m.group(1)
 
 
 def test_incremental_refresh_equals_full_rebuild(spark):

@@ -33,7 +33,9 @@ def test_ann_lsh_recall_floor(spark, exact_top10):
     recall@10 = 0.40 on the near-random synthetic embeddings (clustered real
     embeddings do far better at the same radius — random vectors are LSH's
     worst case). Floor: 0.30."""
-    got = [r.vec_id for r in QUERIES["ann_lsh_topk"].spark(spark, SF_DIR).collect()]
+    from steam_data_engineer_project_spark.queries import ann_lsh_topk
+
+    got = [r.vec_id for r in ann_lsh_topk(spark, SF_DIR).collect()]
     recall = len(set(exact_top10) & set(got)) / len(exact_top10)
     assert recall >= 0.30, f"ann_lsh recall@10 fell to {recall}"
 
