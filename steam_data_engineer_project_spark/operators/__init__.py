@@ -8,6 +8,7 @@ from .dedup import (
 )
 from .merge import insert_ignore, merge_monotone_max, upsert_last_wins
 from .sampling import deterministic_split, stratified_sample_exact
+from .chunking import chunk_documents, pack_sequences, whitespace_token_count
 from .sessionize import sessionize
 from .skew import salted_aggregate, salted_join
 from .similarity import (
@@ -38,6 +39,9 @@ __all__ = [
     "merge_monotone_max",
     "upsert_last_wins",
     "sessionize",
+    "chunk_documents",
+    "pack_sequences",
+    "whitespace_token_count",
     "salted_aggregate",
     "salted_join",
     "brute_force_cosine_topk",

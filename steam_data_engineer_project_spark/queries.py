@@ -82,6 +82,11 @@ from .streaming.price_pipeline import run_price_pipeline
 from .streaming.review_pipeline import run_review_pipeline
 from .streaming.stateful import run_crawl_state_to_table
 from .streaming.windowed import run_windowed_to_table
+from .operators.chunking import (
+    chunk_documents,
+    pack_sequences,
+    whitespace_token_count,
+)
 from .operators.pii import pii_stats
 from .operators.sessionize import sessionize
 from .operators.skew import salted_aggregate
@@ -3548,8 +3553,12 @@ FROM ({FX_EPOCH_ORACLE})
 
 
 def fx_text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F12 + F10/F11 suite: HTML strip over documents and array-string
-    cleanup over part, tagged."""
+    """F12 + F10/F11 + LLM-prep suite, tagged: HTML strip over documents,
+    array-string cleanup over part, fixed-window document CHUNKING
+    (200 chars, 40 overlap — sequence→explode→substring, no shuffle), and
+    deterministic sequence PACKING (512-token budget, 16 content-hash
+    shards, one window shuffle; operators/chunking.py) aggregated per
+    pack."""
     html = fx_html_strip(spark, sf_dir).select(
         F.lit("html_strip").alias("part"),
         F.col("doc_id").cast("long").alias("id"),
@@ -3558,6 +3567,7 @@ def fx_text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("text_c"),
         F.lit(None).cast("long").alias("n_items"),
         F.lit(None).cast("string").alias("first_item"),
+        F.lit(None).cast("long").alias("val"),
     )
     arrays = fx_clean_arrays(spark, sf_dir).select(
         F.lit("clean_arrays").alias("part"),
@@ -3567,19 +3577,84 @@ def fx_text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cleaned_lang").alias("text_c"),
         "n_items",
         "first_item",
+        F.lit(None).cast("long").alias("val"),
     )
-    return html.unionByName(arrays)
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    chunks = chunk_documents(d, "text", "doc_id", 200, 40).select(
+        F.lit("chunk").alias("part"),
+        F.col("doc_id").cast("long").alias("id"),
+        F.col("chunk_text").alias("text_a"),
+        F.lit(None).cast("string").alias("text_b"),
+        F.lit(None).cast("string").alias("text_c"),
+        F.col("chunk_idx").cast("long").alias("n_items"),
+        F.lit(None).cast("string").alias("first_item"),
+        F.lit(None).cast("long").alias("val"),
+    )
+    toks = d.select(
+        "doc_id", whitespace_token_count(F.col("text")).alias("toks")
+    )
+    packs = (
+        pack_sequences(toks, "doc_id", "toks", budget=512, num_shards=16)
+        .groupBy("pack_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("toks").alias("sum_toks"))
+        .select(
+            F.lit("pack").alias("part"),
+            F.col("pack_id").alias("id"),
+            F.lit(None).cast("string").alias("text_a"),
+            F.lit(None).cast("string").alias("text_b"),
+            F.lit(None).cast("string").alias("text_c"),
+            F.col("n_docs").cast("long").alias("n_items"),
+            F.lit(None).cast("string").alias("first_item"),
+            F.col("sum_toks").cast("long").alias("val"),
+        )
+    )
+    return html.unionByName(arrays).unionByName(chunks).unionByName(packs)
 
+
+_PACK_SHARD_SQL = (
+    "CAST(concat('0x', substring(md5('v:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 16"
+)
+_PACK_ORD_SQL = (
+    "CAST(concat('0x', substring(md5('v:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2147483648"
+)
 
 FX_TEXT_ORACLE = f"""
 SELECT 'html_strip' AS part, CAST(doc_id AS BIGINT) AS id, clean_text AS text_a,
        CAST(NULL AS VARCHAR) AS text_b, CAST(NULL AS VARCHAR) AS text_c,
-       CAST(NULL AS BIGINT) AS n_items, CAST(NULL AS VARCHAR) AS first_item
+       CAST(NULL AS BIGINT) AS n_items, CAST(NULL AS VARCHAR) AS first_item,
+       CAST(NULL AS BIGINT) AS val
 FROM ({FX_HTML_ORACLE})
 UNION ALL
 SELECT 'clean_arrays', CAST(p_partkey AS BIGINT), raw, cleaned, cleaned_lang,
-       n_items, first_item
+       n_items, first_item, CAST(NULL AS BIGINT)
 FROM ({FX_CLEAN_ARRAYS_ORACLE})
+UNION ALL
+SELECT 'chunk', CAST(doc_id AS BIGINT), substring(text, CAST(i*160+1 AS INT), 200),
+       NULL, NULL, CAST(i AS BIGINT), NULL, CAST(NULL AS BIGINT)
+FROM documents,
+     LATERAL UNNEST(range(GREATEST(1, CAST(ceil((length(text)-40)/160.0) AS BIGINT)))) AS t(i)
+WHERE text IS NOT NULL
+UNION ALL
+SELECT 'pack', pack_id, NULL, NULL, NULL, COUNT(*), NULL, CAST(SUM(toks) AS BIGINT)
+FROM (
+  SELECT doc_id, toks,
+         shard * 1000000000 + CAST(FLOOR((cum - toks) / 512.0) AS BIGINT) AS pack_id
+  FROM (
+    SELECT doc_id, toks, shard,
+           SUM(toks) OVER (PARTITION BY shard ORDER BY ord, doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+    FROM (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+             END AS toks,
+             {_PACK_SHARD_SQL} AS shard,
+             {_PACK_ORD_SQL} AS ord
+      FROM documents WHERE text IS NOT NULL
+    )
+  )
+)
+GROUP BY 1, 2
 """
 
 
@@ -3832,7 +3907,7 @@ QUERIES: dict[str, QuerySpec] = {
     # --- scalar-function suites.
     "fx_price_suite": QuerySpec(fx_price_suite, FX_PRICE_SUITE_ORACLE, "F2/F4/F5/F6/F7/F13/F16: price scalars + cents round-trip + tz partition key"),
     "fx_time_suite": QuerySpec(fx_time_suite, FX_TIME_ORACLE, "F9 + F1/F14: date parse round-trip + epoch conversions"),
-    "fx_text_suite": QuerySpec(fx_text_suite, FX_TEXT_ORACLE, "F12 + F10/F11: HTML strip + array-string cleanup"),
+    "fx_text_suite": QuerySpec(fx_text_suite, FX_TEXT_ORACLE, "F12 + F10/F11 + LLM prep: HTML strip + array cleanup + document chunking + sequence packing"),
     "merge_strategies": QuerySpec(merge_strategies, MERGE_STRATEGIES_ORACLE, "S9/S11/A6/A7: three-way merge strategies"),
     "quality_suite": QuerySpec(quality_suite, QUALITY_SUITE_ORACLE, "Q1/Q2/Q4/A4: data-quality checks + counts"),
     # --- training-data pipeline operators.

@@ -419,6 +419,49 @@ def test_davg_exact_past_double_precision(spark):
     assert got == want
 
 
+def test_davg_property_matches_exact_ints_and_duckdb(spark):
+    """Property test (VERDICT r3 #5): for ANY positive 2-dp inputs —
+    including sums far past 2^53, where a double-division detour silently
+    rounds — davg must equal both the exact Python integer floor-division
+    and DuckDB's BIGINT // arithmetic (the oracle-side expression)."""
+    import duckdb
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from steam_data_engineer_project_spark.functions.aggregates import davg
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=10**13),  # cents; values ≤ 1e11
+            min_size=1,
+            max_size=8,
+        )
+    )
+    def check(cents):
+        vals = [c / 100.0 for c in cents]
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        got = df.agg(davg(F.col("v")).alias("a")).collect()[0].a
+        # exact integer reference (micro-units, floor division)
+        micro = sum(round(v * 100) * 10_000 for v in vals)
+        want = (micro // len(vals)) / 1_000_000.0
+        assert got == want, (cents, got, want)
+        # and DuckDB's BIGINT // over the same doubles agrees bit-for-bit
+        con = duckdb.connect()
+        duck = con.execute(
+            "SELECT CAST(SUM(CAST(v AS DECIMAL(24,2))) * 1000000 AS BIGINT)"
+            " // COUNT(v) / 1000000.0 AS a FROM (SELECT UNNEST(?) AS v)",
+            [vals],
+        ).fetchone()[0]
+        assert got == duck, (cents, got, duck)
+
+    check()
+
+
 def test_salted_join_rejects_outer_joins(spark):
     import pytest
 
@@ -734,6 +777,86 @@ def test_asof_join_split_matches_plain_on_skewed_data(spark):
             and ts // 100 > plain[i][0] // 100
         ]
         assert crossed, "fixture never crossed a range boundary"
+
+
+# ------------------------------------------------- chunking & sequence packing
+
+
+def test_chunk_documents_covers_text_with_overlap(spark):
+    """Every character appears in some chunk; consecutive chunks overlap by
+    exactly overlap_chars; stitching chunks (dropping each successor's
+    overlap prefix) reconstructs the document byte-for-byte; short/empty
+    texts produce exactly one chunk."""
+    from steam_data_engineer_project_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    texts = [
+        (1, "abcdefghij" * 53),   # 530 chars — several chunks
+        (2, "short"),
+        (3, ""),
+        (4, "x" * 200),           # exactly one chunk width
+        (5, "y" * 201),           # one char past → second chunk
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    chunks = {
+        (r.doc_id, r.chunk_idx): r.chunk_text
+        for r in chunk_documents(df, "text", "doc_id", 200, 40).collect()
+    }
+    stride = 160
+    for doc_id, text in texts:
+        idxs = sorted(i for (d, i) in chunks if d == doc_id)
+        assert idxs == list(range(len(idxs)))  # dense 0..n-1
+        if len(text) <= 200:
+            assert idxs == [0] and chunks[(doc_id, 0)] == text
+            continue
+        # reconstruction: chunk 0 whole, then each chunk minus its overlap
+        rebuilt = chunks[(doc_id, 0)] + "".join(
+            chunks[(doc_id, i)][40:] for i in idxs[1:]
+        )
+        assert rebuilt == text, doc_id
+        for i in idxs[1:]:  # consecutive chunks share the overlap
+            assert chunks[(doc_id, i - 1)][stride:] == chunks[(doc_id, i)][:40]
+
+
+def test_pack_sequences_budget_and_determinism(spark):
+    """Packing is partitioning-independent, every pack's token total is
+    bounded by budget + (its last doc's tokens), an oversized doc gets a
+    pack that closes after it, and no pack is empty."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from steam_data_engineer_project_spark.operators.chunking import (
+        pack_sequences,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, rng.randrange(1, 400)) for i in range(500)]
+    rows.append((9001, 5000))  # oversized: alone past any 512 budget
+    df = spark.createDataFrame(rows, "doc_id long, toks long")
+    a = {
+        r.doc_id: r.pack_id
+        for r in pack_sequences(df, "doc_id", "toks", 512, 8).collect()
+    }
+    b = {
+        r.doc_id: r.pack_id
+        for r in pack_sequences(
+            df.repartition(13), "doc_id", "toks", 512, 8
+        ).collect()
+    }
+    assert a == b  # byte-stable under partitioning
+
+    per_pack: dict[int, list[int]] = {}
+    toks = dict(rows)
+    for doc, pack in a.items():
+        per_pack.setdefault(pack, []).append(toks[doc])
+    for pack, sizes in per_pack.items():
+        assert sum(sizes) <= 512 + max(sizes), pack  # bounded overflow
+    # the doc after the oversized one started a fresh bin: the giant's pack
+    # holds only docs that started before the budget line it blew through
+    giant_pack = a[9001]
+    assert sum(per_pack[giant_pack]) >= 5000
 
 
 # ------------------------------------------------------------------ sampling
