@@ -123,6 +123,14 @@ def compact_appends(
             shutil.rmtree(
                 os.path.join(table_dir, f"batch_id={b}"), ignore_errors=True
             )
+    cdir0 = _compacted_dir(table_dir)
+    if os.path.isdir(cdir0):
+        for d in os.listdir(cdir0):  # reap ORPHAN segments (> watermark):
+            if d.startswith("upto=") and int(d.split("=", 1)[1]) > w:
+                # written by a run that crashed before its watermark bump —
+                # readers never saw them, and this run may fold the same
+                # batches into a new segment, so leaving one would duplicate
+                shutil.rmtree(os.path.join(cdir0, d), ignore_errors=True)
     live = [b for b in _live_batches(table_dir) if b > w]
     if upto_batch_id is not None:
         live = [b for b in live if b <= upto_batch_id]

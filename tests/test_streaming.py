@@ -542,3 +542,74 @@ def test_compaction_preserves_contents_and_shrinks_files(spark):
         assert rowset(read_appends(spark, prices_dir)) == combined_rows
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_compaction_crash_recovery_orphan_segment_and_stale_live_dirs(spark):
+    """The crash protocol: (a) an orphan segment written but not
+    watermark-committed is invisible to readers and rebuilt by the next
+    run; (b) live dirs at/below the watermark (crash after bump, before
+    deletion) are ignored by readers and reaped by the next run — no
+    duplicates, no loss, at every crash point."""
+    import glob
+
+    from steam_data_engineer_project_spark.streaming.compaction import (
+        compact_appends,
+        compaction_watermark,
+        read_appends,
+    )
+
+    base = os.path.join(REPO_ROOT, ".scratch")
+    os.makedirs(base, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="test_compact_crash_", dir=base)
+    table = os.path.join(work, "prices")
+    try:
+        for b in range(4):
+            spark.createDataFrame(
+                [(b * 10 + i, float(b)) for i in range(3)], "id long, v double"
+            ).coalesce(1).write.parquet(os.path.join(table, f"batch_id={b}"))
+
+        def rowset():
+            df = read_appends(spark, table)
+            return sorted(tuple(r) for r in df.select(sorted(df.columns)).collect())
+
+        want = rowset()
+        assert len(want) == 12
+
+        # (a) crash AFTER segment rename, BEFORE watermark bump: fake the
+        # orphan by compacting then rolling the watermark file back.
+        compact_appends(spark, table, upto_batch_id=1, target_files=1)
+        wfile = os.path.join(table, "_compacted", "_watermark")
+        seg = os.path.join(table, "_compacted", "upto=1")
+        assert os.path.isdir(seg)
+        os.remove(wfile)  # watermark never committed
+        # ...but the live dirs 0..1 were also not yet deleted in this crash
+        # story — recreate them as the pre-compaction state had them.
+        for b in range(2):
+            d = os.path.join(table, f"batch_id={b}")
+            if not os.path.isdir(d):
+                spark.createDataFrame(
+                    [(b * 10 + i, float(b)) for i in range(3)],
+                    "id long, v double",
+                ).coalesce(1).write.parquet(d)
+        assert compaction_watermark(table) == -1
+        assert rowset() == want  # orphan segment invisible, no dupes/loss
+
+        w = compact_appends(spark, table, target_files=1)  # rebuilds cleanly
+        assert w == 3 and rowset() == want
+
+        # (b) crash AFTER watermark bump, BEFORE live-dir deletion: resurrect
+        # a stale live dir below the watermark.
+        stale = os.path.join(table, "batch_id=2")
+        spark.createDataFrame(
+            [(20 + i, 2.0) for i in range(3)], "id long, v double"
+        ).coalesce(1).write.parquet(stale)
+        assert rowset() == want  # reader ignores live ≤ watermark
+        compact_appends(spark, table, target_files=1)  # reaps it
+        assert not os.path.isdir(stale)
+        assert rowset() == want
+        # exactly ONE committed segment holds everything (the orphan was
+        # reaped before the covering rebuild, and reap-only runs add none)
+        segs = glob.glob(os.path.join(table, "_compacted", "upto=*"))
+        assert segs == [os.path.join(table, "_compacted", "upto=3")]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
