@@ -51,6 +51,18 @@ def _compacted_dir(table_dir: str) -> str:
     return os.path.join(table_dir, _COMPACTED)
 
 
+def _dir_value(name: str, prefix: str) -> int | None:
+    """``'upto=12'`` → 12; None for anything unparsable — notably the
+    ``upto=12.tmp`` staging dirs a crashed run leaves behind, which must
+    never be read as segments (and are reaped by :func:`compact_appends`)."""
+    if not name.startswith(prefix):
+        return None
+    try:
+        return int(name.split("=", 1)[1])
+    except ValueError:
+        return None
+
+
 def compaction_watermark(table_dir: str) -> int:
     """Highest batch_id folded into the compacted zone; -1 if none."""
     path = os.path.join(_compacted_dir(table_dir), _WATERMARK)
@@ -64,9 +76,9 @@ def _live_batches(table_dir: str) -> list[int]:
     if not os.path.isdir(table_dir):
         return []
     return sorted(
-        int(d.split("=", 1)[1])
+        v
         for d in os.listdir(table_dir)
-        if d.startswith("batch_id=")
+        if (v := _dir_value(d, "batch_id=")) is not None
     )
 
 
@@ -76,9 +88,7 @@ def _segments(table_dir: str, upto: int) -> list[str]:
     if not os.path.isdir(cdir):
         return []
     vals = sorted(
-        int(d.split("=", 1)[1])
-        for d in os.listdir(cdir)
-        if d.startswith("upto=")
+        v for d in os.listdir(cdir) if (v := _dir_value(d, "upto=")) is not None
     )
     return [os.path.join(cdir, f"upto={v}") for v in vals if v <= upto]
 
@@ -125,8 +135,11 @@ def compact_appends(
             )
     cdir0 = _compacted_dir(table_dir)
     if os.path.isdir(cdir0):
-        for d in os.listdir(cdir0):  # reap ORPHAN segments (> watermark):
-            if d.startswith("upto=") and int(d.split("=", 1)[1]) > w:
+        for d in os.listdir(cdir0):  # reap ORPHAN segments (> watermark) and
+            v = _dir_value(d, "upto=")  # .tmp staging dirs from crashed runs:
+            if (v is not None and v > w) or (
+                d.startswith("upto=") and d.endswith(".tmp")
+            ):
                 # written by a run that crashed before its watermark bump —
                 # readers never saw them, and this run may fold the same
                 # batches into a new segment, so leaving one would duplicate

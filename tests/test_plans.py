@@ -16,6 +16,7 @@ from __future__ import annotations
 import re
 
 import pytest
+from pyspark.sql import functions as F
 
 from steam_data_engineer_project_spark.queries import QUERIES
 
@@ -246,3 +247,44 @@ def test_incremental_refresh_equals_full_rebuild(spark):
         assert again.count() == len(want)
     finally:
         shutil.rmtree(mart, ignore_errors=True)
+
+
+def test_chunking_is_a_narrow_map_stage(spark):
+    """chunk_documents must compile to scan→project(explode) with ZERO
+    Exchange: chunking 100 TB of documents should never shuffle."""
+    from steam_data_engineer_project_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = (
+        chunk_documents(docs, "text", "doc_id", 512, 64)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_packing_costs_exactly_one_shuffle(spark):
+    """pack_sequences pays ONE hash Exchange (the per-shard window) — a
+    second Exchange would mean the shard routing isn't driving the window
+    partitioning."""
+    from steam_data_engineer_project_spark.operators.chunking import (
+        pack_sequences,
+        whitespace_token_count,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").withColumn(
+        "n_tokens", whitespace_token_count(F.col("text"))
+    )
+    plan = (
+        pack_sequences(docs, "doc_id", "n_tokens", budget=1024)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan

@@ -613,3 +613,44 @@ def test_compaction_crash_recovery_orphan_segment_and_stale_live_dirs(spark):
         assert segs == [os.path.join(table, "_compacted", "upto=3")]
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_compaction_crash_mid_segment_write_leaves_readable_table(spark):
+    """Crash DURING the segment write (before the atomic rename) leaves an
+    ``upto=N.tmp`` staging dir: readers must not try to parse it as a
+    segment, and the next compaction run reaps it and folds cleanly."""
+    from steam_data_engineer_project_spark.streaming.compaction import (
+        compact_appends,
+        read_appends,
+    )
+
+    base = os.path.join(REPO_ROOT, ".scratch")
+    os.makedirs(base, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="test_compact_tmp_", dir=base)
+    table = os.path.join(work, "prices")
+    try:
+        for b in range(2):
+            spark.createDataFrame(
+                [(b * 10 + i, float(b)) for i in range(3)], "id long, v double"
+            ).coalesce(1).write.parquet(os.path.join(table, f"batch_id={b}"))
+        # fake the mid-write crash: a staging dir that never got renamed
+        staging = os.path.join(table, "_compacted", "upto=1.tmp")
+        spark.createDataFrame(
+            [(99, 9.9)], "id long, v double"
+        ).coalesce(1).write.parquet(staging)
+
+        def rowset():
+            df = read_appends(spark, table)
+            return sorted(tuple(r) for r in df.select(sorted(df.columns)).collect())
+
+        got = rowset()  # must not raise, must not include staging rows
+        assert len(got) == 6
+        assert all(r[1] != 99 for r in got)  # columns sorted: batch_id, id, v
+
+        w = compact_appends(spark, table, target_files=1)
+        assert w == 1
+        assert not os.path.isdir(staging)  # reaped
+        final = rowset()
+        assert len(final) == 6 and all(r[1] != 99 for r in final)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
