@@ -288,3 +288,76 @@ def test_packing_costs_exactly_one_shuffle(spark):
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
     assert "Exchange SinglePartition" not in plan, plan
     assert "Exchange rangepartitioning" not in plan, plan
+
+
+#: Shuffle budget per registry query: the Exchange count of its audited
+#: physical plan at sf0.001. Every Exchange at 100 TB is a full network
+#: pass over its input, so a count creeping UP is a scale regression even
+#: when results stay correct — this pin turns that into a test failure.
+#: Counts may legitimately go DOWN (tighten the budget when they do) or
+#: change when a query's semantics change (re-derive with the audit
+#: fixture and justify in the commit).
+EXCHANGE_BUDGET = {
+    "ann_cosine_topk": 2,
+    "ann_ivf_topk": 4,
+    "ann_lsh_suite": 2,
+    "ann_quantized_topk": 2,
+    "cdc_suite": 3,
+    "crawl_state_registry": 2,
+    "dbt_dim_games_suite": 14,
+    "dbt_fact_reviews": 1,
+    "dbt_game_quality_metrics": 6,
+    "dbt_quality_report": 6,
+    "dedup_cluster_canonical": 2,
+    "dedup_corpus_lines": 5,
+    "dedup_cross_corpus": 12,
+    "dedup_embedding_cosine": 2,
+    "dedup_exact_docs": 2,
+    "dedup_minhash_lsh_docs": 11,
+    "dedup_ngram_jaccard_docs": 9,
+    "dedup_simhash_docs": 4,
+    "dim_star_denorm": 2,
+    "duplicate_key_detector": 1,
+    "filter_suite": 0,
+    "fx_price_suite": 1,
+    "fx_text_suite": 4,
+    "fx_time_suite": 0,
+    "get_or_create_dim": 2,
+    "join_membership_suite": 1,
+    "kafka_frame_roundtrip": 0,
+    "merge_strategies": 7,
+    "mm_pipeline": 2,
+    "outer_union_merge": 2,
+    "q1_pricing_summary": 1,
+    "quality_metrics_fanout": 2,
+    "quality_suite": 5,
+    "rank_suite": 1,
+    "rest_fetch_appdetails": 0,
+    "sampling_split_suite": 4,
+    "sessionization": 1,
+    "set_ops_suite": 4,
+    "skew_salted_agg": 2,
+    "src_csv_suite": 1,
+    "src_json_corrupt_recovery": 0,
+    "streaming_review_upsert": 0,
+    "streaming_state_suite": 1,
+    "streaming_windowed_stats": 0,
+    "temporal_join_suite": 3,
+    "text_pii_redaction": 1,
+    "text_profile_docs": 4,
+    "text_repetition_docs": 2,
+    "time_filter_suite": 2,
+    "window_suite": 3,
+}
+
+
+def test_every_query_within_its_shuffle_budget(plans):
+    """No registry query's plan may gain an Exchange silently."""
+    missing = sorted(set(plans) - set(EXCHANGE_BUDGET))
+    assert not missing, f"new queries need a shuffle budget: {missing}"
+    over = {
+        n: (len(re.findall(r"\bExchange ", p)), EXCHANGE_BUDGET[n])
+        for n, p in plans.items()
+        if len(re.findall(r"\bExchange ", p)) > EXCHANGE_BUDGET[n]
+    }
+    assert not over, f"shuffle regressions (actual, budget): {over}"
