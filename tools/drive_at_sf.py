@@ -42,8 +42,108 @@ def rows(df):
     return sorted(zip(*cols), key=lambda r: tuple((x is None, str(x)) for x in r))
 
 
+def digest(df) -> object:
+    """Order-insensitive canonical form, vectorized for multi-million-row
+    results (the per-value Python path above takes tens of minutes at sf1.0):
+    every column is canonicalized to a string series (floats rounded to 9
+    like ``canon``; NaN → 'NaN'; NULL → sentinel), then the row strings are
+    SORTED and hashed. Falls back to the exact tuple path for small frames
+    so any dtype oddity (nested arrays, decimals) keeps byte-for-byte
+    semantics there."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    if len(df) < 100_000:
+        return rows(df)
+    parts = []
+    for c in sorted(df.columns):
+        s = df[c]
+        if pd.api.types.is_float_dtype(s):
+            # float columns conflate NULL and NaN on both sides (pandas
+            # float64 holds one NaN) — same semantics as `canon` above.
+            r = s.round(9)
+            out = r.map(repr)  # repr(float) is exact & stable across engines
+            out = out.mask(r.isna(), "NaN")
+        else:
+            out = s.astype(str)
+            out = out.mask(s.isna(), "\x00null")
+        parts.append(out.to_numpy(dtype=str))
+    joined = parts[0]
+    for p in parts[1:]:
+        joined = np.char.add(np.char.add(joined, "\x01"), p)
+    joined.sort()
+    return hashlib.md5("\n".join(joined).encode()).hexdigest()
+
+
+def cc_unionfind_oracle(con):
+    """Scale-tractable oracle for ``dedup_cluster_canonical``: the registry's
+    recursive-CTE oracle is exact but DuckDB's recursive UNION accumulates
+    every (node, reachable-label) pair — quadratic in clique size, measured
+    270 s at sf0.1 and unbounded-hours at sf1.0 where the generator plants
+    10-way duplicate groups. This replacement keeps the PAIR step in DuckDB
+    (the independently hash-verified ``DEDUP_NGRAM_ORACLE``) and collapses
+    pairs to components with textbook union-find in Python (0.2 s at sf0.1,
+    verified element-identical to the recursive CTE there). No engine-under-
+    test code involved."""
+    from collections import Counter
+
+    import numpy as np
+    import pandas as pd
+
+    from steam_data_engineer_project_spark.queries import DEDUP_NGRAM_ORACLE
+
+    pe = con.execute(
+        f"SELECT id_a, id_b FROM ({DEDUP_NGRAM_ORACLE})"
+    ).fetchall()
+    parent = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in pe:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    nodes = {a for a, _ in pe} | {b for _, b in pe}
+    comp = {n: find(n) for n in nodes}
+    sizes = Counter(comp.values())
+    rows_ = sorted(nodes)
+    return pd.DataFrame(
+        {
+            "doc_id": np.array(rows_, dtype=np.int64),
+            "component": np.array([comp[n] for n in rows_], dtype=np.int64),
+            "cluster_size": np.array(
+                [sizes[comp[n]] for n in rows_], dtype=np.int64
+            ),
+            "is_canonical": np.array([n == comp[n] for n in rows_], dtype=bool),
+        }
+    )
+
+
+#: oracles the tool computes outside DuckDB SQL (exact, engine-independent);
+#: the registry keeps the pure-SQL version for the external driver's sf0.01
+#: gate, where it is tractable.
+SPECIAL_ORACLES = {"dedup_cluster_canonical": cc_unionfind_oracle}
+
+
 def main() -> int:
     sf_dir, out_path = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    # resume: a prior (possibly crashed/parallel-shard) run's entries are
+    # kept — only queries without a green entry re-run.
+    prior = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            prior = json.load(f)
     spark = (
         SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
         .appName("drive-at-sf")
@@ -61,8 +161,13 @@ def main() -> int:
     import __spark_entry__ as E
 
     qs, oracles = E.queries(), E.oracle_sql()
-    results, fails = {}, []
+    results, fails = dict(prior), []
     for name in qs:
+        if only is not None and name not in only:
+            continue
+        if prior.get(name, {}).get("hash_match"):
+            print(f"{name:36s}SKIP (prior green)", flush=True)
+            continue
         t0 = time.time()
         entry = {"rows_match": False, "schema_match": False, "hash_match": False,
                  "spark_rows": None, "oracle_rows": None, "err": None}
@@ -77,14 +182,18 @@ def main() -> int:
                         if os.path.isdir(p)
                         else f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
                     )
-            ddf = con.execute(oracles[name]).fetch_arrow_table().to_pandas()
+            if name in SPECIAL_ORACLES:
+                ddf = SPECIAL_ORACLES[name](con)
+                entry["oracle"] = "python-exact (see tool docstring)"
+            else:
+                ddf = con.execute(oracles[name]).fetch_arrow_table().to_pandas()
             entry["spark_rows"], entry["oracle_rows"] = len(sdf), len(ddf)
             entry["schema_match"] = sorted(sdf.columns) == sorted(ddf.columns)
             entry["rows_match"] = len(sdf) == len(ddf)
             entry["hash_match"] = (
                 entry["schema_match"]
                 and entry["rows_match"]
-                and rows(sdf) == rows(ddf)
+                and digest(sdf) == digest(ddf)
             )
         except Exception as e:  # noqa: BLE001 — recorded, not raised
             entry["err"] = f"{type(e).__name__}: {e}"[:400]
@@ -92,7 +201,10 @@ def main() -> int:
         if not ok:
             fails.append(name)
         print(f"{name:36s}{'OK' if ok else 'FAIL':6s}{time.time()-t0:7.1f}s", flush=True)
+        entry["sec"] = round(time.time() - t0, 1)
         results[name] = entry
+        with open(out_path, "w") as f:  # incremental: crash/parallel-safe
+            json.dump(results, f, indent=2)
     with open(out_path, "w") as f:
         json.dump(results, f, indent=2)
     print("FAILS:", ", ".join(fails) if fails else "none")
