@@ -31,7 +31,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    import re as _re
+
+    _m = _re.search(r"sf([0-9.]+)", os.path.basename(sf_dir.rstrip("/")))
+    sf = _m.group(1).rstrip(".") if _m else os.path.basename(sf_dir.rstrip("/"))
 
     from steam_data_engineer_project_spark.queries import QUERIES
     from steam_data_engineer_project_spark.session import get_spark
