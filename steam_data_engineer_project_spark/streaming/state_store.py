@@ -206,6 +206,11 @@ def reshard(
 
     Crash-safe via whole-directory swap: the new layout is staged beside the
     store and renamed in; a crash mid-stage leaves the old store untouched.
+    The one non-atomic instant is between the two renames (old layout moved
+    to ``<dir>.old``, new not yet moved in): a crash exactly there leaves no
+    ``<dir>`` — recovery is one rename of whichever sibling survives
+    (``<dir>.reshard-N`` if fully staged, else ``<dir>.old``), and since
+    reshard runs at a quiescent point no batch can land in the gap.
     Returns the new bucket count.
     """
     cur = read_state(spark, state_dir, None)

@@ -40,7 +40,13 @@ def plans(spark):
     out = {}
     for name, spec in QUERIES.items():
         df = spec.spark(spark, SF_DIR)
-        out[name] = df._jdf.queryExecution().executedPlan().toString()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # Queries are cached per session (the registry hands back the same
+        # DataFrame); if an earlier test EXECUTED one, its QueryExecution
+        # now renders the finalized adaptive plan with an "== Initial
+        # Plan ==" appendix that duplicates every node — audit only the
+        # final (actually-executed) section.
+        out[name] = plan.split("== Initial Plan ==")[0]
     return out
 
 
