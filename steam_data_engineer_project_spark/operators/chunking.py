@@ -107,6 +107,11 @@ def pack_sequences(
     )
     cum = F.sum(F.col(tokens_col)).over(w)
     bin_ = F.floor((cum - F.col(tokens_col)) / F.lit(budget))
+    # shard stride 2^44: room for ~1.7e13 bins per shard (a 100 TB corpus at
+    # budget 512 needs ~3e9) before ids could collide across shards, while
+    # shard counts up to 2^19 stay inside the long. A 1e9 stride overflowed
+    # into the next shard's id space at exactly the scale this operator
+    # targets.
     return df.withColumn(
-        "pack_id", (shard.cast("long") * F.lit(1_000_000_000) + bin_).cast("long")
+        "pack_id", (shard.cast("long") * F.lit(1 << 44) + bin_).cast("long")
     )

@@ -85,12 +85,23 @@ def connected_components(
             converged = True
             break
     if not converged:
-        # Deep graph: contract the label graph (node → current label) with
-        # the star algorithm. It has the same components as the input, so
-        # its min-id labeling IS the answer; singletons fall back to
-        # themselves via the left join.
+        # Deep graph: hand off to the star algorithm. The node→label forest
+        # ALONE is not enough — two label roots of the same component (an
+        # interior local-min id splits the component into several trees)
+        # would never merge. Contract the ORIGINAL edges through the labels
+        # (label(a) — label(b)) and union the node→label edges: every G-edge
+        # stays connected through its endpoints' labels, no new connections
+        # appear, so this graph has exactly G's components at reduced
+        # diameter, and its min-id labeling IS the answer.
+        la = labels.select(F.col("node").alias("a"), F.col("label").alias("la"))
+        lb = labels.select(F.col("node").alias("b"), F.col("label").alias("lb"))
+        mapped = (
+            sym.join(la, "a")
+            .join(lb, "b")
+            .select(F.col("la").alias("node"), F.col("lb").alias("label"))
+        )
         star = connected_components_star(
-            labels.filter(F.col("node") != F.col("label")), "node", "label"
+            mapped.union(labels.select("node", "label")), "node", "label"
         )
         return (
             labels.select("node")

@@ -22,9 +22,21 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import MapType
+from pyspark.sql.types import ArrayType, MapType, StructType
 
 _SALT = "__salt"
+
+
+def _contains_map(dt) -> bool:
+    """True when a map occurs anywhere in the type tree — Spark rejects
+    hash inputs with maps at ANY nesting depth, not just at the top."""
+    if isinstance(dt, MapType):
+        return True
+    if isinstance(dt, ArrayType):
+        return _contains_map(dt.elementType)
+    if isinstance(dt, StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    return False
 
 
 def _salt_col(df: DataFrame, num_salts: int) -> Column:
@@ -42,14 +54,16 @@ def _salt_col(df: DataFrame, num_salts: int) -> Column:
       same partition). Identical rows within one input partition still share
       a salt, which is bounded by maxPartitionBytes rather than by the hot
       key's total size.
-    - Map-typed columns are excluded (Spark forbids hashing maps), and
-      column names are backtick-quoted (with `` escaped) so dotted names
-      resolve literally instead of parsing as nested fields.
+    - Columns containing a map ANYWHERE in their type (top-level, inside a
+      struct, or as an array element) are excluded — Spark forbids maps in
+      any hash input, not just at the top. Column names are backtick-quoted
+      (with `` escaped) so dotted names resolve literally instead of
+      parsing as nested fields.
     """
     hashable = [
         F.col("`" + c.replace("`", "``") + "`")
         for c in df.columns
-        if not isinstance(df.schema[c].dataType, MapType)
+        if not _contains_map(df.schema[c].dataType)
     ]
     return F.pmod(
         F.xxhash64(*hashable, F.spark_partition_id()), F.lit(num_salts)

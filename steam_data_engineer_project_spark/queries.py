@@ -259,12 +259,18 @@ def _scratch_dir(prefix: str) -> str:
                     pass
         return newest
 
+    # cached ingest layouts get a much longer cutoff than work dirs: content
+    # fingerprinting already retires stale ones from use, so the only risk
+    # of reaping is a read that started >24 h after the layout was built —
+    # and a reaped layout is rebuilt on next use anyway.
+    cache_cutoff = time.time() - 24 * 3600
     for name in os.listdir(base):
-        if name.startswith("ann_layout_"):
-            continue  # cached ingest layouts (small) — reaping one mid-read
-            # would fail a query that started >1h after the layout was built
         p = os.path.join(base, name)
         try:
+            if name.startswith("ann_layout_"):
+                if os.path.isdir(p) and _newest_mtime(p) < cache_cutoff:
+                    shutil.rmtree(p, ignore_errors=True)
+                continue
             if os.path.isdir(p) and _newest_mtime(p) < cutoff:
                 shutil.rmtree(p, ignore_errors=True)
         except OSError:
@@ -1506,17 +1512,29 @@ def ann_lsh_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical to ann_lsh_topk by construction, so it shares its oracle —
     what this row proves is that the pruned LAYOUT returns the same answer.
 
-    The layout is CACHED per source dir (ingest-time cost, not per-query —
+    The layout is CACHED per source (ingest-time cost, not per-query —
     repeated bench/driver invocations measure the query, not the re-ingest);
     staged via tmp + atomic rename so concurrent builders can't expose a
-    half-written layout."""
+    half-written layout. The cache key fingerprints the source file's
+    size+mtime, so regenerating the dataset in place gets a fresh layout
+    instead of silently stale buckets; superseded layouts age out via the
+    scratch reaper's 24 h cache cutoff."""
     import hashlib
 
     e = _t(spark, sf_dir, "embeddings")
     base = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch"
     )
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    stat_parts = [src]
+    if os.path.isdir(src):
+        for fn in sorted(os.listdir(src)):
+            st = os.stat(os.path.join(src, fn))
+            stat_parts.append(f"{fn}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(src):
+        st = os.stat(src)
+        stat_parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+    key = hashlib.md5("|".join(stat_parts).encode()).hexdigest()[:10]
     layout = os.path.join(base, f"ann_layout_{key}", "embeddings_by_bucket")
     if not os.path.exists(os.path.join(layout, "_SUCCESS")):
         work = _scratch_dir("ann_pruned_")
@@ -3659,7 +3677,7 @@ UNION ALL
 SELECT 'pack', pack_id, NULL, NULL, NULL, COUNT(*), NULL, CAST(SUM(toks) AS BIGINT)
 FROM (
   SELECT doc_id, toks,
-         shard * 1000000000 + CAST(FLOOR((cum - toks) / 512.0) AS BIGINT) AS pack_id
+         shard * 17592186044416 + CAST(FLOOR((cum - toks) / 512.0) AS BIGINT) AS pack_id
   FROM (
     SELECT doc_id, toks, shard,
            SUM(toks) OVER (PARTITION BY shard ORDER BY ord, doc_id

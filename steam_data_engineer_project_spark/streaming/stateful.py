@@ -149,32 +149,18 @@ def run_crawl_state_to_table(
     rejected by Spark, so size it for the target key cardinality up front.
     """
     from ..schemas import PRICE_EVENT
+    from .drain import drain_to_batch_dirs
     from .price_pipeline import transform_price_events
 
-    updates_dir = os.path.join(work_dir, "updates")
-    ckpt_dir = os.path.join(work_dir, "stateful_checkpoint")
     reader = spark.readStream.schema(PRICE_EVENT)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     updates = crawl_state_stream(transform_price_events(reader.json(events_dir)))
-
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.coalesce(4).write.mode("overwrite").parquet(
-            os.path.join(updates_dir, f"batch_id={batch_id}")
-        )
-
-    saved = spark.conf.get("spark.sql.shuffle.partitions")
-    if batch_shuffle_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(batch_shuffle_partitions))
-    try:
-        q = (
-            updates.writeStream.outputMode("update")
-            .foreachBatch(sink)
-            .option("checkpointLocation", ckpt_dir)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", saved)
-    return updates_dir
+    return drain_to_batch_dirs(
+        spark,
+        updates,
+        os.path.join(work_dir, "updates"),
+        os.path.join(work_dir, "stateful_checkpoint"),
+        output_mode="update",
+        batch_shuffle_partitions=batch_shuffle_partitions,
+    )

@@ -121,8 +121,8 @@ def run_windowed_to_table(
     the drain (restored after) — the count is frozen into the checkpoint's
     window state at first start, same constraint as any stateful stream.
     """
-    windows_dir = os.path.join(work_dir, "windows")
-    ckpt_dir = os.path.join(work_dir, "window_checkpoint")
+    from .drain import drain_to_batch_dirs
+
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -134,24 +134,11 @@ def run_windowed_to_table(
         window_duration=window_duration,
         watermark_delay=watermark_delay,
     )
-
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.coalesce(4).write.mode("overwrite").parquet(
-            os.path.join(windows_dir, f"batch_id={batch_id}")
-        )
-
-    saved = spark.conf.get("spark.sql.shuffle.partitions")
-    if batch_shuffle_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(batch_shuffle_partitions))
-    try:
-        q = (
-            out.writeStream.outputMode("append")
-            .foreachBatch(sink)
-            .option("checkpointLocation", ckpt_dir)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", saved)
-    return windows_dir
+    return drain_to_batch_dirs(
+        spark,
+        out,
+        os.path.join(work_dir, "windows"),
+        os.path.join(work_dir, "window_checkpoint"),
+        output_mode="append",
+        batch_shuffle_partitions=batch_shuffle_partitions,
+    )

@@ -1343,3 +1343,57 @@ def test_hash_bucket_no_string_collides_with_null_population(spark):
     assert got[None] == md5b("n:")
     for p in probes[1:]:
         assert got[p] == md5b("v:" + p)  # value-domain, never the null input
+
+
+def test_connected_components_fallback_with_interior_local_min(spark):
+    """Regression: the star fallback must contract the ORIGINAL edges mapped
+    through the labels, not the node→label forest alone. A path whose ids
+    put a local minimum in the interior leaves min-label with ≥2 label
+    roots per component after a truncated loop; the old fallback never
+    connected those trees and returned fractured components."""
+    import random
+
+    from steam_data_engineer_project_spark.operators.components import (
+        connected_components,
+    )
+
+    ids = [5, 6, 7, 1, 8, 9, 10, 11, 0]
+    df = spark.createDataFrame(
+        list(zip(ids, ids[1:])), ["id_a", "id_b"]
+    )
+    got = {
+        r.node: r.component
+        for r in connected_components(df, max_iter=2).collect()
+    }
+    assert got == {i: 0 for i in ids}, got
+
+    # generalization: random permutations of a deep path — many interior
+    # local minima, diameter ≫ max_iter — must still label all-min.
+    for seed in range(3):
+        rng = random.Random(7000 + seed)
+        perm = list(range(120))
+        rng.shuffle(perm)
+        e = spark.createDataFrame(
+            list(zip(perm, perm[1:])), ["id_a", "id_b"]
+        )
+        got = {
+            r.node: r.component
+            for r in connected_components(e, max_iter=3).collect()
+        }
+        assert got == {i: 0 for i in range(120)}, f"seed={seed}"
+
+
+def test_salted_aggregate_with_nested_map_column(spark):
+    """Regression: maps nested in structs/arrays must be excluded from the
+    salt hash (Spark forbids maps at ANY depth in hash inputs), not just
+    top-level map columns."""
+    from steam_data_engineer_project_spark.operators.skew import (
+        salted_aggregate,
+    )
+
+    df = spark.createDataFrame(
+        [("k1", 1, {"a": 1}), ("k1", 2, {"b": 2}), ("k2", 3, {"c": 3})],
+        "k string, v long, m map<string,long>",
+    ).selectExpr("k", "v", "struct(m) AS s", "array(m) AS arr")
+    out = {r.k: r.v for r in salted_aggregate(df, ["k"], sums=["v"]).collect()}
+    assert out == {"k1": 3, "k2": 3}

@@ -138,8 +138,10 @@ SPECIAL_ORACLES = {"dedup_cluster_canonical": cc_unionfind_oracle}
 def main() -> int:
     sf_dir, out_path = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
-    # resume: a prior (possibly crashed/parallel-shard) run's entries are
-    # kept — only queries without a green entry re-run.
+    # resume: a prior run's entries in THIS file are kept — only queries
+    # without a green entry re-run. Parallel shards must each use their OWN
+    # out file (this is read-once/rewrite-whole, so two processes sharing a
+    # file would clobber each other's rows); merge shard files afterwards.
     prior = {}
     if os.path.exists(out_path):
         with open(out_path) as f:
