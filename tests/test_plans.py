@@ -39,13 +39,18 @@ BNLJ_OK = {
 def plans(spark):
     out = {}
     for name, spec in QUERIES.items():
+        # Each call constructs a FRESH DataFrame (the registry memoizes base
+        # tables, not queries), so every QueryExecution here is
+        # never-executed and renders the deterministic initial adaptive
+        # plan — Exchange budgets are pinned against THAT state and are
+        # independent of pytest selection/ordering. If query-level caching
+        # is ever introduced, an executed DataFrame would render the
+        # AQE-finalized plan (fewer Exchanges when SMJ→BHJ converts) with
+        # an "== Initial Plan ==" appendix; the split below keeps only the
+        # leading section so the audit degrades to the finalized plan
+        # rather than double-counting.
         df = spec.spark(spark, SF_DIR)
         plan = df._jdf.queryExecution().executedPlan().toString()
-        # Queries are cached per session (the registry hands back the same
-        # DataFrame); if an earlier test EXECUTED one, its QueryExecution
-        # now renders the finalized adaptive plan with an "== Initial
-        # Plan ==" appendix that duplicates every node — audit only the
-        # final (actually-executed) section.
         out[name] = plan.split("== Initial Plan ==")[0]
     return out
 
@@ -346,7 +351,7 @@ EXCHANGE_BUDGET = {
     "src_csv_suite": 1,
     "src_json_corrupt_recovery": 0,
     "streaming_review_upsert": 0,
-    "streaming_state_suite": 1,
+    "streaming_state_suite": 2,  # +1: the prices_compacted verification agg
     "streaming_windowed_stats": 0,
     "temporal_join_suite": 3,
     "text_pii_redaction": 1,

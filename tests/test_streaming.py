@@ -358,6 +358,72 @@ def test_watermarked_window_finalizes_and_drops_late_data(spark):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def test_windowed_replay_order_rides_on_mtime_not_write_order(spark):
+    """The file source admits files OLDEST-MTIME-FIRST under
+    maxFilesPerTrigger — its ``latestFirst`` option defaults to false and
+    only sorts newest-first when set. The windowed fixtures
+    (streaming_windowed_stats) encode replay order purely in explicit
+    ``os.utime`` stamps, so file CREATION order must be irrelevant: write
+    the same four batch files as the test above in REVERSED creation
+    order, stamp mtimes in logical order, and the drain must produce
+    exactly the in-order result (including dropping the late event)."""
+    import json as _json
+
+    import pandas as pd
+
+    from steam_data_engineer_project_spark.streaming.windowed import (
+        run_windowed_stream,
+    )
+
+    H = 3600.0
+    base = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".scratch")
+    os.makedirs(base, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="test_window_order_", dir=base)
+    events_dir = os.path.join(work, "events")
+    os.makedirs(events_dir)
+
+    files = {
+        "f1.json": [
+            {"appid": 1, "price": 5.0, "ts": 10 * H + 600},
+            {"appid": 2, "price": 7.0, "ts": 10 * H + 1200},
+            {"appid": 1, "price": 6.0, "ts": 11 * H + 2400},
+        ],
+        "f2.json": [{"appid": 2, "price": 9.0, "ts": 13 * H}],
+        "f3.json": [
+            {"appid": 1, "price": 99.0, "ts": 10 * H + 300},  # late → dropped
+            {"appid": 1, "price": 1.0, "ts": 15 * H},
+        ],
+        "f4.json": [{"appid": 1, "price": 2.0, "ts": 16 * H}],
+    }
+    try:
+        # Create in REVERSED order...
+        for name in sorted(files, reverse=True):
+            with open(os.path.join(events_dir, name), "w") as f:
+                for r in files[name]:
+                    f.write(_json.dumps(r) + "\n")
+        # ...then stamp mtimes in LOGICAL order, well apart.
+        t0 = os.path.getmtime(os.path.join(events_dir, "f1.json"))
+        for i, name in enumerate(sorted(files)):
+            os.utime(os.path.join(events_dir, name), (t0 + 2 * i,) * 2)
+
+        batches = run_windowed_stream(
+            spark, events_dir, os.path.join(work, "ckpt")
+        )
+        got = pd.concat(batches, ignore_index=True)
+        rows = {
+            (int(r.window_start.timestamp()), r.appid): (r.n_events, r.max_price)
+            for r in got.itertuples()
+        }
+        assert rows == {
+            (int(10 * H), 1): (1, 5.0),
+            (int(10 * H), 2): (1, 7.0),
+            (int(11 * H), 1): (1, 6.0),
+            (int(13 * H), 2): (1, 9.0),
+        }, rows
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def test_replayed_batch_preserves_notifications(spark):
     """foreachBatch redelivery after a crash between the notification write
     and the checkpoint commit: the replay reads POST-merge state, so a

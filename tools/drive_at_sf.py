@@ -66,6 +66,36 @@ def digest(df) -> object:
             r = s.round(9)
             out = r.map(repr)  # repr(float) is exact & stable across engines
             out = out.mask(r.isna(), "NaN")
+        elif s.dtype == object and any(
+            isinstance(v, (list, tuple, np.ndarray)) for v in s.dropna().head(20)
+        ):
+            # Sequence-valued cells: str(ndarray) elides >1000-element
+            # arrays with '...' (two different arrays could hash equal) and
+            # ndarray vs list reprs differ between Spark toPandas and
+            # DuckDB to_pandas — serialize the actual elements instead.
+            # Numeric sequences go through a vectorized bytes path (rounded
+            # float64 / int64 buffers) — the per-element canon() path is
+            # minutes-slow at embedding widths × 100k+ rows.
+            import json as _json
+
+            def _seq(v):
+                if isinstance(v, (list, tuple, np.ndarray)):
+                    a = np.asarray(v)
+                    if a.ndim == 1 and a.dtype.kind == "f":
+                        buf = b"f" + np.round(a.astype(np.float64), 9).tobytes()
+                    elif a.ndim == 1 and a.dtype.kind in "iu":
+                        buf = b"i" + a.astype(np.int64).tobytes()
+                    else:
+                        buf = _json.dumps(
+                            [canon(x) for x in a.tolist()], separators=(",", ":")
+                        ).encode()
+                    # fixed-width per-cell digest: joining full element dumps
+                    # into the row strings is GBs at embedding widths
+                    return hashlib.md5(buf).hexdigest()
+                return str(v)
+
+            out = s.map(_seq, na_action="ignore")
+            out = out.mask(s.isna(), "\x00null")
         else:
             out = s.astype(str)
             out = out.mask(s.isna(), "\x00null")
