@@ -948,6 +948,35 @@ def test_connected_components_matches_union_find(spark):
         assert got == want, f"seed={seed}"
 
 
+def test_partition_local_contract_is_exact(spark):
+    """The union-find pre-contraction must be invisible in the result:
+    pre_contract=True and =False produce identical labelings on random
+    graphs whose edges are scattered across many partitions (so components
+    routinely straddle partition boundaries and the contracted stars from
+    different partitions must re-merge in the global rounds), including a
+    chain split edge-by-edge across partitions."""
+    import random
+
+    from steam_data_engineer_project_spark.operators.components import (
+        connected_components,
+    )
+
+    for seed in range(3):
+        rng = random.Random(1000 + seed)
+        edges = [(rng.randrange(80), rng.randrange(80)) for _ in range(70)]
+        edges += [(200 + i, 201 + i) for i in range(12)]  # cross-part chain
+        df = spark.createDataFrame(edges, ["id_a", "id_b"]).repartition(13)
+        with_pre = {
+            r.node: r.component
+            for r in connected_components(df, pre_contract=True).collect()
+        }
+        without = {
+            r.node: r.component
+            for r in connected_components(df, pre_contract=False).collect()
+        }
+        assert with_pre == without, f"seed={seed}"
+
+
 def test_connected_components_star_deep_and_random_graphs(spark):
     """Alternating large-star/small-star contraction: identical labeling to
     union-find (and to min-label where min-label can afford the rounds) on

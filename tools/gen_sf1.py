@@ -26,8 +26,11 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 SRC = "/root/testdata/sf0.1"
-DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".sf1data")
-COPIES = 10
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+#: COPIES/DST are env-overridable so higher notches reuse this script:
+#:   SPARK_GRAFT_COPIES=20 SPARK_GRAFT_AMP_DST=.sf2data python tools/gen_sf1.py
+COPIES = int(os.environ.get("SPARK_GRAFT_COPIES", "10"))
+DST = os.path.join(_REPO, os.environ.get("SPARK_GRAFT_AMP_DST", ".sf1data"))
 STRIDE = 10_000_000  # > every base key; keeps shifted ids disjoint
 
 #: key columns to shift per table (all other columns copied verbatim)
