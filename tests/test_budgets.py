@@ -1,0 +1,109 @@
+"""Per-query wall-time budgets at sf0.001 — the cost-regression tripwire.
+
+The Exchange budget (tests/test_plans.py) catches plans that gain a
+shuffle; this suite catches cost regressions that keep the plan shape —
+a UDF sneaking into a hot path, an accidental re-computation, a fixture
+rebuilt inside the timed body. Each query runs through the noop sink (full
+physical plan, nothing collected) and must finish inside its pinned budget:
+~2.5× the steady-state time measured by ``tools/derive_time_budgets.py``
+on a quiet machine, with a 3 s floor so sub-second queries never fail on
+scheduler jitter alone.
+
+Budgets are generous by design — a failure here means multiples, not
+percent. When a query's cost profile legitimately changes (new suite leg,
+heavier semantics), regenerate with the tool and justify the new number in
+the commit. Each query gets up to two attempts (min wins) so a one-off
+host-load spike — this box runs a periodic monitor that can triple a
+pass's wall time — doesn't fail the suite.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+
+from steam_data_engineer_project_spark.queries import QUERIES
+
+SF_DIR = os.environ.get(
+    "SPARK_GRAFT_BUDGET_SF_DIR", "/root/testdata/sf0.001"
+)
+
+#: seconds; regenerate with `python tools/derive_time_budgets.py`
+TIME_BUDGET = {
+    "ann_cosine_topk": 3.0,
+    "ann_ivf_topk": 3.0,
+    "ann_lsh_suite": 3.0,
+    "ann_quantized_topk": 3.0,
+    "cdc_suite": 3.0,
+    "crawl_state_registry": 3.0,
+    "dbt_dim_games_suite": 3.0,
+    "dbt_fact_reviews": 3.0,
+    "dbt_game_quality_metrics": 3.0,
+    "dbt_quality_report": 3.0,
+    "dedup_cluster_canonical": 4.4,
+    "dedup_corpus_lines": 3.0,
+    "dedup_cross_corpus": 3.0,
+    "dedup_embedding_cosine": 3.0,
+    "dedup_exact_docs": 3.0,
+    "dedup_minhash_lsh_docs": 3.0,
+    "dedup_ngram_jaccard_docs": 3.0,
+    "dedup_simhash_docs": 3.0,
+    "dim_star_denorm": 3.0,
+    "duplicate_key_detector": 3.0,
+    "filter_suite": 3.0,
+    "fx_price_suite": 3.0,
+    "fx_text_suite": 3.0,
+    "fx_time_suite": 3.0,
+    "get_or_create_dim": 3.0,
+    "join_membership_suite": 3.0,
+    "kafka_frame_roundtrip": 3.0,
+    "merge_strategies": 3.0,
+    "mm_pipeline": 3.0,
+    "outer_union_merge": 3.0,
+    "q1_pricing_summary": 3.0,
+    "quality_metrics_fanout": 3.0,
+    "quality_suite": 3.0,
+    "rank_suite": 3.0,
+    "rest_fetch_appdetails": 3.0,
+    "sampling_split_suite": 3.0,
+    "sessionization": 3.0,
+    "set_ops_suite": 3.0,
+    "skew_salted_agg": 3.0,
+    "src_csv_suite": 3.0,
+    "src_json_corrupt_recovery": 3.0,
+    "streaming_review_upsert": 8.5,
+    "streaming_state_suite": 12.9,
+    "streaming_windowed_stats": 7.6,
+    "temporal_join_suite": 3.0,
+    "text_pii_redaction": 3.0,
+    "text_profile_docs": 3.0,
+    "text_repetition_docs": 3.0,
+    "time_filter_suite": 3.0,
+    "window_suite": 3.0,
+}
+
+
+def test_every_query_has_a_time_budget():
+    missing = sorted(set(QUERIES) - set(TIME_BUDGET))
+    assert not missing, f"new queries need a time budget: {missing}"
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_within_time_budget(spark, name):
+    budget = TIME_BUDGET.get(name)
+    if budget is None:
+        pytest.skip("no budget yet — covered by the completeness test")
+    spec = QUERIES[name]
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        spec.spark(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        best = min(best, time.time() - t0)
+        if best <= budget:
+            break
+    assert best <= budget, (
+        f"{name}: {best:.2f}s exceeds its {budget}s budget — a cost "
+        f"regression, or rebase the budget via tools/derive_time_budgets.py"
+    )
