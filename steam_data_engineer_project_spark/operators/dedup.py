@@ -553,3 +553,78 @@ def cross_corpus_contamination(
             ).alias("jaccard"),
         )
     )
+
+
+def incremental_dedup_verdicts(
+    corpus: DataFrame,
+    incoming: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 3,
+    min_shared: int = 2,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Classify an INCOMING batch against an EXISTING corpus — the shape an
+    ongoing crawl actually needs: the 100 TB corpus is never re-paired with
+    itself, only the (small) new batch is checked against it.
+
+    Two tiers, one row per incoming doc:
+
+    - exact tier: full-text md5 equi-join (the corpus side reduces to
+      DISTINCT hashes — one aggregate over the corpus, the same cost class
+      as exact dedup; the incoming hash set is tiny and broadcasts).
+    - near tier: :func:`cross_corpus_contamination` with the corpus as the
+      posting-list side and the incoming batch as the small side, so the
+      per-shingle fan-out stays capped by ``max_doc_freq`` on BOTH sides
+      and the incoming postings broadcast.
+
+    verdict ∈ ('exact_dup', 'near_dup', 'new') with exact > near > new;
+    n_corpus_matches / max_shared / max_jaccard summarize the near tier
+    (0 / NULL / NULL for docs with no near match, so the 'new' path is
+    verified too, not just absent)."""
+    inc_ids = incoming.select(F.col(id_col).alias("inc_id"))
+    exact = (
+        incoming.select(
+            F.col(id_col).alias("inc_id"), F.md5(F.col(text_col)).alias("h")
+        )
+        .join(
+            corpus.select(F.md5(F.col(text_col)).alias("h")).distinct(), "h"
+        )
+        .select("inc_id")
+        .distinct()
+        .withColumn("is_exact", F.lit(True))
+    )
+    near = (
+        cross_corpus_contamination(
+            corpus,
+            incoming,
+            text_col,
+            id_col,
+            n=n,
+            min_shared=min_shared,
+            max_doc_freq=max_doc_freq,
+        )
+        .groupBy(F.col("eval_id").alias("inc_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_corpus_matches"),
+            F.max("shared_shingles").cast("long").alias("max_shared"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )
+    return (
+        inc_ids.join(exact, "inc_id", "left")
+        .join(near, "inc_id", "left")
+        .select(
+            F.col("inc_id").alias(id_col),
+            F.when(F.col("is_exact"), F.lit("exact_dup"))
+            .when(F.col("n_corpus_matches") >= 1, F.lit("near_dup"))
+            .otherwise(F.lit("new"))
+            .alias("verdict"),
+            F.coalesce(F.col("n_corpus_matches"), F.lit(0).cast("long")).alias(
+                "n_corpus_matches"
+            ),
+            "max_shared",
+            "max_jaccard",
+        )
+    )

@@ -13,6 +13,10 @@ content hash instead:
 - :func:`stratified_sample_exact`: EXACTLY ``n_per_stratum`` rows per
   stratum, chosen by hash order (deterministic "random"): one window over
   the stratum key — the same single-shuffle shape as any per-key top-k.
+- :func:`token_budget_cap`: per-group doc selection under a TOKEN budget
+  (training-data mixes are token-denominated, not row-denominated): rows
+  are admitted in hash order while the group's running token total stays
+  within budget — an integer window cumsum, exact on any engine.
 
 No reference counterpart (the reference never samples); engine-original
 surface for the 100 TB training-data story.
@@ -85,3 +89,28 @@ def stratified_sample_exact(
         .filter(F.col("__rn") <= n_per_stratum)
         .drop("__rn")
     )
+
+
+def token_budget_cap(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    tokens_col: str,
+    budget: int,
+    cum_col: str = "cum_tokens",
+) -> DataFrame:
+    """Per-group prefix of rows, in deterministic hash order, whose running
+    token total stays within ``budget`` — how a training-data pipeline caps
+    each domain/language at a token (not document) quota. Token counts are
+    positive integers, so the window cumsum is monotone and the ≤ filter IS
+    the order-prefix; integer arithmetic keeps the cut engine-exact (no
+    float accumulation). Same single-shuffle shape as any per-key window;
+    the admitted rows carry their running total in ``cum_col``."""
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(_hash_bucket(F.col(key_col), 1 << 31), F.col(key_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(
+        cum_col, F.sum(F.col(tokens_col).cast("long")).over(w)
+    ).filter(F.col(cum_col) <= budget)

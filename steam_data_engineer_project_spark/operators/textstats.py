@@ -241,3 +241,87 @@ def bpe_token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         .cast("long")
         .alias("n_bpe_distinct"),
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25-family relevance of every document against a fixed term query —
+    the keyword-scoring primitive corpus pipelines use for quality/topic
+    filtering. One row per document with ≥1 matching term:
+    (id, n_matched_terms, score_micro).
+
+    Scale shape — ZERO wide shuffles for any corpus size:
+    per-document term frequencies are array-filter counts inside the row
+    projection (no explode, no groupBy over tokens), and the corpus stats
+    the formula needs (N, total tokens, per-term document frequencies) fold
+    into ONE single-row aggregate that broadcasts back. Cost is one codegen
+    scan + one partial-agg pass.
+
+    Engine-exactness (this result is oracle-hashed, so "approximately the
+    same double" is not enough): the classic ln() idf is replaced by its
+    monotone rational core (N - df + 0.5)/(df + 0.5) — same ranking, but
+    built only from +,-,*,/ which IEEE-754 defines bit-exactly for every
+    engine evaluating the same expression tree; and the per-term
+    contributions are fixed to integer micro-units (floor(x·1e6 + 0.5))
+    BEFORE summing, so the final score is an order-independent integer sum
+    rather than a float accumulation."""
+    norm = _norm_text(F.col(text_col))
+    tokens = F.split(norm, " ")
+
+    # Arity-1 closure factory: F.filter inspects the lambda's arity, and a
+    # two-arg lambda (even with a default) would receive (element, INDEX) —
+    # the index would silently shadow the term.
+    def _is_term(term: str):
+        return lambda x: x == F.lit(term)
+
+    tf_cols = [
+        F.size(F.filter(tokens, _is_term(t))).cast("long").alias(f"tf_{i}")
+        for i, t in enumerate(query_terms)
+    ]
+    base = df.select(
+        F.col(id_col), *tf_cols, F.size(tokens).cast("long").alias("dl")
+    )
+    stats = base.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("total_tokens"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    contribs = []
+    matched = []
+    for i in range(len(query_terms)):
+        tf = F.col(f"tf_{i}")
+        dfq = F.col(f"df_{i}")
+        idf = (F.col("n_docs") - dfq + F.lit(0.5)) / (dfq + F.lit(0.5))
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0 - b)
+            + F.lit(b) * (F.col("dl") / (F.col("total_tokens") / F.col("n_docs")))
+        )
+        contrib = F.floor(
+            idf * (tf * F.lit(k1 + 1.0)) / denom * F.lit(1000000.0) + F.lit(0.5)
+        )
+        contribs.append(F.when(tf > 0, contrib).otherwise(F.lit(0)))
+        matched.append((tf > 0).cast("long"))
+    n_matched = matched[0]
+    for m in matched[1:]:
+        n_matched = n_matched + m
+    score = contribs[0]
+    for c in contribs[1:]:
+        score = score + c
+    return (
+        scored.select(
+            F.col(id_col),
+            n_matched.alias("n_matched_terms"),
+            score.cast("long").alias("score_micro"),
+        )
+        .filter(F.col("n_matched_terms") >= 1)
+    )

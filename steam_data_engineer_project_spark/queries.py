@@ -35,12 +35,17 @@ from .operators.dedup import (
     corpus_line_dedup,
     cross_corpus_contamination,
     exact_dedup,
+    incremental_dedup_verdicts,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
     simhash_fingerprints,
 )
 from .operators.components import connected_components
-from .operators.sampling import deterministic_split, stratified_sample_exact
+from .operators.sampling import (
+    deterministic_split,
+    stratified_sample_exact,
+    token_budget_cap,
+)
 from .functions.aggregates import davg, dsum
 from .functions.scalars import (
     clean_array_string,
@@ -99,6 +104,7 @@ from .operators.similarity import (
     quantize_int8,
 )
 from .operators.textstats import (
+    bm25_scores,
     bpe_token_stats,
     doc_fingerprint,
     language_id,
@@ -1919,13 +1925,14 @@ FROM documents
 
 def text_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-profile suite: quality scoring, language ID, content
-    fingerprint, and BPE-ish pre-token accounting (the unit LLM token
-    budgets are estimated in), tagged by `part`.
+    fingerprint, BPE-ish pre-token accounting (the unit LLM token budgets
+    are estimated in), and BM25-family keyword relevance, tagged by `part`.
 
-    Every member is a narrow per-row projection of the same documents scan
-    (no shuffle anywhere); the union concatenates the four projections, so
-    the suite costs the sum of its members and stays a single map stage at
-    any scale."""
+    The first four members are narrow per-row projections of the same
+    documents scan; the bm25 leg adds the one thing relevance needs that a
+    row can't see — corpus statistics — as a SINGLE-ROW aggregate broadcast
+    back into the projection (operators/textstats.bm25_scores), so the
+    suite still contains no wide shuffle at any scale."""
     q = text_quality_docs(spark, sf_dir).select(
         F.lit("quality").alias("part"),
         "doc_id",
@@ -1967,7 +1974,70 @@ def text_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("n_c"),
         *_null_rs,
     )
-    return q.unionByName(lg).unionByName(fp).unionByName(bpe)
+    bm = bm25_scores(
+        _docs(spark, sf_dir), "text", "doc_id", BM25_QUERY_TERMS
+    ).select(
+        F.lit("bm25").alias("part"),
+        "doc_id",
+        F.lit(None).cast("string").alias("label"),
+        F.col("n_matched_terms").alias("n_a"),
+        F.col("score_micro").alias("n_b"),
+        F.lit(None).cast("long").alias("n_c"),
+        *_null_rs,
+    )
+    return (
+        q.unionByName(lg).unionByName(fp).unionByName(bpe).unionByName(bm)
+    )
+
+
+#: Fixed BM25 demo query: two corpus-common terms with different document
+#: frequencies plus one guaranteed-absent term (df=0 exercises the idf
+#: guard without a 0-division — the +0.5 smoothing covers it).
+BM25_QUERY_TERMS = ["spark", "customer", "zeppelin"]
+
+
+def _bm25_oracle() -> str:
+    """DuckDB mirror of operators/textstats.bm25_scores — the SQL repeats
+    the exact expression tree (same association, same literals) so every
+    +,-,*,/ is IEEE-bit-identical and the floor-to-micro-units integer sum
+    hashes exactly."""
+    terms = BM25_QUERY_TERMS
+    tf_cols = ", ".join(
+        f"CAST(len(list_filter(t, x -> x = '{t}')) AS BIGINT) AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{i}"
+        for i in range(len(terms))
+    )
+    contribs = " + ".join(
+        f"(CASE WHEN tf_{i} > 0 THEN CAST(FLOOR("
+        f"((n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
+        f" * (tf_{i} * 2.2)"
+        f" / (tf_{i} + 1.2 * (0.25 + 0.75 * (dl / (total_tokens / n_docs))))"
+        f" * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END)"
+        for i in range(len(terms))
+    )
+    matched = " + ".join(
+        f"(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END)" for i in range(len(terms))
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+), pt AS (
+  SELECT doc_id, {tf_cols}, CAST(len(t) AS BIGINT) AS dl FROM toks
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS total_tokens, {df_cols}
+  FROM pt
+)
+SELECT doc_id, CAST({matched} AS BIGINT) AS n_matched_terms,
+       CAST({contribs} AS BIGINT) AS score_micro
+FROM pt, stats
+WHERE {matched} >= 1
+"""
 
 
 def _text_profile_oracle() -> str:
@@ -1990,6 +2060,10 @@ UNION ALL
 SELECT 'bpe', doc_id, NULL, n_bpe_tokens, n_bpe_distinct,
        NULL, NULL, NULL, NULL, NULL, NULL
 FROM ({_bpe_oracle()})
+UNION ALL
+SELECT 'bm25', doc_id, NULL, n_matched_terms, score_micro,
+       NULL, NULL, NULL, NULL, NULL, NULL
+FROM ({_bm25_oracle()})
 """
 
 
@@ -2002,8 +2076,12 @@ def sampling_split_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       property `randomSplit` lacks.
     - stratified: EXACTLY min(40, |stratum|) docs per lang, picked by hash
       order — one window shuffle on the stratum key.
+    - token_budget: the hash-order PREFIX of each lang whose running token
+      total stays ≤ 20,000 — training-data mixes are token-denominated,
+      not row-denominated (operators/sampling.token_budget_cap; integer
+      window cumsum, engine-exact).
 
-    Both decisions are engine-portable md5 arithmetic, so the oracle
+    All decisions are engine-portable md5/integer arithmetic, so the oracle
     recomputes them bit-for-bit in SQL."""
     d = _docs(spark, sf_dir)
     counts = (
@@ -2025,7 +2103,25 @@ def sampling_split_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("long").alias("doc_id"),
         F.lit(None).cast("long").alias("n"),
     )
-    return counts.unionByName(strat)
+    with_tokens = d.select(
+        "doc_id",
+        "lang",
+        F.size(
+            F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+        )
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    budget = token_budget_cap(
+        with_tokens, "lang", "doc_id", "n_tokens", 20_000
+    ).select(
+        F.lit("token_budget").alias("part"),
+        F.lit(None).cast("string").alias("split"),
+        "lang",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cum_tokens").alias("n"),
+    )
+    return counts.unionByName(strat).unionByName(budget)
 
 
 _MD5_BUCKET_SQL = (
@@ -2055,6 +2151,15 @@ FROM split GROUP BY split, lang
 UNION ALL
 SELECT 'stratified', NULL, lang, doc_id, NULL
 FROM ranked WHERE rn <= 40
+UNION ALL
+SELECT 'token_budget', NULL, lang, doc_id, CAST(cum_tokens AS BIGINT) FROM (
+  SELECT doc_id, lang,
+         SUM(CAST(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS BIGINT))
+           OVER (PARTITION BY lang
+                 ORDER BY {_MD5_BUCKET_SQL} % 2147483648, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM documents)
+WHERE cum_tokens <= 20000
 """
 
 
@@ -2109,15 +2214,29 @@ FROM comp JOIN sizes USING (component)
 
 
 def dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decontamination: flag TRAIN documents whose n-gram shingles overlap
-    an EVAL/benchmark corpus (sources src0/src1 held out as the benchmark).
-    The corpus is clean word soup, so the query plants the contamination it
-    must find: every eval doc and every 7th train doc carry a benchmark
-    phrase keyed by doc_id % 5 — those train docs MUST surface with ≥2
-    shared shingles; the rest only match by natural text overlap.
+    """Asymmetric corpus-vs-corpus dedup suite, tagged by `part` — the two
+    jobs that check a SMALL document set against a LARGE one without ever
+    re-pairing the large corpus with itself:
 
-    Returns one row per contaminated train doc: match count against the
-    eval corpus, max shared shingles, max Jaccard."""
+    - contamination: flag TRAIN documents whose n-gram shingles overlap an
+      EVAL/benchmark corpus (sources src0/src1 held out as the benchmark).
+      The corpus is clean word soup, so the query plants the contamination
+      it must find: every eval doc and every 7th train doc carry a
+      benchmark phrase keyed by doc_id % 5 — those train docs MUST surface
+      with ≥2 shared shingles; the rest only match by natural overlap.
+      One row per contaminated train doc (id, match count, max shared,
+      max Jaccard; verdict NULL).
+
+    - incremental: classify an INCOMING crawl batch (doc_id % 10 == 3)
+      against the existing corpus (operators/dedup.
+      incremental_dedup_verdicts): exact tier = full-text md5 equi-join,
+      near tier = the same capped shingle join with roles swapped. Planted
+      truth: docs ≡3 (mod 20) on the incoming side and ≡8 (mod 20) in the
+      corpus are REPLACED by a shared payload keyed doc_id % 7 (exact
+      dups); incoming docs ≡3 (mod 10) ∧ ≡0 (mod 3) and corpus docs
+      ≡6 (mod 10) ∧ ≡0 (mod 3) append a refresh phrase keyed doc_id % 4
+      (near dups). One row per incoming doc — verdict ∈ ('exact_dup',
+      'near_dup', 'new'), with zero/NULL stats proving the 'new' path."""
     d = _docs(spark, sf_dir)
     is_eval = F.col("source").isin("src0", "src1")
     marker = F.concat(
@@ -2136,11 +2255,56 @@ def dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = cross_corpus_contamination(
         train, ev, "mtext", "doc_id", n=3, min_shared=2, max_doc_freq=200
     )
-    return pairs.groupBy("train_id").agg(
-        F.count("*").cast("long").alias("n_eval_matches"),
-        F.max("shared_shingles").cast("long").alias("max_shared"),
-        F.max("jaccard").alias("max_jaccard"),
+    contamination = (
+        pairs.groupBy("train_id")
+        .agg(
+            F.count("*").cast("long").alias("n_eval_matches"),
+            F.max("shared_shingles").cast("long").alias("max_shared"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+        .select(
+            F.lit("contamination").alias("part"),
+            "train_id",
+            F.lit(None).cast("string").alias("verdict"),
+            "n_eval_matches",
+            "max_shared",
+            "max_jaccard",
+        )
     )
+
+    exact_payload = F.concat(
+        F.lit("exact duplicate payload variant "),
+        (F.col("doc_id") % 7).cast("string"),
+    )
+    refresh = F.concat(
+        F.lit(" incremental crawl refresh phrase "),
+        (F.col("doc_id") % 4).cast("string"),
+    )
+    itext = (
+        F.when(
+            (F.col("doc_id") % 20 == 3) | (F.col("doc_id") % 20 == 8),
+            exact_payload,
+        )
+        .when(
+            ((F.col("doc_id") % 10).isin(3, 6)) & (F.col("doc_id") % 3 == 0),
+            F.concat(F.col("text"), refresh),
+        )
+        .otherwise(F.col("text"))
+    )
+    d2 = d.select("doc_id", itext.alias("itext"))
+    incoming = d2.filter(F.col("doc_id") % 10 == 3)
+    corpus = d2.filter(F.col("doc_id") % 10 != 3)
+    incremental = incremental_dedup_verdicts(
+        corpus, incoming, "itext", "doc_id", n=3, min_shared=2, max_doc_freq=200
+    ).select(
+        F.lit("incremental").alias("part"),
+        F.col("doc_id").alias("train_id"),
+        "verdict",
+        F.col("n_corpus_matches").alias("n_eval_matches"),
+        "max_shared",
+        "max_jaccard",
+    )
+    return contamination.unionByName(incremental)
 
 
 DEDUP_CROSS_CORPUS_ORACLE = r"""
@@ -2185,10 +2349,95 @@ WITH base AS (
   JOIN tsz ON tsz.doc_id = train_id
   JOIN esz ON esz.doc_id = eval_id
 )
-SELECT train_id, CAST(COUNT(*) AS BIGINT) AS n_eval_matches,
+SELECT 'contamination' AS part, train_id, CAST(NULL AS VARCHAR) AS verdict,
+       CAST(COUNT(*) AS BIGINT) AS n_eval_matches,
        CAST(MAX(shared_shingles) AS BIGINT) AS max_shared,
        MAX(jaccard) AS max_jaccard
 FROM pairs GROUP BY train_id
+
+UNION ALL
+
+-- incremental leg: mirror of operators/dedup.incremental_dedup_verdicts
+-- over the planted itext (CASE order matches the Spark when-chain: the
+-- exact-payload replacement wins over the refresh append).
+SELECT 'incremental' AS part, inc.doc_id AS train_id,
+       CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
+            WHEN nr.n_corpus_matches >= 1 THEN 'near_dup'
+            ELSE 'new' END AS verdict,
+       CAST(COALESCE(nr.n_corpus_matches, 0) AS BIGINT) AS n_eval_matches,
+       nr.max_shared, nr.max_jaccard
+FROM (SELECT doc_id FROM (
+  SELECT doc_id,
+         CASE WHEN doc_id % 20 IN (3, 8) THEN
+                'exact duplicate payload variant ' || CAST(doc_id % 7 AS VARCHAR)
+              WHEN doc_id % 10 IN (3, 6) AND doc_id % 3 = 0 THEN
+                text || ' incremental crawl refresh phrase ' || CAST(doc_id % 4 AS VARCHAR)
+              ELSE text END AS itext
+  FROM documents) WHERE doc_id % 10 = 3) inc
+LEFT JOIN (
+  WITH ibase AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 20 IN (3, 8) THEN
+                  'exact duplicate payload variant ' || CAST(doc_id % 7 AS VARCHAR)
+                WHEN doc_id % 10 IN (3, 6) AND doc_id % 3 = 0 THEN
+                  text || ' incremental crawl refresh phrase ' || CAST(doc_id % 4 AS VARCHAR)
+                ELSE text END AS itext,
+           doc_id % 10 = 3 AS is_inc
+    FROM documents)
+  SELECT DISTINCT i.doc_id
+  FROM (SELECT doc_id, itext FROM ibase WHERE is_inc) i
+  JOIN (SELECT DISTINCT itext FROM ibase WHERE NOT is_inc) c USING (itext)
+) ex ON ex.doc_id = inc.doc_id
+LEFT JOIN (
+  WITH ibase AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 20 IN (3, 8) THEN
+                  'exact duplicate payload variant ' || CAST(doc_id % 7 AS VARCHAR)
+                WHEN doc_id % 10 IN (3, 6) AND doc_id % 3 = 0 THEN
+                  text || ' incremental crawl refresh phrase ' || CAST(doc_id % 4 AS VARCHAR)
+                ELSE text END AS itext,
+           doc_id % 10 = 3 AS is_inc
+    FROM documents
+  ), itoks AS (
+    SELECT doc_id, is_inc,
+           string_split(trim(regexp_replace(lower(itext), '\s+', ' ', 'g')), ' ') AS t
+    FROM ibase
+  ), ish0 AS (
+    SELECT DISTINCT doc_id, is_inc, array_to_string(t[i:i+2], ' ') AS shingle
+    FROM itoks, UNNEST(range(1, len(t) - 1)) AS u(i)
+    WHERE len(t) >= 3
+  ), icorp AS (
+    SELECT doc_id, shingle FROM (
+      SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df
+      FROM ish0 WHERE NOT is_inc)
+    WHERE df <= 200
+  ), iinc AS (
+    SELECT doc_id, shingle FROM (
+      SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df
+      FROM ish0 WHERE is_inc)
+    WHERE df <= 200
+  ), icsz AS (
+    SELECT doc_id, COUNT(*) AS n_c FROM icorp GROUP BY doc_id
+  ), iisz AS (
+    SELECT doc_id, COUNT(*) AS n_i FROM iinc GROUP BY doc_id
+  ), ishared AS (
+    SELECT icorp.doc_id AS corp_id, iinc.doc_id AS inc_id,
+           COUNT(*) AS shared_shingles
+    FROM icorp JOIN iinc USING (shingle)
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+  ), ipairs AS (
+    SELECT inc_id, shared_shingles,
+           ROUND(shared_shingles / (n_c + n_i - shared_shingles), 6) AS jaccard
+    FROM ishared
+    JOIN icsz ON icsz.doc_id = corp_id
+    JOIN iisz ON iisz.doc_id = inc_id
+  )
+  SELECT inc_id, CAST(COUNT(*) AS BIGINT) AS n_corpus_matches,
+         CAST(MAX(shared_shingles) AS BIGINT) AS max_shared,
+         MAX(jaccard) AS max_jaccard
+  FROM ipairs GROUP BY inc_id
+) nr ON nr.inc_id = inc.doc_id
 """
 
 

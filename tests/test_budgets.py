@@ -44,7 +44,7 @@ TIME_BUDGET = {
     "dbt_quality_report": 3.0,
     "dedup_cluster_canonical": 4.4,
     "dedup_corpus_lines": 3.0,
-    "dedup_cross_corpus": 3.0,
+    "dedup_cross_corpus": 6.0,  # round 5: gained the incremental-verdicts leg (a second corpus-vs-corpus job + exact tier)
     "dedup_embedding_cosine": 3.0,
     "dedup_exact_docs": 3.0,
     "dedup_minhash_lsh_docs": 3.0,

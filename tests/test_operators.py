@@ -1426,3 +1426,120 @@ def test_salted_aggregate_with_nested_map_column(spark):
     ).selectExpr("k", "v", "struct(m) AS s", "array(m) AS arr")
     out = {r.k: r.v for r in salted_aggregate(df, ["k"], sums=["v"]).collect()}
     assert out == {"k1": 3, "k2": 3}
+
+
+def test_token_budget_cap_prefix_and_partition_invariance(spark):
+    """The admitted set per group is the exact hash-order prefix whose
+    cumsum stays within budget, every admitted row carries its running
+    total, and the decision is identical under any input partitioning."""
+    from steam_data_engineer_project_spark.operators.sampling import (
+        token_budget_cap,
+    )
+
+    rows = [(f"d{i}", "en" if i % 3 else "fr", 10 + i % 7) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id string, lang string, n_tokens long")
+    got = token_budget_cap(df, "lang", "doc_id", "n_tokens", budget=100)
+    out = got.collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, admitted in by_lang.items():
+        assert max(r.cum_tokens for r in admitted) <= 100
+    # exactness: every admitted group's token sum equals its max cum_tokens
+    for lang, admitted in by_lang.items():
+        assert sum(r.n_tokens for r in admitted) == max(
+            r.cum_tokens for r in admitted
+        )
+    # prefix property: adding ANY excluded row of the group would exceed
+    # budget only if it hashes after the cut — verified indirectly by
+    # partition invariance: the decision must be a pure row function.
+    got2 = token_budget_cap(
+        df.repartition(7, "doc_id"), "lang", "doc_id", "n_tokens", budget=100
+    )
+    assert sorted((r.doc_id, r.cum_tokens) for r in got2.collect()) == sorted(
+        (r.doc_id, r.cum_tokens) for r in out
+    )
+
+
+def test_token_budget_cap_oversized_first_row_drops_group(spark):
+    """A group whose hash-first row alone exceeds the budget admits nothing
+    — the cumsum filter has no partial-row semantics."""
+    from steam_data_engineer_project_spark.operators.sampling import (
+        token_budget_cap,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "g", 500), ("b", "g", 600)], "doc_id string, g string, n long"
+    )
+    assert token_budget_cap(df, "g", "doc_id", "n", budget=100).count() == 0
+
+
+def test_bm25_scores_ranking_and_df0_guard(spark):
+    """More occurrences of a rarer term ⇒ strictly higher score; documents
+    with zero query terms are absent; a term no document contains (df=0)
+    changes nothing (the +0.5 smoothing guards the idf)."""
+    from steam_data_engineer_project_spark.operators.textstats import (
+        bm25_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark runs fast on clusters today ok fine"),
+            (2, "spark runs here with many other words padding the doc"),
+            (3, "nothing relevant in this document at all whatsoever here"),
+            (4, "customer data joined with spark for the report pipeline"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in bm25_scores(docs, "text", "doc_id", ["spark", "customer"]).collect()
+    }
+    assert set(got) == {1, 2, 4}  # doc 3 matches nothing
+    assert got[1].score_micro > got[2].score_micro  # tf 3 beats tf 1, same length
+    assert got[4].n_matched_terms == 2 and got[1].n_matched_terms == 1
+    # an absent term leaves scores untouched
+    with_ghost = {
+        r.doc_id: r.score_micro
+        for r in bm25_scores(
+            docs, "text", "doc_id", ["spark", "customer", "zzznope"]
+        ).collect()
+    }
+    assert with_ghost == {d: r.score_micro for d, r in got.items()}
+
+
+def test_incremental_dedup_verdicts_three_way(spark):
+    """Exact duplicate, near duplicate (shared phrase), and novel incoming
+    docs each get the right verdict; the novel doc reports 0 matches with
+    NULL stats (the 'new' path is a real row, not an absence)."""
+    from steam_data_engineer_project_spark.operators.dedup import (
+        incremental_dedup_verdicts,
+    )
+
+    phrase = "alpha beta gamma delta epsilon zeta"
+    corpus = spark.createDataFrame(
+        [
+            (1, "the existing corpus document about databases and storage"),
+            (2, f"another corpus doc quoting {phrase} in the middle part"),
+        ],
+        "doc_id long, text string",
+    )
+    incoming = spark.createDataFrame(
+        [
+            (10, "the existing corpus document about databases and storage"),
+            (11, f"fresh crawl result but it contains {phrase} verbatim"),
+            (12, "completely novel words never seen before anywhere else"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in incremental_dedup_verdicts(
+            corpus, incoming, "text", "doc_id", n=3, min_shared=2
+        ).collect()
+    }
+    assert got[10].verdict == "exact_dup"
+    assert got[11].verdict == "near_dup" and got[11].n_corpus_matches >= 1
+    assert got[12].verdict == "new"
+    assert got[12].n_corpus_matches == 0
+    assert got[12].max_shared is None and got[12].max_jaccard is None

@@ -32,6 +32,7 @@ BNLJ_OK = {
     "ann_lsh_suite",  # broadcast single query vector + bucket id
     "ann_ivf_topk",  # broadcast query against the tiny centroid codebook
     "ann_quantized_topk",  # broadcast single quantized query vector
+    "text_profile_docs",  # bm25 leg: single-row corpus-stats aggregate broadcast back into the scan
 }
 
 
@@ -321,7 +322,7 @@ EXCHANGE_BUDGET = {
     "dbt_quality_report": 6,
     "dedup_cluster_canonical": 2,
     "dedup_corpus_lines": 5,
-    "dedup_cross_corpus": 12,
+    "dedup_cross_corpus": 28,  # two corpus-vs-corpus jobs: contamination + incremental verdicts (each an inverted-index build per side + pair agg) + the exact-tier distinct/join
     "dedup_embedding_cosine": 2,
     "dedup_exact_docs": 2,
     "dedup_minhash_lsh_docs": 11,
@@ -344,7 +345,7 @@ EXCHANGE_BUDGET = {
     "quality_suite": 5,
     "rank_suite": 1,
     "rest_fetch_appdetails": 0,
-    "sampling_split_suite": 4,
+    "sampling_split_suite": 6,  # +2: the token_budget leg's per-lang window (one hash Exchange) + its union side
     "sessionization": 1,
     "set_ops_suite": 4,
     "skew_salted_agg": 2,
@@ -355,7 +356,7 @@ EXCHANGE_BUDGET = {
     "streaming_windowed_stats": 0,
     "temporal_join_suite": 3,
     "text_pii_redaction": 1,
-    "text_profile_docs": 4,
+    "text_profile_docs": 7,  # +3: the bm25 leg's single-row corpus-stats aggregate (partial→final SinglePartition) broadcast back into the scan
     "text_repetition_docs": 2,
     "time_filter_suite": 2,
     "window_suite": 3,
