@@ -1,0 +1,239 @@
+"""Embedding clustering + within-cluster semantic dedup (SemDeDup-shaped).
+
+A 100 TB training-data pipeline can't pairwise-compare its corpus — the
+standard recipe (SemDeDup, Abbas et al. 2023; public arXiv) is: cluster the
+embedding space coarsely, then look for near-duplicates ONLY inside each
+cluster, turning an O(N²) pair space into Σ O(|cluster|²) with bounded
+cluster sizes. Both halves live here:
+
+- :func:`kmeans_int8`: Lloyd's k-means over int8-quantized embeddings with
+  a FIXED iteration count. Everything after quantization is 64-bit integer
+  arithmetic, so the result is bit-identical on any engine and any row
+  order — which is what lets a DuckDB oracle replay it exactly:
+
+  * distance: ||x − s/c||² (integer sum vector ``s``, member count ``c``)
+    is computed as the all-integer ``D = Σᵢ (c·xᵢ − sᵢ)² = c²·||x − μ||²``
+    followed by ONE double division ``D / c²`` — c² differs per centroid,
+    so the division is required for a fair argmin, and it is engine-exact:
+    both engines convert the same int64s and perform the same single IEEE
+    division, which rounds identically. Bound: |c·xᵢ − sᵢ| ≤ 2·127·N keeps
+    D inside int64 for N·√dim up to ~2×10⁸ vectors per k-means domain;
+    shard the corpus (by language/source) before clustering past that,
+    which the pipeline wants anyway.
+  * ties break toward the smallest centroid id; an emptied cluster keeps
+    its previous (s, c) state — both rules are deterministic and mirrored
+    in the oracle.
+  * init: the embeddings of the ``k`` smallest ids (a trained codebook
+    would be loaded the same way — as k literal rows).
+
+  Scale shape: per iteration, ONE narrow assignment pass (centroids are
+  ≤ k literal structs folded into the projection — no join, no shuffle)
+  plus one map-side-combinable groupBy producing ≤ k rows. The only
+  driver-side traffic is that k-row centroid state per iteration — the
+  same bounded-collect class as loading an IVF codebook. Total cost:
+  ``n_iter`` scans, zero wide shuffles.
+
+- :func:`semantic_dedup_pairs`: within-cluster near-duplicate pairs by
+  int8 cosine. The self-join key is the cluster id, so the pair space is
+  cluster-bounded, never corpus². The threshold test is exact-integer
+  (``10⁴·dot² ≥ ⌊10⁴·t²⌋·n₁·n₂`` with ``dot > 0``) and the reported
+  cosine is floored to integer micro-units, so pairs hash identically
+  across engines.
+
+No reference counterpart (the reference has no embedding surface) —
+engine-original, SURVEY.md §2.12.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import quantize_int8
+
+
+def _best_centroid(cur: list[tuple[int, list[int], int]], qv: Column) -> Column:
+    """struct(dist, cid) of the nearest centroid in ``cur``: exact squared
+    distance ||qv − s/c||² computed as the all-integer Σᵢ (c·qvᵢ − sᵢ)²
+    divided once by c² (see module docstring for why that single double
+    division is engine-exact); ties break to the smallest cid via the
+    struct sort. The centroid state ships as THREE nested literals (id
+    vector, count vector, sum matrix) iterated with higher-order
+    functions — building k·dim individual literal expressions instead
+    costs seconds of driver time per iteration at k·dim ≈ 512."""
+    cids = F.lit([int(cid) for cid, _, _ in cur]).cast("array<long>")
+    cnts = F.lit([int(c) for _, _, c in cur]).cast("array<long>")
+    smat = F.lit([[int(v) for v in s] for _, s, _ in cur]).cast(
+        "array<array<long>>"
+    )
+
+    def _dist_cid(j):
+        c = F.element_at(cnts, j + 1)
+        s = F.element_at(smat, j + 1)
+        num = F.aggregate(
+            F.zip_with(qv, s, lambda x, sv: (c * x - sv) * (c * x - sv)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        return F.struct(
+            (num.cast("double") / (c * c).cast("double")).alias("dist"),
+            F.element_at(cids, j + 1).alias("cid"),
+        )
+
+    return F.array_sort(
+        F.transform(F.sequence(F.lit(0), F.lit(len(cur) - 1)), _dist_cid)
+    )[0]
+
+
+def quantized_vectors(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    """(id, qv): the int8-quantized embedding as array<long> — the shared
+    input of both halves (clustering and pair scoring must quantize the
+    same way or the distance spaces disagree)."""
+    return df.select(F.col(id_col), quantize_int8(F.col(vec_col)).alias("qv"))
+
+
+def kmeans_int8(
+    df: DataFrame | None,
+    vec_col: str,
+    id_col: str,
+    *,
+    k: int = 8,
+    n_iter: int = 3,
+    qdf: DataFrame | None = None,
+    cache: bool = True,
+) -> DataFrame:
+    """Fixed-iteration integer Lloyd k-means; returns one row per input id:
+    (id, cluster_id, dist) where dist is the exact squared euclidean
+    distance to the assigned centroid mean in quantized space — comparable
+    across clusters.
+
+    Pass ``qdf`` (a precomputed :func:`quantized_vectors` frame) to share
+    the quantization pass with other stages (the semdedup pair stage does).
+    ``cache`` persists the quantized projection — Lloyd makes ``n_iter + 1``
+    passes over it, and re-deriving it from the raw scan each pass is pure
+    waste; at 100 TB the same role is played by materializing the quantized
+    columns once (MEMORY_AND_DISK / a staging table) before iterating."""
+    base = qdf if qdf is not None else quantized_vectors(df, vec_col, id_col)
+    if cache:
+        base = base.persist()
+
+    # init: k smallest ids, state (cid, s=qv, c=1) — bounded k-row collect.
+    cents = sorted(
+        (int(r[0]), [int(v) for v in r[1]], 1)
+        for r in base.filter(F.col(id_col) < k).collect()
+    )
+    if not cents:
+        raise ValueError(f"no rows with {id_col} < {k} to seed centroids")
+
+    def _assign(cur: list[tuple[int, list[int], int]]) -> DataFrame:
+        choice = _best_centroid(cur, F.col("qv"))
+        return base.select(
+            F.col(id_col),
+            "qv",
+            choice["cid"].alias("cluster_id"),
+            choice["dist"].alias("dist"),
+        )
+
+    dim = len(cents[0][1])
+    for _ in range(n_iter):
+        assigned = _assign(cents)
+        rows = (
+            assigned.groupBy("cluster_id")
+            .agg(
+                *[F.sum(F.col("qv")[i]).alias(f"s{i}") for i in range(dim)],
+                F.count("*").alias("c"),
+            )
+            .collect()  # ≤ k rows — codebook-class driver traffic
+        )
+        new = {
+            int(r["cluster_id"]): ([int(r[f"s{i}"]) for i in range(dim)], int(r["c"]))
+            for r in rows
+        }
+        # an emptied cluster keeps its previous state (deterministic rule,
+        # mirrored in the SQL oracle)
+        cents = sorted(
+            (cid, *(new.get(cid, (s, c)))) for cid, s, c in cents
+        )
+
+    return _assign(cents).drop("qv")
+
+
+def semantic_dedup_pairs(
+    df: DataFrame | None,
+    vec_col: str,
+    id_col: str,
+    *,
+    k: int = 8,
+    n_iter: int = 3,
+    threshold: float = 0.95,
+    qdf: DataFrame | None = None,
+    assignments: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup pair stage: k-means the embeddings, then emit within-cluster
+    pairs whose int8 cosine ≥ threshold. Returns
+    (id_a, id_b, cluster_id, cos_micro) with id_a < id_b and cos_micro =
+    ⌊cosine·10⁶ + 0.5⌋ (exact integer across engines; cosine itself is
+    dot/√(n₁n₂) with integer dot/norms and IEEE-exact sqrt).
+
+    The join shuffles on cluster_id only — pair work is Σ|cluster|², the
+    whole point of clustering first. Skewed giant clusters are the known
+    failure mode; cap them upstream (split by a secondary hash) if the
+    cluster-size histogram degenerates.
+
+    ``qdf`` / ``assignments`` let a caller that already clustered (e.g. to
+    report the assignment itself) share those frames instead of paying the
+    quantization and the Lloyd iterations twice."""
+    if qdf is None:
+        qdf = quantized_vectors(df, vec_col, id_col)
+    if assignments is None:
+        assignments = kmeans_int8(
+            None, vec_col, id_col, k=k, n_iter=n_iter, qdf=qdf
+        )
+    qdf = qdf.withColumn(
+        "n2", F.aggregate("qv", F.lit(0).cast("long"), lambda a, v: a + v * v)
+    )
+    assigned = assignments.select(F.col(id_col), "cluster_id")
+    side = qdf.join(assigned, id_col)
+    a = side.select(
+        F.col(id_col).alias("id_a"),
+        F.col("qv").alias("qa"),
+        F.col("n2").alias("na"),
+        "cluster_id",
+    )
+    b = side.select(
+        F.col(id_col).alias("id_b"),
+        F.col("qv").alias("qb"),
+        F.col("n2").alias("nb"),
+        "cluster_id",
+    )
+    t_sq_104 = int(threshold * threshold * 10_000)  # ⌊10⁴·t²⌋
+    dot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        a.join(b, "cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dot", dot)
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.lit(10_000) * F.col("dot") * F.col("dot")
+                >= F.lit(t_sq_104) * F.col("na") * F.col("nb")
+            )
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "cluster_id",
+            F.floor(
+                F.col("dot")
+                / F.sqrt((F.col("na") * F.col("nb")).cast("double"))
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("cos_micro"),
+        )
+    )

@@ -41,6 +41,11 @@ from .operators.dedup import (
     simhash_fingerprints,
 )
 from .operators.components import connected_components
+from .operators.clustering import (
+    kmeans_int8,
+    quantized_vectors,
+    semantic_dedup_pairs,
+)
 from .operators.sampling import (
     deterministic_split,
     stratified_sample_exact,
@@ -1676,18 +1681,53 @@ SELECT 'pruned' AS part, * FROM ({ANN_LSH_ORACLE})
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (the dense-vector sibling of the
-    MinHash/SimHash text dedups): sign-projection LSH bucket self-join (8
-    planes, stride 7 — identical family to ann_lsh_topk) then exact cosine
-    >= 0.30 on the surviving candidates. The bucket equi-join keeps the pair
-    set ~n²/256; at scale the table is written bucketed by the LSH id so the
-    join is co-partitioned. No reference analog (no embeddings there) — this
-    is the training-data-pipeline surface the engine adds."""
+    """Embedding near-dup + semantic-clustering suite (the dense-vector
+    sibling of the MinHash/SimHash text dedups), tagged by `part`:
+
+    - lsh_pair: sign-projection LSH bucket self-join (8 planes, stride 7 —
+      identical family to ann_lsh_topk) then exact cosine >= 0.30 on the
+      surviving candidates. The bucket equi-join keeps the pair set
+      ~n²/256; at scale the table is written bucketed by the LSH id so the
+      join is co-partitioned.
+    - assign / size / pair: the SemDeDup-shaped path (cluster coarsely,
+      pair-compare only within clusters) — see
+      :func:`semdedup_cluster_suite`, whose legs are unioned in here to
+      stay inside the driver's 50-entry recording cap.
+
+    No reference analog (no embeddings there) — this is the
+    training-data-pipeline surface the engine adds."""
     e = _spread(spark, sf_dir, "embeddings", "vec_id")  # HOF vector math is interpreted: spread the single-row-group scan
-    return embedding_near_dup_pairs(e, "embedding", "vec_id", threshold=0.30)
+    lsh_leg = embedding_near_dup_pairs(
+        e, "embedding", "vec_id", threshold=0.30
+    ).select(
+        F.lit("lsh_pair").alias("part"),
+        "id_a",
+        "id_b",
+        "cosine",
+        F.lit(None).cast("long").alias("cluster_id"),
+        F.lit(None).cast("long").alias("n"),
+        F.lit(None).cast("long").alias("cos_micro"),
+        F.lit(None).cast("double").alias("dist"),
+    )
+    sem = semdedup_cluster_suite(spark, sf_dir).select(
+        "part",
+        "id_a",
+        "id_b",
+        F.lit(None).cast("double").alias("cosine"),
+        "cluster_id",
+        "n",
+        "cos_micro",
+        "dist",
+    )
+    return lsh_leg.unionByName(sem)
 
 
-DEDUP_EMBEDDING_ORACLE = f"""
+def _dedup_embedding_oracle() -> str:
+    return f"""
+SELECT 'lsh_pair' AS part, id_a, id_b, cosine,
+       CAST(NULL AS BIGINT) AS cluster_id, CAST(NULL AS BIGINT) AS n,
+       CAST(NULL AS BIGINT) AS cos_micro, CAST(NULL AS DOUBLE) AS dist
+FROM (
 WITH b AS (
   SELECT vec_id, embedding, {_LSH_BITS_SQL} AS bucket FROM embeddings
 ), cand AS (
@@ -1701,6 +1741,11 @@ WITH b AS (
   FROM cand GROUP BY id_a, id_b
 )
 SELECT id_a, id_b, cosine FROM scores WHERE cosine >= 0.30
+)
+UNION ALL
+SELECT part, id_a, id_b, CAST(NULL AS DOUBLE) AS cosine,
+       cluster_id, n, cos_micro, dist
+FROM ({_semdedup_oracle()})
 """
 
 
@@ -1798,6 +1843,199 @@ pairs AS (
 )
 SELECT vec_id, ROUND(dot / (SQRT(nx) * SQRT(ny)), 6) AS q_cosine
 FROM scores ORDER BY q_cosine DESC, vec_id LIMIT 10
+"""
+
+
+#: semdedup suite knobs (shared by the Spark query and its oracle)
+_SEM_K = 8
+_SEM_ITER = 3
+_SEM_THRESHOLD = 0.95
+_SEM_DIM = 64
+
+
+def _sem_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings with PLANTED semantic near-duplicates: for each decade of
+    vec_ids, ids ≡6 and ≡7 (mod 10) are REPLACED by a shared deterministic
+    lattice vector (((decade·31 + i·17) mod 13) − 6 at coordinate i) with
+    the ≡7 copy perturbed by +0.25 at coordinate 0 — a near-identical pair
+    the suite MUST surface (cos ≈ 0.999 ≥ 0.95), while cross-decade lattice
+    vectors and the natural random embeddings stay far below threshold.
+    Integer lattice + one exact-dyadic perturbation ⇒ every engine builds
+    bit-identical doubles."""
+    e = _spread(spark, sf_dir, "embeddings", "vec_id")
+    dec = F.expr("vec_id DIV 10")
+    lattice = F.transform(
+        F.sequence(F.lit(0), F.lit(_SEM_DIM - 1)),
+        lambda i: ((dec * 31 + i * 17) % 13 - 6).cast("double")
+        + F.when(
+            (F.col("vec_id") % 10 == 7) & (i == 0), F.lit(0.25)
+        ).otherwise(F.lit(0.0)),
+    )
+    natural = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.when((F.col("vec_id") % 10).isin(6, 7), lattice)
+        .otherwise(natural)
+        .alias("embedding"),
+    )
+
+
+def semdedup_cluster_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-dedup suite (SemDeDup-shaped: cluster coarsely, pair-compare
+    only within clusters), tagged by `part`:
+
+    - assign: every vector's k-means cluster (operators/clustering.
+      kmeans_int8 — fixed 3 Lloyd iterations over int8-quantized
+      embeddings, all-integer distances, k-row bounded collects) plus its
+      exact squared distance to the assigned centroid mean.
+    - size: cluster-size histogram (the skew diagnostic — a degenerate
+      cluster is what makes the pair stage blow up at scale).
+    - pair: within-cluster near-duplicate pairs at cosine ≥ 0.95
+      (clustering.semantic_dedup_pairs, exact-integer threshold test) —
+      the planted ≡6/≡7 decade twins must surface here.
+
+    At 100 TB the pair space is Σ|cluster|² instead of corpus² — that IS
+    the operator; the oracle replays the identical fixed-point arithmetic
+    in SQL with the three iterations unrolled.
+
+    Not registered directly: its legs ship inside `dedup_embedding_cosine`
+    to stay within the driver's 50-entry recording cap
+    (tests/test_entry_contract.py)."""
+    src = _sem_embeddings(spark, sf_dir)
+    qdf = quantized_vectors(src, "embedding", "vec_id")
+    assigned = kmeans_int8(
+        None, "embedding", "vec_id", k=_SEM_K, n_iter=_SEM_ITER, qdf=qdf
+    )
+    assign_leg = assigned.select(
+        F.lit("assign").alias("part"),
+        F.col("vec_id").alias("id_a"),
+        F.lit(None).cast("long").alias("id_b"),
+        "cluster_id",
+        F.lit(None).cast("long").alias("n"),
+        F.lit(None).cast("long").alias("cos_micro"),
+        F.col("dist").alias("dist"),
+    )
+    size_leg = assigned.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("n")
+    ).select(
+        F.lit("size").alias("part"),
+        F.lit(None).cast("long").alias("id_a"),
+        F.lit(None).cast("long").alias("id_b"),
+        "cluster_id",
+        "n",
+        F.lit(None).cast("long").alias("cos_micro"),
+        F.lit(None).cast("double").alias("dist"),
+    )
+    pair_leg = semantic_dedup_pairs(
+        None,
+        "embedding",
+        "vec_id",
+        k=_SEM_K,
+        n_iter=_SEM_ITER,
+        threshold=_SEM_THRESHOLD,
+        qdf=qdf,
+        assignments=assigned,
+    ).select(
+        F.lit("pair").alias("part"),
+        "id_a",
+        "id_b",
+        "cluster_id",
+        F.lit(None).cast("long").alias("n"),
+        "cos_micro",
+        F.lit(None).cast("double").alias("dist"),
+    )
+    return assign_leg.unionByName(size_leg).unionByName(pair_leg)
+
+
+def _semdedup_oracle() -> str:
+    """DuckDB replay of the semdedup suite: same planted fixture, same int8
+    quantization, same all-integer Lloyd iterations (unrolled ×3 — c0→a1→
+    c1→a2→c2→a3→c3→final), same exact-integer pair threshold. An emptied
+    cluster keeps its previous (s, c) via the COALESCE in each cN."""
+    d, k = _SEM_DIM, _SEM_K
+    t_sq = int(_SEM_THRESHOLD * _SEM_THRESHOLD * 10_000)
+    emb = (
+        f"CASE WHEN vec_id % 10 IN (6, 7) THEN "
+        f"list_transform(range(0, {d}), i -> "
+        f"CAST(((vec_id // 10) * 31 + i * 17) % 13 - 6 AS DOUBLE) + "
+        f"CASE WHEN vec_id % 10 = 7 AND i = 0 THEN 0.25 ELSE 0.0 END) "
+        f"ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END"
+    )
+    q8 = (
+        "list_transform(emb, x -> CAST(floor(x * (127.0 / "
+        "greatest(list_max(list_transform(emb, y -> abs(y))), 1e-30)) "
+        "+ 0.5) AS BIGINT))"
+    )
+
+    def assign(n: int, cent: str, prev_q: str = "q") -> str:
+        return f"""a{n} AS (
+  SELECT vec_id, qv, cid AS cluster_id, dist FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM (
+      SELECT q.vec_id, q.qv, c.cid,
+             CAST(list_sum(list_transform(range(1, {d + 1}),
+               i -> (c.c * q.qv[i] - c.s[i]) * (c.c * q.qv[i] - c.s[i])))
+               AS DOUBLE) / (c.c * c.c) AS dist
+      FROM {prev_q} q, {cent} c))
+  WHERE rn = 1
+)"""
+
+    def update(n: int, prev_a: str, prev_c: str) -> str:
+        return f"""g{n} AS (
+  SELECT cid, list(sm ORDER BY i) AS s, MIN(cnt) AS c FROM (
+    SELECT cluster_id AS cid, i, CAST(SUM(qv[i]) AS BIGINT) AS sm,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM {prev_a}, range(1, {d + 1}) t(i)
+    GROUP BY 1, 2)
+  GROUP BY cid
+), c{n} AS (
+  SELECT p.cid, COALESCE(g.s, p.s) AS s, COALESCE(g.c, p.c) AS c
+  FROM {prev_c} p LEFT JOIN g{n} g USING (cid)
+)"""
+
+    iters = []
+    for it in range(_SEM_ITER):
+        iters.append(assign(it + 1, f"c{it}"))
+        iters.append(update(it + 1, f"a{it + 1}", f"c{it}"))
+    final = assign(_SEM_ITER + 1, f"c{_SEM_ITER}")
+    return f"""
+WITH src AS (
+  SELECT vec_id, {emb} AS emb FROM embeddings
+), q AS (
+  SELECT vec_id, {q8} AS qv FROM src
+), c0 AS (
+  SELECT vec_id AS cid, qv AS s, CAST(1 AS BIGINT) AS c
+  FROM q WHERE vec_id < {k}
+), {", ".join(iters)}, {final}, fin AS (
+  SELECT vec_id, cluster_id, dist FROM a{_SEM_ITER + 1}
+), n2 AS (
+  SELECT vec_id, qv,
+         CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2
+  FROM q
+), side AS (
+  SELECT fin.vec_id, fin.cluster_id, n2.qv, n2.n2
+  FROM fin JOIN n2 USING (vec_id)
+), rawpairs AS (
+  SELECT l.vec_id AS id_a, r.vec_id AS id_b, l.cluster_id,
+         CAST(list_sum(list_transform(range(1, {d + 1}),
+           i -> l.qv[i] * r.qv[i])) AS BIGINT) AS dot,
+         l.n2 AS na, r.n2 AS nb
+  FROM side l JOIN side r
+    ON l.cluster_id = r.cluster_id AND l.vec_id < r.vec_id
+)
+SELECT 'assign' AS part, vec_id AS id_a, CAST(NULL AS BIGINT) AS id_b,
+       cluster_id, CAST(NULL AS BIGINT) AS n,
+       CAST(NULL AS BIGINT) AS cos_micro, dist
+FROM fin
+UNION ALL
+SELECT 'size', NULL, NULL, cluster_id, CAST(COUNT(*) AS BIGINT), NULL, NULL
+FROM fin GROUP BY cluster_id
+UNION ALL
+SELECT 'pair', id_a, id_b, cluster_id, NULL,
+       CAST(floor(dot / sqrt(CAST(na * nb AS DOUBLE)) * 1e6 + 0.5) AS BIGINT),
+       CAST(NULL AS DOUBLE)
+FROM rawpairs
+WHERE dot > 0 AND 10000 * dot * dot >= {t_sq} * na * nb
 """
 
 
@@ -4397,7 +4635,7 @@ QUERIES: dict[str, QuerySpec] = {
     "ann_lsh_suite": QuerySpec(ann_lsh_suite, ANN_LSH_SUITE_ORACLE, "similarity: LSH-bucketed cosine top-k, in-plan + partition-pruned layout legs"),
     "ann_ivf_topk": QuerySpec(ann_ivf_topk, ANN_IVF_ORACLE, "similarity: IVF coarse-quantized cosine top-k"),
     "ann_quantized_topk": QuerySpec(ann_quantized_topk, ANN_QUANTIZED_ORACLE, "similarity: int8-quantized cosine top-k (scale-cancelling)"),
-    "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, DEDUP_EMBEDDING_ORACLE, "dedup: embedding-cosine near-dup pairs (LSH-bucketed)"),
+    "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, _dedup_embedding_oracle(), "dedup: embedding near-dup pairs (LSH-bucketed) + integer k-means semantic-dedup legs"),
     "text_profile_docs": QuerySpec(text_profile_docs, _text_profile_oracle(), "text: quality scoring + language ID + fingerprint + BPE-ish token accounting"),
     "text_repetition_docs": QuerySpec(text_repetition_docs, TEXT_REPETITION_ORACLE, "text: repetition quality filters (dup lines, top bigram)"),
     "sampling_split_suite": QuerySpec(sampling_split_suite, SAMPLING_SPLIT_ORACLE, "sampling: deterministic md5-bucket split + exact stratified sample"),

@@ -45,7 +45,7 @@ TIME_BUDGET = {
     "dedup_cluster_canonical": 4.4,
     "dedup_corpus_lines": 3.0,
     "dedup_cross_corpus": 6.0,  # round 5: gained the incremental-verdicts leg (a second corpus-vs-corpus job + exact tier)
-    "dedup_embedding_cosine": 3.0,
+    "dedup_embedding_cosine": 14.0,  # round 5: gained the semdedup legs (~5s steady: 4 bounded Lloyd collects + pair join; fixed driver/job cost, not data)
     "dedup_exact_docs": 3.0,
     "dedup_minhash_lsh_docs": 3.0,
     "dedup_ngram_jaccard_docs": 3.0,

@@ -1543,3 +1543,82 @@ def test_incremental_dedup_verdicts_three_way(spark):
     assert got[12].verdict == "new"
     assert got[12].n_corpus_matches == 0
     assert got[12].max_shared is None and got[12].max_jaccard is None
+
+
+def test_kmeans_int8_separates_planted_clusters(spark):
+    """Two well-separated planted blobs end in two clusters regardless of
+    input partitioning (integer arithmetic ⇒ order-independent), and every
+    point's dist is the exact squared distance to its centroid mean."""
+    from steam_data_engineer_project_spark.operators.clustering import (
+        kmeans_int8,
+    )
+
+    # ids 0,1 seed the two centroids; blob A hugs +8, blob B hugs -8.
+    rows = []
+    for i in range(20):
+        base = 8.0 if i % 2 == 0 else -8.0
+        rows.append((i, [base + 0.25 * (i % 3)] * 4))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.vec_id: r for r in kmeans_int8(df, "embedding", "vec_id", k=2, n_iter=3).collect()}
+    a = {i for i in got if got[i].cluster_id == got[0].cluster_id}
+    b = set(got) - a
+    assert a == set(range(0, 20, 2)) and b == set(range(1, 20, 2))
+    # partition invariance
+    got2 = {
+        r.vec_id: (r.cluster_id, r.dist)
+        for r in kmeans_int8(
+            df.repartition(5, "vec_id"), "embedding", "vec_id", k=2, n_iter=3
+        ).collect()
+    }
+    assert got2 == {i: (r.cluster_id, r.dist) for i, r in got.items()}
+
+
+def test_kmeans_int8_keeps_emptied_centroid_state(spark):
+    """A seed whose cluster empties keeps its previous (s, c) state — the
+    deterministic rule the oracle mirrors — rather than vanishing or
+    crashing. Per-vector int8 quantization is scale-invariant, so seed 1
+    ([0.2]×4) quantizes IDENTICALLY to seed 0 ([10.0]×4): every tied point
+    breaks to the smaller cid, cluster 1 receives zero members (even its
+    own seed) and must persist as empty state."""
+    from steam_data_engineer_project_spark.operators.clustering import (
+        kmeans_int8,
+    )
+
+    rows = [(0, [10.0] * 4), (1, [0.2] * 4), (2, [-10.0] * 4)]
+    rows += [(i, [10.0 + 0.1 * (i % 2)] * 4) for i in range(3, 12)]
+    rows += [(i, [-10.0 - 0.1 * (i % 2)] * 4) for i in range(12, 21)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = kmeans_int8(df, "embedding", "vec_id", k=3, n_iter=3).collect()
+    by_cluster = {}
+    for r in got:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.vec_id)
+    # every row assigned exactly once; constant vectors all collapse to
+    # ±[127]⁴, so the split is sign-of-direction with ties → cluster 0
+    assert sum(len(v) for v in by_cluster.values()) == len(rows)
+    assert by_cluster[0] == {0, 1, *range(3, 12)}
+    assert by_cluster[2] == {2, *range(12, 21)}
+    assert 1 not in by_cluster  # emptied, state kept, no crash
+
+
+def test_semantic_dedup_pairs_finds_twins_not_strangers(spark):
+    """Near-identical vectors pair above threshold with cos_micro ≈ 10⁶;
+    orthogonal vectors never pair even when co-clustered."""
+    from steam_data_engineer_project_spark.operators.clustering import (
+        semantic_dedup_pairs,
+    )
+
+    rows = [
+        (0, [5.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 5.0, 0.0, 0.0]),
+        (10, [3.0, 3.0, 3.0, 3.0]),
+        (11, [3.0, 3.0, 3.0, 3.01]),  # twin of 10
+        (12, [0.0, 0.0, 0.0, 4.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = semantic_dedup_pairs(
+        df, "embedding", "vec_id", k=2, n_iter=2, threshold=0.95
+    ).collect()
+    pairs = {(r.id_a, r.id_b): r.cos_micro for r in got}
+    assert (10, 11) in pairs
+    assert pairs[(10, 11)] >= 990_000
+    assert all({a, b} == {10, 11} for a, b in pairs)

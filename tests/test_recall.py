@@ -96,3 +96,30 @@ def test_ann_quantized_recall_floor(spark, exact_top10):
     ]
     recall = len(set(exact_top10) & set(got)) / len(exact_top10)
     assert recall >= 0.80, f"ann_quantized recall@10 fell to {recall}"
+
+
+def test_semdedup_planted_twin_recall(spark):
+    """dedup_embedding_cosine semdedup legs: every planted same-decade twin
+    pair (vec_id ≡6, ≡7 mod 10 — near-identical lattice vectors) must be
+    clustered together AND surface in the pair leg. This is the recall
+    floor of the cluster-then-pair design: a twin split across clusters
+    would be a silent false negative."""
+    out = [
+        r
+        for r in QUERIES["dedup_embedding_cosine"].spark(spark, SF_DIR).collect()
+        if r.part in ("assign", "pair")
+    ]
+    n = max(r.id_a for r in out if r.part == "assign") + 1
+    expected = {
+        (10 * d + 6, 10 * d + 7)
+        for d in range(n // 10)
+        if 10 * d + 7 < n
+    }
+    got_pairs = {(r.id_a, r.id_b) for r in out if r.part == "pair"}
+    missing = expected - got_pairs
+    assert not missing, f"planted twins lost by clustering: {sorted(missing)[:5]}"
+    # and they must be near-exact: cos_micro within 200 ppm of 1
+    twin_cos = [
+        r.cos_micro for r in out if r.part == "pair" and (r.id_a, r.id_b) in expected
+    ]
+    assert min(twin_cos) >= 999_800
