@@ -114,3 +114,82 @@ def token_budget_cap(
     return df.withColumn(
         cum_col, F.sum(F.col(tokens_col).cast("long")).over(w)
     ).filter(F.col(cum_col) <= budget)
+
+
+def temperature_allocations(
+    df: DataFrame,
+    group_col: str,
+    tokens_col: str,
+    *,
+    max_budget: int,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-group token budgets for a temperature-flattened training mix
+    (the UniMax / multilingual-sampling shape: raise small domains, damp
+    the head): the LARGEST group gets ``max_budget`` tokens and every
+    other group gets ``⌊max_budget · (n_g/n_max)^α⌋``.
+
+    Anchoring on the max (instead of normalizing by Σ n_g^α) is deliberate:
+    the ratio n_g/n_max is one exact-integer division and α = 0.5 makes the
+    flattening a single IEEE ``sqrt`` — every engine computes the identical
+    budget, so downstream selections are reproducible bit-for-bit. A Σ^α
+    normalizer would sum doubles in engine-defined order and break that.
+    For α ≠ 0.5 the general ``pow`` path is used — correct, but ``pow`` is
+    not guaranteed correctly-rounded, so only α = 0.5 is oracle-pinned.
+
+    Returns one row per group: (group, group_tokens, token_budget). Two
+    tiny aggregates (per-group totals, global max) — the group table is
+    dimension-sized and broadcasts into whatever consumes it."""
+    totals = df.groupBy(group_col).agg(
+        F.sum(F.col(tokens_col).cast("long")).alias("group_tokens")
+    )
+    # global max as a window over the GROUP table (dimension-sized — the
+    # single-partition window is over #groups rows, not data rows), so the
+    # per-group totals subtree is computed once, not re-executed for a
+    # separate max aggregate.
+    mx = F.max("group_tokens").over(Window.partitionBy())
+    ratio = F.col("group_tokens").cast("double") / mx.cast("double")
+    w = F.sqrt(ratio) if alpha == 0.5 else F.pow(ratio, F.lit(float(alpha)))
+    return totals.select(
+        group_col,
+        "group_tokens",
+        F.floor(F.lit(int(max_budget)) * w).cast("long").alias("token_budget"),
+    )
+
+
+def temperature_resample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    tokens_col: str,
+    *,
+    max_budget: int,
+    alpha: float = 0.5,
+    cum_col: str = "cum_tokens",
+) -> DataFrame:
+    """Deterministic temperature resampling: compute each group's flattened
+    token budget (:func:`temperature_allocations`), then admit the group's
+    hash-order prefix of rows up to that budget (the per-group-budget twin
+    of :func:`token_budget_cap`). Admitted rows carry ``cum_col`` and their
+    group's ``token_budget``.
+
+    One wide shuffle (the per-group window); the allocation table is
+    group-cardinality-sized and broadcast — at 100 TB this is a narrow
+    re-read of the corpus, exactly what a mix-rebalancing pass should be."""
+    alloc = temperature_allocations(
+        df.select(group_col, tokens_col),
+        group_col,
+        tokens_col,
+        max_budget=max_budget,
+        alpha=alpha,
+    ).drop("group_tokens")
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(_hash_bucket(F.col(key_col), 1 << 31), F.col(key_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.join(F.broadcast(alloc), group_col)
+        .withColumn(cum_col, F.sum(F.col(tokens_col).cast("long")).over(w))
+        .filter(F.col(cum_col) <= F.col("token_budget"))
+    )

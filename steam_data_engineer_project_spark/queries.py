@@ -49,6 +49,7 @@ from .operators.clustering import (
 from .operators.sampling import (
     deterministic_split,
     stratified_sample_exact,
+    temperature_resample,
     token_budget_cap,
 )
 from .functions.aggregates import davg, dsum
@@ -2318,9 +2319,15 @@ def sampling_split_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       total stays ≤ 20,000 — training-data mixes are token-denominated,
       not row-denominated (operators/sampling.token_budget_cap; integer
       window cumsum, engine-exact).
+    - temperature: UniMax-style flattened mix (operators/sampling.
+      temperature_resample, α=0.5): the largest lang gets a 15,000-token
+      budget, every other lang ⌊15000·√(n_g/n_max)⌋ — the n row reports
+      each admitted doc's running total, so the per-lang budgets are
+      verified through the cut itself.
 
-    All decisions are engine-portable md5/integer arithmetic, so the oracle
-    recomputes them bit-for-bit in SQL."""
+    All decisions are engine-portable md5/integer arithmetic (the α=0.5
+    flattening is one exact-integer division + one IEEE sqrt), so the
+    oracle recomputes them bit-for-bit in SQL."""
     d = _docs(spark, sf_dir)
     counts = (
         deterministic_split(d, "doc_id", {"train": 0.8, "valid": 0.1, "test": 0.1})
@@ -2359,7 +2366,18 @@ def sampling_split_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("cum_tokens").alias("n"),
     )
-    return counts.unionByName(strat).unionByName(budget)
+    temp = temperature_resample(
+        with_tokens, "lang", "doc_id", "n_tokens", max_budget=15_000, alpha=0.5
+    ).select(
+        F.lit("temperature").alias("part"),
+        F.lit(None).cast("string").alias("split"),
+        "lang",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cum_tokens").alias("n"),
+    )
+    return (
+        counts.unionByName(strat).unionByName(budget).unionByName(temp)
+    )
 
 
 _MD5_BUCKET_SQL = (
@@ -2398,6 +2416,27 @@ SELECT 'token_budget', NULL, lang, doc_id, CAST(cum_tokens AS BIGINT) FROM (
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
   FROM documents)
 WHERE cum_tokens <= 20000
+UNION ALL
+SELECT 'temperature', NULL, lang, doc_id, CAST(cum_tokens AS BIGINT) FROM (
+  WITH tok AS (
+    SELECT doc_id, lang,
+           CAST(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+  ), totals AS (
+    SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS group_tokens FROM tok GROUP BY lang
+  ), mx AS (
+    SELECT MAX(group_tokens) AS max_tokens FROM totals
+  ), alloc AS (
+    SELECT lang,
+           CAST(FLOOR(15000 * sqrt(CAST(group_tokens AS DOUBLE) / CAST(max_tokens AS DOUBLE))) AS BIGINT) AS token_budget
+    FROM totals, mx
+  )
+  SELECT tok.doc_id, tok.lang, alloc.token_budget,
+         SUM(n_tokens) OVER (PARTITION BY tok.lang
+                             ORDER BY {_MD5_BUCKET_SQL} % 2147483648, tok.doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM tok JOIN alloc USING (lang))
+WHERE cum_tokens <= token_budget
 """
 
 

@@ -1622,3 +1622,56 @@ def test_semantic_dedup_pairs_finds_twins_not_strangers(spark):
     assert (10, 11) in pairs
     assert pairs[(10, 11)] >= 990_000
     assert all({a, b} == {10, 11} for a, b in pairs)
+
+
+def test_temperature_allocations_flatten_toward_small_groups(spark):
+    """α=0.5 budgets: the largest group is anchored at max_budget and a
+    group holding 1/4 of the max's tokens gets √(1/4) = half (not a
+    quarter) of the budget — flattened, as a multilingual mix wants."""
+    from steam_data_engineer_project_spark.operators.sampling import (
+        temperature_allocations,
+    )
+
+    rows = [("big", 100)] * 16 + [("small", 100)] * 4
+    df = spark.createDataFrame(
+        [(g, i, t) for i, (g, t) in enumerate(rows)],
+        "lang string, doc_id long, n_tokens long",
+    )
+    got = {
+        r.lang: r.token_budget
+        for r in temperature_allocations(
+            df, "lang", "n_tokens", max_budget=8000
+        ).collect()
+    }
+    assert got == {"big": 8000, "small": 4000}
+
+
+def test_temperature_resample_respects_per_group_budgets(spark):
+    """Each admitted group's token total stays within its flattened budget,
+    the selection is a pure row function (partition-invariant), and the
+    small group keeps proportionally MORE of its rows than the big one."""
+    from steam_data_engineer_project_spark.operators.sampling import (
+        temperature_resample,
+    )
+
+    rows = [("big", i, 50) for i in range(80)] + [
+        ("small", 1000 + i, 50) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, n_tokens long")
+    got = temperature_resample(
+        df, "lang", "doc_id", "n_tokens", max_budget=1000
+    ).collect()
+    by = {}
+    for r in got:
+        by.setdefault(r.lang, []).append(r)
+    # budgets: big 1000 (20 rows of 50), small floor(1000*sqrt(0.25))=500 (10 rows)
+    assert len(by["big"]) == 20 and len(by["small"]) == 10
+    assert max(r.cum_tokens for r in by["big"]) == 1000
+    assert max(r.cum_tokens for r in by["small"]) == 500
+    assert len(by["small"]) / 20 > len(by["big"]) / 80  # flattening kept more of the tail
+    got2 = temperature_resample(
+        df.repartition(7, "doc_id"), "lang", "doc_id", "n_tokens", max_budget=1000
+    ).collect()
+    assert sorted((r.lang, r.doc_id) for r in got2) == sorted(
+        (r.lang, r.doc_id) for r in got
+    )

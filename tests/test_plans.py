@@ -345,7 +345,7 @@ EXCHANGE_BUDGET = {
     "quality_suite": 5,
     "rank_suite": 1,
     "rest_fetch_appdetails": 0,
-    "sampling_split_suite": 6,  # +2: the token_budget leg's per-lang window (one hash Exchange) + its union side
+    "sampling_split_suite": 11,  # +2 token_budget window leg; +5 temperature leg (two corpus passes — group sizing + budget cut — are intrinsic to mix rebalancing)
     "sessionization": 1,
     "set_ops_suite": 4,
     "skew_salted_agg": 2,
