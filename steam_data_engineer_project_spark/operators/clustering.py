@@ -26,12 +26,17 @@ cluster sizes. Both halves live here:
   * init: the embeddings of the ``k`` smallest ids (a trained codebook
     would be loaded the same way — as k literal rows).
 
-  Scale shape: per iteration, ONE narrow assignment pass (centroids are
-  ≤ k literal structs folded into the projection — no join, no shuffle)
-  plus one map-side-combinable groupBy producing ≤ k rows. The only
-  driver-side traffic is that k-row centroid state per iteration — the
-  same bounded-collect class as loading an IVF codebook. Total cost:
-  ``n_iter`` scans, zero wide shuffles.
+  Scale shape: per iteration, ONE narrow assignment pass (an Arrow-batched
+  ``mapInPandas`` computing the N×k distance matrix as int64 numpy matrix
+  algebra — no join, no shuffle; interpreted per-element expressions are
+  ~1000× slower at k·dim ≈ 20k ops/row and this is exactly the
+  vectorized-linear-algebra case Pandas UDFs exist for) plus one
+  map-side-combinable groupBy producing ≤ k rows. The only driver-side
+  traffic is that k-row centroid state per iteration — the same
+  bounded-collect class as loading an IVF codebook. Total cost:
+  ``n_iter`` scans, zero wide shuffles. Pick k ∝ N (e.g. N/500) so the
+  expected cluster size — and with it the pair stage below — stays
+  constant as the corpus grows.
 
 - :func:`semantic_dedup_pairs`: within-cluster near-duplicate pairs by
   int8 cosine. The self-join key is the cluster id, so the pair space is
@@ -46,43 +51,59 @@ engine-original, SURVEY.md §2.12.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .similarity import quantize_int8
 
 
-def _best_centroid(cur: list[tuple[int, list[int], int]], qv: Column) -> Column:
-    """struct(dist, cid) of the nearest centroid in ``cur``: exact squared
-    distance ||qv − s/c||² computed as the all-integer Σᵢ (c·qvᵢ − sᵢ)²
-    divided once by c² (see module docstring for why that single double
-    division is engine-exact); ties break to the smallest cid via the
-    struct sort. The centroid state ships as THREE nested literals (id
-    vector, count vector, sum matrix) iterated with higher-order
-    functions — building k·dim individual literal expressions instead
-    costs seconds of driver time per iteration at k·dim ≈ 512."""
-    cids = F.lit([int(cid) for cid, _, _ in cur]).cast("array<long>")
-    cnts = F.lit([int(c) for _, _, c in cur]).cast("array<long>")
-    smat = F.lit([[int(v) for v in s] for _, s, _ in cur]).cast(
-        "array<array<long>>"
+def _assign_to_centroids(
+    base: DataFrame, id_col: str, cur: list[tuple[int, list[int], int]]
+) -> DataFrame:
+    """One narrow assignment pass: (id, qv, cluster_id, dist) for the
+    centroid state ``cur`` (sorted by cid). The exact squared distance
+    ||x − s/c||² is the all-integer D = c²·Σx² − 2c·(x·s) + Σs²
+    (algebraically identical to Σ(c·xᵢ − sᵢ)², still int64-exact) divided
+    once by c² — one IEEE division, identical on every engine. np.argmin
+    returns the FIRST minimum and ``cur`` is cid-ascending, so ties break
+    to the smallest cid, mirroring the oracle's ORDER BY (dist, cid).
+
+    Arrow-batched mapInPandas: the N×k distance matrix is int64 numpy
+    matrix algebra — the vectorized-linear-algebra case Pandas UDFs exist
+    for (interpreted per-element HOF expressions are ~1000× slower once
+    k·dim reaches 10⁴ ops per row)."""
+    cids = np.array([cid for cid, _, _ in cur], dtype=np.int64)
+    S = np.array([s for _, s, _ in cur], dtype=np.int64)
+    C = np.array([c for _, _, c in cur], dtype=np.int64)
+    ss = np.einsum("kd,kd->k", S, S)
+    c2i = C * C
+    c2f = c2i.astype(np.float64)
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["qv"]])
+            dots = X @ S.T
+            xx = np.einsum("nd,nd->n", X, X)
+            D = c2i[None, :] * xx[:, None] - 2 * C[None, :] * dots + ss[None, :]
+            dist = D.astype(np.float64) / c2f[None, :]
+            j = np.argmin(dist, axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "qv": pdf["qv"],
+                    "cluster_id": cids[j],
+                    "dist": dist[np.arange(len(j)), j],
+                }
+            )
+
+    return base.mapInPandas(
+        fn, schema=f"{id_col} long, qv array<long>, cluster_id long, dist double"
     )
-
-    def _dist_cid(j):
-        c = F.element_at(cnts, j + 1)
-        s = F.element_at(smat, j + 1)
-        num = F.aggregate(
-            F.zip_with(qv, s, lambda x, sv: (c * x - sv) * (c * x - sv)),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-        return F.struct(
-            (num.cast("double") / (c * c).cast("double")).alias("dist"),
-            F.element_at(cids, j + 1).alias("cid"),
-        )
-
-    return F.array_sort(
-        F.transform(F.sequence(F.lit(0), F.lit(len(cur) - 1)), _dist_cid)
-    )[0]
 
 
 def quantized_vectors(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
@@ -125,18 +146,9 @@ def kmeans_int8(
     if not cents:
         raise ValueError(f"no rows with {id_col} < {k} to seed centroids")
 
-    def _assign(cur: list[tuple[int, list[int], int]]) -> DataFrame:
-        choice = _best_centroid(cur, F.col("qv"))
-        return base.select(
-            F.col(id_col),
-            "qv",
-            choice["cid"].alias("cluster_id"),
-            choice["dist"].alias("dist"),
-        )
-
     dim = len(cents[0][1])
     for _ in range(n_iter):
-        assigned = _assign(cents)
+        assigned = _assign_to_centroids(base, id_col, cents)
         rows = (
             assigned.groupBy("cluster_id")
             .agg(
@@ -155,7 +167,7 @@ def kmeans_int8(
             (cid, *(new.get(cid, (s, c)))) for cid, s, c in cents
         )
 
-    return _assign(cents).drop("qv")
+    return _assign_to_centroids(base, id_col, cents).drop("qv")
 
 
 def semantic_dedup_pairs(

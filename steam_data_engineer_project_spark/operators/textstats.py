@@ -325,3 +325,64 @@ def bm25_scores(
         )
         .filter(F.col("n_matched_terms") >= 1)
     )
+
+
+def group_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    key_col: str,
+    quantiles: list[float],
+) -> DataFrame:
+    """EXACT per-group quantiles of an integer metric (doc length, token
+    count): for each group and q, the PERCENTILE_DISC value — the element
+    at rank ⌈q·n⌉ (1-based) ordering by (value, key). Discrete selection,
+    not interpolation, so the result is an actual corpus value and is
+    engine-exact (no float averaging of neighbors).
+
+    The length DISTRIBUTION is the first thing a corpus QA pass looks at
+    (truncation spikes, boilerplate floors, tokenizer blowups show up here
+    before any model does). One window shuffle on the group key; each row
+    is kept iff its rank hits one of the |quantiles| target ranks, so
+    output is |groups|·|quantiles| rows.
+
+    Ranks use ``count(*) over (partition by group)`` + ``row_number`` in
+    the same window pass; ⌈q·n⌉ is computed in integer space
+    (``floor((q_ppm·n + 999_999)/1_000_000)``) to dodge float-boundary
+    disagreements between engines."""
+    w = Window.partitionBy(group_col).orderBy(F.col(value_col), F.col(key_col))
+    wn = Window.partitionBy(group_col)
+    ranked = df.select(
+        group_col,
+        value_col,
+        key_col,
+        F.row_number().over(w).alias("__rn"),
+        F.count("*").over(wn).alias("__n"),
+    )
+    targets = [
+        F.struct(
+            F.lit(int(q * 1_000_000)).alias("q_ppm"),
+            F.floor(
+                (F.lit(int(q * 1_000_000)) * F.col("__n") + F.lit(999_999))
+                / F.lit(1_000_000)
+            )
+            .cast("long")
+            .alias("rank"),
+        )
+        for q in quantiles
+    ]
+    hits = F.filter(F.array(*targets), lambda t: t["rank"] == F.col("__rn"))
+    return (
+        ranked.select(
+            group_col,
+            value_col,
+            key_col,
+            F.explode(hits).alias("__t"),
+        )
+        .select(
+            group_col,
+            F.col("__t.q_ppm").alias("q_ppm"),
+            F.col(value_col).alias("q_value"),
+            F.col(key_col).alias("q_key"),
+        )
+    )

@@ -22,6 +22,7 @@ Docstrings cite the reference operator each query re-expresses
 
 from __future__ import annotations
 
+import math
 import os
 import weakref
 from collections.abc import Callable
@@ -1723,12 +1724,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_leg.unionByName(sem)
 
 
-def _dedup_embedding_oracle() -> str:
+def _lsh_pair_oracle_body() -> str:
+    """The lsh_pair leg alone — also reused by tools/drive_at_sf.py's
+    scale-tractable special oracle, which keeps this leg in DuckDB and
+    replays only the semdedup legs in numpy."""
     return f"""
-SELECT 'lsh_pair' AS part, id_a, id_b, cosine,
-       CAST(NULL AS BIGINT) AS cluster_id, CAST(NULL AS BIGINT) AS n,
-       CAST(NULL AS BIGINT) AS cos_micro, CAST(NULL AS DOUBLE) AS dist
-FROM (
 WITH b AS (
   SELECT vec_id, embedding, {_LSH_BITS_SQL} AS bucket FROM embeddings
 ), cand AS (
@@ -1742,7 +1742,15 @@ WITH b AS (
   FROM cand GROUP BY id_a, id_b
 )
 SELECT id_a, id_b, cosine FROM scores WHERE cosine >= 0.30
-)
+"""
+
+
+def _dedup_embedding_oracle() -> str:
+    return f"""
+SELECT 'lsh_pair' AS part, id_a, id_b, cosine,
+       CAST(NULL AS BIGINT) AS cluster_id, CAST(NULL AS BIGINT) AS n,
+       CAST(NULL AS BIGINT) AS cos_micro, CAST(NULL AS DOUBLE) AS dist
+FROM ({_lsh_pair_oracle_body()})
 UNION ALL
 SELECT part, id_a, id_b, CAST(NULL AS DOUBLE) AS cosine,
        cluster_id, n, cos_micro, dist
@@ -1852,6 +1860,12 @@ _SEM_K = 8
 _SEM_ITER = 3
 _SEM_THRESHOLD = 0.95
 _SEM_DIM = 64
+#: k scales with corpus size — _SEM_K seeds per this many vectors — so the
+#: EXPECTED CLUSTER SIZE stays constant as the corpus grows and the pair
+#: stage stays Σ|cluster|² ≈ N·(unit), linear in N. A fixed k would make
+#: clusters (and the quadratic pair stage) grow with the corpus: at 10×
+#: data that was a 100× pair blowup, measured, before this scaling.
+_SEM_SEED_UNIT = 500
 
 
 def _sem_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1904,8 +1918,11 @@ def semdedup_cluster_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_entry_contract.py)."""
     src = _sem_embeddings(spark, sf_dir)
     qdf = quantized_vectors(src, "embedding", "vec_id")
+    # constant expected cluster size: k grows with the corpus (one count
+    # job — bounded driver traffic) so the pair stage stays linear in N.
+    k = _SEM_K * math.ceil(src.count() / _SEM_SEED_UNIT)
     assigned = kmeans_int8(
-        None, "embedding", "vec_id", k=_SEM_K, n_iter=_SEM_ITER, qdf=qdf
+        None, "embedding", "vec_id", k=k, n_iter=_SEM_ITER, qdf=qdf
     )
     assign_leg = assigned.select(
         F.lit("assign").alias("part"),
@@ -1931,7 +1948,7 @@ def semdedup_cluster_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         None,
         "embedding",
         "vec_id",
-        k=_SEM_K,
+        k=k,
         n_iter=_SEM_ITER,
         threshold=_SEM_THRESHOLD,
         qdf=qdf,
@@ -2006,7 +2023,8 @@ WITH src AS (
   SELECT vec_id, {q8} AS qv FROM src
 ), c0 AS (
   SELECT vec_id AS cid, qv AS s, CAST(1 AS BIGINT) AS c
-  FROM q WHERE vec_id < {k}
+  FROM q WHERE vec_id < (
+    SELECT {k} * CAST(CEIL(COUNT(*) / {_SEM_SEED_UNIT}.0) AS BIGINT) FROM q)
 ), {", ".join(iters)}, {final}, fin AS (
   SELECT vec_id, cluster_id, dist FROM a{_SEM_ITER + 1}
 ), n2 AS (

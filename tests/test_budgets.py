@@ -45,7 +45,7 @@ TIME_BUDGET = {
     "dedup_cluster_canonical": 4.4,
     "dedup_corpus_lines": 3.0,
     "dedup_cross_corpus": 6.0,  # round 5: gained the incremental-verdicts leg (a second corpus-vs-corpus job + exact tier)
-    "dedup_embedding_cosine": 14.0,  # round 5: gained the semdedup legs (~5s steady: 4 bounded Lloyd collects + pair join; fixed driver/job cost, not data)
+    "dedup_embedding_cosine": 17.0,  # round 5: gained the semdedup legs (~7s steady: 4 Arrow-batched Lloyd passes + pair join; fixed driver/job cost, not data — 35s at sf1.0 vs >580s for the pre-vectorized k=8 version)
     "dedup_exact_docs": 3.0,
     "dedup_minhash_lsh_docs": 3.0,
     "dedup_ngram_jaccard_docs": 3.0,

@@ -162,7 +162,175 @@ def cc_unionfind_oracle(con):
 #: oracles the tool computes outside DuckDB SQL (exact, engine-independent);
 #: the registry keeps the pure-SQL version for the external driver's sf0.01
 #: gate, where it is tractable.
-SPECIAL_ORACLES = {"dedup_cluster_canonical": cc_unionfind_oracle}
+def semdedup_numpy_oracle(con):
+    """Scale-tractable oracle for ``dedup_embedding_cosine``: the registry's
+    pure-SQL oracle unrolls the Lloyd iterations as k×N cross joins with
+    per-element list lambdas — fine at sf0.01 (k=8, 500 vectors), measured
+    >590 s at sf1.0 (k=320, 20k vectors → 400M lambda evals per
+    assignment). This replacement keeps the lsh_pair leg in DuckDB (the
+    SQL the sf0.01 gate hash-verified) and replays the semdedup legs with
+    int64 numpy — the IDENTICAL arithmetic (same quantization expression
+    tree, same integer distance D = c²Σx² − 2c(x·s) + Σs², same single
+    double division, same first-min/lowest-cid ties), so values are
+    bit-equal, just vectorized. No engine-under-test code involved."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from steam_data_engineer_project_spark.queries import (
+        _SEM_ITER,
+        _SEM_K,
+        _SEM_SEED_UNIT,
+        _SEM_THRESHOLD,
+        _lsh_pair_oracle_body,
+    )
+
+    lsh = con.execute(
+        f"SELECT id_a, id_b, cosine FROM ({_lsh_pair_oracle_body()})"
+    ).fetch_arrow_table().to_pandas()
+
+    raw = con.execute(
+        "SELECT vec_id, embedding FROM embeddings ORDER BY vec_id"
+    ).fetch_arrow_table().to_pandas()
+    ids = raw["vec_id"].to_numpy().astype(np.int64)
+    E = np.stack([np.asarray(v, dtype=np.float64) for v in raw["embedding"]])
+    dim = E.shape[1]
+
+    # planted fixture (mirror of queries._sem_embeddings)
+    dec = ids // 10
+    lat = ((dec[:, None] * 31 + np.arange(dim)[None, :] * 17) % 13 - 6).astype(
+        np.float64
+    )
+    lat[ids % 10 == 7, 0] += 0.25
+    emb = np.where(np.isin(ids % 10, (6, 7))[:, None], lat, E)
+
+    # int8 quantization (same expression tree as operators.quantize_int8)
+    amax = np.maximum(np.abs(emb).max(axis=1), 1e-30)
+    qv = np.floor(emb * (127.0 / amax)[:, None] + 0.5).astype(np.int64)
+
+    n = len(ids)
+    k = _SEM_K * math.ceil(n / _SEM_SEED_UNIT)
+    seed_mask = ids < k
+    cids = ids[seed_mask]
+    order = np.argsort(cids)
+    cids = cids[order]
+    S = qv[seed_mask][order].copy()
+    C = np.ones(len(cids), dtype=np.int64)
+
+    def assign(S, C):
+        dots = qv @ S.T
+        xx = np.einsum("nd,nd->n", qv, qv)
+        ss = np.einsum("kd,kd->k", S, S)
+        D = (C * C)[None, :] * xx[:, None] - 2 * C[None, :] * dots + ss[None, :]
+        dist = D.astype(np.float64) / (C * C).astype(np.float64)[None, :]
+        j = np.argmin(dist, axis=1)  # first min = smallest cid (cids sorted)
+        return j, dist[np.arange(n), j]
+
+    for _ in range(_SEM_ITER):
+        j, _d = assign(S, C)
+        newS = np.zeros_like(S)
+        newC = np.zeros_like(C)
+        np.add.at(newS, j, qv)
+        np.add.at(newC, j, 1)
+        emptied = newC == 0  # emptied cluster keeps previous state
+        S = np.where(emptied[:, None], S, newS)
+        C = np.where(emptied, C, newC)
+    j, dist = assign(S, C)
+    cluster = cids[j]
+
+    legs = [
+        pd.DataFrame(
+            {
+                "part": "lsh_pair",
+                "id_a": lsh["id_a"].astype(np.int64),
+                "id_b": lsh["id_b"].astype(np.int64),
+                "cosine": lsh["cosine"].astype(np.float64),
+                "cluster_id": np.nan,
+                "n": np.nan,
+                "cos_micro": np.nan,
+                "dist": np.nan,
+            }
+        ),
+        pd.DataFrame(
+            {
+                "part": "assign",
+                "id_a": ids,
+                "id_b": np.nan,
+                "cosine": np.nan,
+                "cluster_id": cluster,
+                "n": np.nan,
+                "cos_micro": np.nan,
+                "dist": dist,
+            }
+        ),
+    ]
+    uniq, counts = np.unique(cluster, return_counts=True)
+    legs.append(
+        pd.DataFrame(
+            {
+                "part": "size",
+                "id_a": np.nan,
+                "id_b": np.nan,
+                "cosine": np.nan,
+                "cluster_id": uniq,
+                "n": counts.astype(np.int64),
+                "cos_micro": np.nan,
+                "dist": np.nan,
+            }
+        )
+    )
+
+    t_sq = int(_SEM_THRESHOLD * _SEM_THRESHOLD * 10_000)
+    n2 = np.einsum("nd,nd->n", qv, qv)
+    pa, pb, pc, pm = [], [], [], []
+    for c in uniq:
+        m = np.flatnonzero(cluster == c)
+        m = m[np.argsort(ids[m])]  # id-ascending so i<j ⇒ id_a < id_b
+        if len(m) < 2:
+            continue
+        G = qv[m]
+        dots = G @ G.T
+        nn = n2[m]
+        iu, ju = np.triu_indices(len(m), k=1)
+        d = dots[iu, ju]
+        keep = (d > 0) & (10_000 * d * d >= t_sq * nn[iu] * nn[ju])
+        if not keep.any():
+            continue
+        d = d[keep]
+        # long product THEN cast — the exact order of the Spark expression
+        # ((na*nb).cast("double")); fits int64 (≤ (dim·127²)² ≈ 1.06e12)
+        na = (nn[iu][keep] * nn[ju][keep]).astype(np.float64)
+        pa.append(ids[m][iu[keep]])
+        pb.append(ids[m][ju[keep]])
+        pc.append(np.full(len(d), c, dtype=np.int64))
+        pm.append(
+            np.floor(d.astype(np.float64) / np.sqrt(na) * 1e6 + 0.5).astype(
+                np.int64
+            )
+        )
+    if pa:
+        legs.append(
+            pd.DataFrame(
+                {
+                    "part": "pair",
+                    "id_a": np.concatenate(pa),
+                    "id_b": np.concatenate(pb),
+                    "cosine": np.nan,
+                    "cluster_id": np.concatenate(pc),
+                    "n": np.nan,
+                    "cos_micro": np.concatenate(pm),
+                    "dist": np.nan,
+                }
+            )
+        )
+    return pd.concat(legs, ignore_index=True)
+
+
+SPECIAL_ORACLES = {
+    "dedup_cluster_canonical": cc_unionfind_oracle,
+    "dedup_embedding_cosine": semdedup_numpy_oracle,
+}
 
 
 def main() -> int:
