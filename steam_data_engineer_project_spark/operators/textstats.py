@@ -11,7 +11,7 @@ All pure Column expressions (whole-stage codegen; no UDFs):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny public marker lexicons (most-frequent function words).

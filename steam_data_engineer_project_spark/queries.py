@@ -114,6 +114,7 @@ from .operators.textstats import (
     bm25_scores,
     bpe_token_stats,
     doc_fingerprint,
+    group_quantiles,
     language_id,
     repetition_stats,
     text_quality,
@@ -2188,8 +2189,12 @@ def text_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The first four members are narrow per-row projections of the same
     documents scan; the bm25 leg adds the one thing relevance needs that a
     row can't see — corpus statistics — as a SINGLE-ROW aggregate broadcast
-    back into the projection (operators/textstats.bm25_scores), so the
-    suite still contains no wide shuffle at any scale."""
+    back into the projection (operators/textstats.bm25_scores); and the
+    quantile leg (operators/textstats.group_quantiles) reports the exact
+    per-lang token-count distribution (p50/p90/p99, PERCENTILE_DISC
+    semantics — the selected value is an actual corpus document's count and
+    the row carries that document's id) with ONE window shuffle — the only
+    wide exchange in the suite."""
     q = text_quality_docs(spark, sf_dir).select(
         F.lit("quality").alias("part"),
         "doc_id",
@@ -2242,9 +2247,43 @@ def text_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("n_c"),
         *_null_rs,
     )
-    return (
-        q.unionByName(lg).unionByName(fp).unionByName(bpe).unionByName(bm)
+    d = _docs(spark, sf_dir)
+    qt = group_quantiles(
+        d.select(
+            "doc_id",
+            "lang",
+            F.size(
+                F.split(
+                    F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+                )
+            )
+            .cast("long")
+            .alias("n_tokens"),
+        ),
+        "lang",
+        "n_tokens",
+        "doc_id",
+        TEXT_PROFILE_QUANTILES,
+    ).select(
+        F.lit("quantile").alias("part"),
+        F.col("q_key").alias("doc_id"),
+        F.col("lang").alias("label"),
+        F.col("q_ppm").cast("long").alias("n_a"),
+        F.col("q_value").alias("n_b"),
+        F.lit(None).cast("long").alias("n_c"),
+        *_null_rs,
     )
+    return (
+        q.unionByName(lg)
+        .unionByName(fp)
+        .unionByName(bpe)
+        .unionByName(bm)
+        .unionByName(qt)
+    )
+
+
+#: Exact corpus length-distribution probes (PERCENTILE_DISC ranks).
+TEXT_PROFILE_QUANTILES = [0.5, 0.9, 0.99]
 
 
 #: Fixed BM25 demo query: two corpus-common terms with different document
@@ -2321,6 +2360,25 @@ UNION ALL
 SELECT 'bm25', doc_id, NULL, n_matched_terms, score_micro,
        NULL, NULL, NULL, NULL, NULL, NULL
 FROM ({_bm25_oracle()})
+UNION ALL
+SELECT 'quantile', q_key, lang, q_ppm, q_value,
+       NULL, NULL, NULL, NULL, NULL, NULL
+FROM (
+  WITH tok AS (
+    SELECT doc_id, lang,
+           CAST(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS BIGINT) AS n
+    FROM documents
+  ), r AS (
+    SELECT doc_id, lang, n,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n, doc_id) AS rn,
+           COUNT(*) OVER (PARTITION BY lang) AS cnt
+    FROM tok
+  )
+  SELECT r.lang, CAST(q.q_ppm AS BIGINT) AS q_ppm, r.n AS q_value,
+         r.doc_id AS q_key
+  FROM r JOIN (VALUES (500000), (900000), (990000)) q(q_ppm)
+    ON r.rn = CAST(FLOOR((q.q_ppm * r.cnt + 999999) / 1000000) AS BIGINT)
+)
 """
 
 

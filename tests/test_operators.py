@@ -1675,3 +1675,29 @@ def test_temperature_resample_respects_per_group_budgets(spark):
     assert sorted((r.lang, r.doc_id) for r in got2) == sorted(
         (r.lang, r.doc_id) for r in got
     )
+
+
+def test_group_quantiles_exact_disc_semantics(spark):
+    """PERCENTILE_DISC at ⌈q·n⌉: on 1..10 in one group, p50→5, p90→9,
+    p99→10 (actual corpus values, never interpolated); ties in the metric
+    resolve by key so the reported key is deterministic."""
+    from steam_data_engineer_project_spark.operators.textstats import (
+        group_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [("g", i, i) for i in range(1, 11)], "g string, k long, v long"
+    )
+    got = {
+        r.q_ppm: (r.q_value, r.q_key)
+        for r in group_quantiles(df, "g", "v", "k", [0.5, 0.9, 0.99]).collect()
+    }
+    assert got == {500000: (5, 5), 900000: (9, 9), 990000: (10, 10)}
+    tied = spark.createDataFrame(
+        [("g", i, 7) for i in range(1, 5)], "g string, k long, v long"
+    )
+    got2 = {
+        r.q_ppm: (r.q_value, r.q_key)
+        for r in group_quantiles(tied, "g", "v", "k", [0.5]).collect()
+    }
+    assert got2 == {500000: (7, 2)}  # rank 2 of 4; order (v, k) ⇒ key 2

@@ -356,7 +356,7 @@ EXCHANGE_BUDGET = {
     "streaming_windowed_stats": 0,
     "temporal_join_suite": 3,
     "text_pii_redaction": 1,
-    "text_profile_docs": 7,  # +3: the bm25 leg's single-row corpus-stats aggregate (partial→final SinglePartition) broadcast back into the scan
+    "text_profile_docs": 9,  # +3 bm25 single-row corpus-stats aggregate; +2 quantile leg (per-lang window + its own spread scan)
     "text_repetition_docs": 2,
     "time_filter_suite": 2,
     "window_suite": 3,
