@@ -42,6 +42,7 @@ from .operators.dedup import (
     simhash_fingerprints,
 )
 from .operators.components import connected_components
+from .operators.sketches import kmv_distinct_estimate
 from .operators.clustering import (
     kmeans_int8,
     quantized_vectors,
@@ -1363,17 +1364,91 @@ SELECT 'orders_fk_customer',
 
 
 def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: md5 hash-groupBy over normalized text, keep lowest id."""
+    """Exact-dedup + cardinality suite, tagged by `part`:
+
+    - group: md5 hash-groupBy over normalized text, keep lowest id (the
+      classic exact dedup).
+    - kmv: per-source distinct-BIGRAM cardinality (bigrams so every source
+      exceeds the sketch size and the ESTIMATOR path is exercised, not
+      just the exact-small fallback), estimated with the k-minimum-values
+      sketch (operators/sketches.kmv_distinct_estimate, k=64 — pure
+      integer md5 arithmetic, engine-exact) alongside the exact
+      COUNT(DISTINCT) so the gate verifies BOTH the estimator's arithmetic
+      and, implicitly, its accuracy. At 100 TB the exact leg is the one
+      you drop; the sketch is the one you keep."""
     d = _docs(spark, sf_dir)
-    return exact_dedup(d, "text", "doc_id")
+    groups = exact_dedup(d, "text", "doc_id").select(
+        F.lit("group").alias("part"),
+        "doc_id",
+        F.col("text_hash").alias("label"),
+        F.col("n_copies").cast("long").alias("n"),
+        F.lit(None).cast("long").alias("est"),
+    )
+    toks = F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+    tok = (
+        d.select("source", toks.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - 2),
+                    lambda i: F.concat_ws(" ", F.col("t")[i], F.col("t")[i + 1]),
+                )
+            ).alias("token"),
+        )
+    )
+    exact_counts = tok.groupBy("source").agg(
+        F.countDistinct("token").cast("long").alias("n")
+    )
+    kmv = kmv_distinct_estimate(tok, "source", "token", k=64).select(
+        "source", "est_distinct"
+    )
+    kmv_leg = exact_counts.join(kmv, "source").select(
+        F.lit("kmv").alias("part"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.col("source").alias("label"),
+        "n",
+        F.col("est_distinct").alias("est"),
+    )
+    return groups.unionByName(kmv_leg)
 
 
 DEDUP_EXACT_ORACLE = r"""
-SELECT MIN(doc_id) AS doc_id,
-       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS text_hash,
-       COUNT(*) AS n_copies
+SELECT 'group' AS part, MIN(doc_id) AS doc_id,
+       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS label,
+       COUNT(*) AS n, CAST(NULL AS BIGINT) AS est
 FROM documents
 GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+UNION ALL
+SELECT 'kmv', NULL, source, n, est FROM (
+  WITH t0 AS (
+    SELECT source, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+    FROM documents
+  ), tok AS (
+    SELECT source, array_to_string(t[i:i+1], ' ') AS token
+    FROM t0, UNNEST(range(1, len(t))) AS u(i)
+    WHERE len(t) >= 2
+  ), dv AS (
+    SELECT DISTINCT source, token FROM tok WHERE token IS NOT NULL
+  ), hv AS (
+    SELECT source, token,
+           CAST(concat('0x', substring(md5('v:' || token), 1, 13)) AS BIGINT) AS h
+    FROM dv
+  ), rk AS (
+    SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, token) AS rn
+    FROM hv
+  ), sk AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS m, MAX(h) AS hk
+    FROM rk WHERE rn <= 64 GROUP BY source
+  ), ex AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM dv GROUP BY source
+  )
+  SELECT ex.source, ex.n,
+         CASE WHEN sk.m < 64 THEN sk.m
+              ELSE CAST(63 AS BIGINT) * 4503599627370496 // sk.hk END AS est
+  FROM sk JOIN ex USING (source)
+)
 """
 
 

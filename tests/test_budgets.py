@@ -46,7 +46,7 @@ TIME_BUDGET = {
     "dedup_corpus_lines": 3.0,
     "dedup_cross_corpus": 6.0,  # round 5: gained the incremental-verdicts leg (a second corpus-vs-corpus job + exact tier)
     "dedup_embedding_cosine": 17.0,  # round 5: gained the semdedup legs (~7s steady: 4 Arrow-batched Lloyd passes + pair join; fixed driver/job cost, not data — 35s at sf1.0 vs >580s for the pre-vectorized k=8 version)
-    "dedup_exact_docs": 3.0,
+    "dedup_exact_docs": 6.0,  # round 5: gained the kmv cardinality-sketch leg (~2.2s steady)
     "dedup_minhash_lsh_docs": 3.0,
     "dedup_ngram_jaccard_docs": 3.0,
     "dedup_simhash_docs": 3.0,

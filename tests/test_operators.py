@@ -1701,3 +1701,41 @@ def test_group_quantiles_exact_disc_semantics(spark):
         for r in group_quantiles(tied, "g", "v", "k", [0.5]).collect()
     }
     assert got2 == {500000: (7, 2)}  # rank 2 of 4; order (v, k) ⇒ key 2
+
+
+def test_kmv_distinct_exact_below_k_and_estimates_above(spark):
+    """Groups under the sketch size are exact; larger groups estimate
+    within the theoretical error band (SE ≈ 1/√(k−2)); the result is a
+    pure function of the value set (partition-invariant)."""
+    from steam_data_engineer_project_spark.operators.sketches import (
+        kmv_distinct_estimate,
+    )
+
+    rows = [("small", f"v{i % 10}") for i in range(100)]
+    rows += [("big", f"w{i}") for i in range(5000)]
+    df = spark.createDataFrame(rows, "g string, v string")
+    got = {r.g: r for r in kmv_distinct_estimate(df, "g", "v", k=64).collect()}
+    assert got["small"].est_distinct == 10  # exact path
+    assert got["small"].sketch_size == 10
+    assert got["big"].sketch_size == 64
+    assert abs(got["big"].est_distinct - 5000) / 5000 < 0.5  # 4·SE guard
+    got2 = {
+        r.g: r.est_distinct
+        for r in kmv_distinct_estimate(
+            df.repartition(13, "v"), "g", "v", k=64
+        ).collect()
+    }
+    assert got2 == {g: r.est_distinct for g, r in got.items()}
+
+
+def test_kmv_distinct_ignores_nulls_and_duplicates(spark):
+    """NULLs drop (COUNT(DISTINCT) semantics) and duplicate values never
+    inflate the sketch."""
+    from steam_data_engineer_project_spark.operators.sketches import (
+        kmv_distinct_estimate,
+    )
+
+    rows = [("g", v) for v in (["a"] * 50 + ["b"] * 50 + [None] * 20)]
+    df = spark.createDataFrame(rows, "g string, v string")
+    got = kmv_distinct_estimate(df, "g", "v", k=8).collect()
+    assert len(got) == 1 and got[0].est_distinct == 2
