@@ -1739,3 +1739,113 @@ def test_kmv_distinct_ignores_nulls_and_duplicates(spark):
     df = spark.createDataFrame(rows, "g string, v string")
     got = kmv_distinct_estimate(df, "g", "v", k=8).collect()
     assert len(got) == 1 and got[0].est_distinct == 2
+
+
+def test_bm25_property_matches_python_reference(spark):
+    """Property test: for ANY tiny corpus and query set, bm25_scores'
+    integer micro-unit scores equal an independent pure-Python replay of
+    the documented formula (rational-core idf, floor-to-micro per term) —
+    the engine expression tree computes exactly what the docstring says."""
+    import math
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from steam_data_engineer_project_spark.operators.textstats import (
+        bm25_scores,
+    )
+
+    words = st.sampled_from(["apple", "bear", "cat", "dog", "elk"])
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.lists(
+            st.lists(words, min_size=1, max_size=8), min_size=1, max_size=5
+        ),
+        st.lists(words, min_size=1, max_size=2, unique=True),
+    )
+    def check(docs, terms):
+        rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_matched_terms, r.score_micro)
+            for r in bm25_scores(df, "text", "doc_id", terms).collect()
+        }
+        n_docs = len(docs)
+        total = sum(len(ws) for ws in docs)
+        dfreq = {t: sum(1 for ws in docs if t in ws) for t in terms}
+        want = {}
+        for i, ws in enumerate(docs):
+            matched, score = 0, 0
+            for t in terms:
+                tf = ws.count(t)
+                if tf == 0:
+                    continue
+                matched += 1
+                idf = (n_docs - dfreq[t] + 0.5) / (dfreq[t] + 0.5)
+                denom = tf + 1.2 * (0.25 + 0.75 * (len(ws) / (total / n_docs)))
+                score += math.floor(idf * (tf * 2.2) / denom * 1e6 + 0.5)
+            if matched:
+                want[i] = (matched, score)
+        assert got == want, (docs, terms, got, want)
+
+    check()
+
+
+def test_token_budget_cap_property_prefix_exactness(spark):
+    """Property test: for ANY token multiset and budget, the admitted rows
+    are EXACTLY the maximal hash-order prefix within budget — verified
+    against an independent Python replay of the md5 ordering."""
+    import hashlib
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from steam_data_engineer_project_spark.operators.sampling import (
+        token_budget_cap,
+    )
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=30),
+                st.integers(min_value=1, max_value=50),
+            ),
+            min_size=1,
+            max_size=12,
+            unique_by=lambda t: t[0],
+        ),
+        st.integers(min_value=1, max_value=300),
+    )
+    def check(rows, budget):
+        df = spark.createDataFrame(
+            [(f"d{k}", "g", n) for k, n in rows], "k string, g string, n long"
+        )
+        got = sorted(
+            (r.k, r.cum_tokens)
+            for r in token_budget_cap(df, "g", "k", "n", budget).collect()
+        )
+        hkey = lambda k: (
+            int(hashlib.md5(f"v:{k}".encode()).hexdigest()[:8], 16)
+            % (1 << 31),
+            k,
+        )
+        ordered = sorted(((f"d{k}", n) for k, n in rows), key=lambda t: hkey(t[0]))
+        want, cum = [], 0
+        for k, n in ordered:
+            cum += n
+            if cum > budget:
+                break
+            want.append((k, cum))
+        assert got == sorted(want), (rows, budget, got, want)
+
+    check()

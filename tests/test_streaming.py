@@ -720,3 +720,86 @@ def test_compaction_crash_mid_segment_write_leaves_readable_table(spark):
         assert len(final) == 6 and all(r[1] != 99 for r in final)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_streaming_incremental_dedup_matches_batch(spark):
+    """The crawl-shaped use of operators/dedup.incremental_dedup_verdicts:
+    incoming documents arrive as a file stream and each micro-batch is
+    classified against the STATIC corpus inside foreachBatch, verdicts
+    appended per batch. Because each incoming doc's verdict depends only
+    on (doc, corpus) — never on other incoming docs (the near tier caps
+    doc-freq per side, but the incoming side is per-batch and the planted
+    fixtures stay far below the cap) — the streamed union of per-batch
+    verdicts must equal the one-shot batch classification of all files at
+    once. That per-batch = global equivalence is exactly what makes the
+    operator safe to run continuously on a crawl."""
+    import pyspark.sql.functions as F
+
+    from steam_data_engineer_project_spark.operators.dedup import (
+        incremental_dedup_verdicts,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (100, "the corpus holds this exact sentence verbatim today"),
+            (101, "another document about engines pipelines and storage"),
+            (102, "benchmark phrase alpha beta gamma delta epsilon zeta"),
+        ],
+        "doc_id long, text string",
+    )
+    batches = [
+        [
+            (1, "the corpus holds this exact sentence verbatim today"),  # exact
+            (2, "totally novel content never seen before in any shard"),
+        ],
+        [
+            (3, "quoting benchmark phrase alpha beta gamma delta epsilon zeta here"),  # near
+            (4, "more novel content also never seen before anywhere"),
+        ],
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        in_dir = os.path.join(td, "incoming")
+        out_dir = os.path.join(td, "verdicts")
+        ckpt = os.path.join(td, "ckpt")
+        os.makedirs(in_dir)
+
+        def classify(batch_df, batch_id):
+            out = incremental_dedup_verdicts(
+                corpus, batch_df, "text", "doc_id", n=3, min_shared=2
+            )
+            out.write.mode("append").parquet(out_dir)
+
+        for i, rows in enumerate(batches):
+            _write_events(
+                in_dir,
+                f"b{i}.jsonl",
+                [{"doc_id": d, "text": t} for d, t in rows],
+            )
+            (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", "1")
+                .json(in_dir)
+                .writeStream.foreachBatch(classify)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination(120)
+            )
+
+        streamed = {
+            r.doc_id: (r.verdict, r.n_corpus_matches)
+            for r in spark.read.parquet(out_dir).collect()
+        }
+        incoming_all = spark.createDataFrame(
+            [r for b in batches for r in b], "doc_id long, text string"
+        )
+        batch = {
+            r.doc_id: (r.verdict, r.n_corpus_matches)
+            for r in incremental_dedup_verdicts(
+                corpus, incoming_all, "text", "doc_id", n=3, min_shared=2
+            ).collect()
+        }
+        assert streamed == batch
+        assert streamed[1][0] == "exact_dup"
+        assert streamed[3][0] == "near_dup"
+        assert streamed[2][0] == "new" and streamed[4][0] == "new"
