@@ -249,3 +249,55 @@ def semantic_dedup_pairs(
             .alias("cos_micro"),
         )
     )
+
+
+def train_ivf_codebook(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    *,
+    n_centroids: int = 16,
+    n_iter: int = 3,
+) -> DataFrame:
+    """Trained IVF codebook: cluster the corpus with :func:`kmeans_int8`,
+    then emit each cluster's elementwise MEAN of the L2-NORMALIZED float
+    vectors as (centroid_id, cv) — the input
+    operators/similarity.ivf_assignments accepts in place of its
+    first-ids stand-in. Normalizing before averaging matters: int8
+    quantization is per-vector scale-invariant, so the clustering is
+    direction-only (spherical), and the matching centroid is the mean
+    DIRECTION — averaging raw vectors lets long vectors dominate and
+    drags centroids off the cluster's direction (measured recall@10 0.7
+    vs 0.9+ with the normalized mean on the random fixture).
+
+    One groupBy producing ≤ n_centroids rows; the per-dim F.avg columns
+    are map-side combinable. dim is probed from one row (a bounded
+    driver lookup, same class as loading the codebook itself)."""
+    first = df.select(vec_col).first()
+    if first is None:
+        raise ValueError("cannot train a codebook on an empty corpus")
+    dim = len(first[0])
+    assigned = kmeans_int8(df, vec_col, id_col, k=n_centroids, n_iter=n_iter)
+    norm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col),
+            F.lit(0.0),
+            lambda a, v: a + v.cast("double") * v.cast("double"),
+        )
+    )
+    unit = df.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col),
+            lambda v: v.cast("double") / F.greatest(norm, F.lit(1e-30)),
+        ).alias("__u"),
+    )
+    return (
+        assigned.select(id_col, "cluster_id")
+        .join(unit, id_col)
+        .groupBy("cluster_id")
+        .agg(
+            F.array(*[F.avg(F.col("__u")[i]) for i in range(dim)]).alias("cv")
+        )
+        .select(F.col("cluster_id").alias("centroid_id"), "cv")
+    )

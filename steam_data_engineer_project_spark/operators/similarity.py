@@ -149,6 +149,7 @@ def ivf_assignments(
     vec_col: str,
     id_col: str,
     n_centroids: int = 16,
+    centroids: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF coarse quantizer: assign every vector to its nearest centroid.
 
@@ -161,10 +162,15 @@ def ivf_assignments(
 
     Ties on the (6-dp-rounded) cosine break toward the smallest centroid id.
     Returns (assignments(id, centroid_id, centroid_cos), centroids).
+
+    Pass ``centroids`` (centroid_id, cv) to use a TRAINED codebook —
+    operators/clustering.train_ivf_codebook produces one from integer
+    k-means; the default remains the deterministic first-ids stand-in.
     """
-    centroids = df.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv")
-    )
+    if centroids is None:
+        centroids = df.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv")
+        )
     scored = df.crossJoin(F.broadcast(centroids)).select(
         F.col(id_col),
         F.col("centroid_id"),
@@ -190,6 +196,7 @@ def ivf_cosine_topk(
     k: int = 10,
     n_centroids: int = 16,
     n_probe: int = 4,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN top-k: probe the ``n_probe`` centroids nearest the query, then
     exact-score only vectors assigned to those centroids.
@@ -201,7 +208,9 @@ def ivf_cosine_topk(
 
     Returns (id_col, centroid_id, cosine) ordered by rounded cosine, id.
     """
-    assigned, centroids = ivf_assignments(df, vec_col, id_col, n_centroids)
+    assigned, centroids = ivf_assignments(
+        df, vec_col, id_col, n_centroids, centroids=centroids
+    )
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     probe = (
         centroids.select(
