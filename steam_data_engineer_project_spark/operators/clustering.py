@@ -133,7 +133,12 @@ def kmeans_int8(
     ``cache`` persists the quantized projection — Lloyd makes ``n_iter + 1``
     passes over it, and re-deriving it from the raw scan each pass is pure
     waste; at 100 TB the same role is played by materializing the quantized
-    columns once (MEMORY_AND_DISK / a staging table) before iterating."""
+    columns once (MEMORY_AND_DISK / a staging table) before iterating.
+    The persist is plan-keyed: repeated invocations over the same source
+    reuse ONE cache entry (Spark's cache manager dedups by canonicalized
+    plan), so bench loops don't accumulate copies; a long session
+    clustering MANY distinct corpora should pass ``cache=False`` or
+    ``spark.catalog.clearCache()`` between corpora."""
     base = qdf if qdf is not None else quantized_vectors(df, vec_col, id_col)
     if cache:
         base = base.persist()

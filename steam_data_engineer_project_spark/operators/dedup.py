@@ -571,9 +571,13 @@ def incremental_dedup_verdicts(
 
     Two tiers, one row per incoming doc:
 
-    - exact tier: full-text md5 equi-join (the corpus side reduces to
-      DISTINCT hashes — one aggregate over the corpus, the same cost class
-      as exact dedup; the incoming hash set is tiny and broadcasts).
+    - exact tier: NORMALIZED-text md5 equi-join — the same canonical form
+      (:func:`_normalized`) as :func:`exact_dedup`, so the two operators
+      agree on what an exact duplicate is (a whitespace/case variant of a
+      corpus doc is 'exact_dup' here exactly when batch exact-dedup would
+      collapse it). The corpus side reduces to DISTINCT hashes — one
+      aggregate over the corpus, the same cost class as exact dedup; the
+      incoming hash set is tiny and broadcasts.
     - near tier: :func:`cross_corpus_contamination` with the corpus as the
       posting-list side and the incoming batch as the small side, so the
       per-shingle fan-out stays capped by ``max_doc_freq`` on BOTH sides
@@ -586,10 +590,14 @@ def incremental_dedup_verdicts(
     inc_ids = incoming.select(F.col(id_col).alias("inc_id"))
     exact = (
         incoming.select(
-            F.col(id_col).alias("inc_id"), F.md5(F.col(text_col)).alias("h")
+            F.col(id_col).alias("inc_id"),
+            F.md5(_normalized(F.col(text_col))).alias("h"),
         )
         .join(
-            corpus.select(F.md5(F.col(text_col)).alias("h")).distinct(), "h"
+            corpus.select(
+                F.md5(_normalized(F.col(text_col))).alias("h")
+            ).distinct(),
+            "h",
         )
         .select("inc_id")
         .distinct()

@@ -265,8 +265,12 @@ def bm25_scores(
 
     Engine-exactness (this result is oracle-hashed, so "approximately the
     same double" is not enough): the classic ln() idf is replaced by its
-    monotone rational core (N - df + 0.5)/(df + 0.5) — same ranking, but
-    built only from +,-,*,/ which IEEE-754 defines bit-exactly for every
+    monotone rational core (N - df + 0.5)/(df + 0.5) — the same PER-TERM
+    ordering (each term's contribution stays monotone in tf and rarity;
+    multi-term SUMS can order differently than log-idf BM25 because the
+    rational core exaggerates rare-term weight, so treat this as a
+    BM25-family scorer, not a drop-in for published BM25 cutoffs) — built
+    only from +,-,*,/ which IEEE-754 defines bit-exactly for every
     engine evaluating the same expression tree; and the per-term
     contributions are fixed to integer micro-units (floor(x·1e6 + 0.5))
     BEFORE summing, so the final score is an order-independent integer sum

@@ -242,6 +242,15 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _spread(spark, sf_dir, "documents", "doc_id")
 
 
+def _norm_tokens(col: str = "text"):
+    """Whitespace tokens of the canonical text form — the ONE tokenization
+    shared by every token-denominated leg (bigram-kmv, quantile,
+    token-budget, temperature). All of their DuckDB oracles spell the same
+    ``string_split(trim(regexp_replace(lower(text),'\\s+',' ','g')), ' ')``;
+    a drifted copy here would silently desynchronize from those strings."""
+    return F.split(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")), " ")
+
+
 _SCRATCH_REAPED = False
 
 
@@ -345,11 +354,25 @@ def _cached_fixture(sf_dir: str, kind: str, sources: tuple, build) -> str:
     its input every pass (round-4 verdict finding #2 — fixture writes were
     dominating the streaming queries' timed bodies). ``os.rename`` preserves
     file mtimes, so fixtures whose semantics ride on mtime order (the
-    windowed slices) survive the publish step intact."""
+    windowed slices) survive the publish step intact.
+
+    The cache key also folds in a fingerprint of the BUILDER's bytecode and
+    constants — editing ``build`` (a slice count, a schema column) must
+    miss the cache, or the edited query would silently run against the
+    pre-edit fixture until the 24 h reaper happened to collect it."""
+    import hashlib as _hl
+
+    code = build.__code__
+    build_ver = _hl.md5(
+        code.co_code + repr(code.co_consts).encode()
+    ).hexdigest()[:8]
     base = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch"
     )
-    final = os.path.join(base, f"fixture_{kind}_{_source_fingerprint(sf_dir, *sources)}")
+    final = os.path.join(
+        base,
+        f"fixture_{kind}_{build_ver}_{_source_fingerprint(sf_dir, *sources)}",
+    )
     marker = os.path.join(final, "_FIXTURE_OK")
     if os.path.exists(marker):
         # Reads never update mtimes; refresh so the 24 h cache reaper can't
@@ -1384,7 +1407,7 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_copies").cast("long").alias("n"),
         F.lit(None).cast("long").alias("est"),
     )
-    toks = F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+    toks = _norm_tokens()
     tok = (
         d.select("source", toks.alias("t"))
         .filter(F.size("t") >= 2)
@@ -1997,9 +2020,12 @@ def semdedup_cluster_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # constant expected cluster size: k grows with the corpus (one count
     # job — bounded driver traffic) so the pair stage stays linear in N.
     k = _SEM_K * math.ceil(src.count() / _SEM_SEED_UNIT)
+    # persist: the final N×k assignment pass feeds FOUR consumers (assign
+    # leg, size leg, both sides of the pair self-join) — uncached it would
+    # recompute the mapInPandas distance matrix per consumer.
     assigned = kmeans_int8(
         None, "embedding", "vec_id", k=k, n_iter=_SEM_ITER, qdf=qdf
-    )
+    ).persist()
     assign_leg = assigned.select(
         F.lit("assign").alias("part"),
         F.col("vec_id").alias("id_a"),
@@ -2327,11 +2353,7 @@ def text_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(
             "doc_id",
             "lang",
-            F.size(
-                F.split(
-                    F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
-                )
-            )
+            F.size(_norm_tokens())
             .cast("long")
             .alias("n_tokens"),
         ),
@@ -2502,11 +2524,7 @@ def sampling_split_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_tokens = d.select(
         "doc_id",
         "lang",
-        F.size(
-            F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
-        )
-        .cast("long")
-        .alias("n_tokens"),
+        F.size(_norm_tokens()).cast("long").alias("n_tokens"),
     )
     budget = token_budget_cap(
         with_tokens, "lang", "doc_id", "n_tokens", 20_000
@@ -2813,8 +2831,10 @@ LEFT JOIN (
            doc_id % 10 = 3 AS is_inc
     FROM documents)
   SELECT DISTINCT i.doc_id
-  FROM (SELECT doc_id, itext FROM ibase WHERE is_inc) i
-  JOIN (SELECT DISTINCT itext FROM ibase WHERE NOT is_inc) c USING (itext)
+  FROM (SELECT doc_id, trim(regexp_replace(lower(itext), '\s+', ' ', 'g')) AS ntext
+        FROM ibase WHERE is_inc) i
+  JOIN (SELECT DISTINCT trim(regexp_replace(lower(itext), '\s+', ' ', 'g')) AS ntext
+        FROM ibase WHERE NOT is_inc) c USING (ntext)
 ) ex ON ex.doc_id = inc.doc_id
 LEFT JOIN (
   WITH ibase AS (

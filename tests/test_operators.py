@@ -1849,3 +1849,23 @@ def test_token_budget_cap_property_prefix_exactness(spark):
         assert got == sorted(want), (rows, budget, got, want)
 
     check()
+
+
+def test_incremental_dedup_exact_tier_uses_normalized_text(spark):
+    """A whitespace/case variant of a corpus doc is an exact_dup — the
+    exact tier must share exact_dedup's canonical form, or a re-crawled
+    page with trivial formatting drift would be admitted as 'new'."""
+    from steam_data_engineer_project_spark.operators.dedup import (
+        incremental_dedup_verdicts,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "Hello  World From The Corpus")], "doc_id long, text string"
+    )
+    incoming = spark.createDataFrame(
+        [(10, "hello world from the corpus")], "doc_id long, text string"
+    )
+    got = incremental_dedup_verdicts(
+        corpus, incoming, "text", "doc_id", n=3, min_shared=2
+    ).collect()
+    assert got[0].verdict == "exact_dup"

@@ -66,13 +66,16 @@ def digest(df) -> object:
             r = s.round(9)
             out = r.map(repr)  # repr(float) is exact & stable across engines
             out = out.mask(r.isna(), "NaN")
-        elif s.dtype == object and any(
-            isinstance(v, (list, tuple, np.ndarray)) for v in s.dropna().head(20)
-        ):
+        elif s.dtype == object:
+            # EVERY object column takes the exact per-cell path (no
+            # sampling: a column whose sampled head is scalar but whose
+            # tail holds arrays would otherwise fall into str(), where
+            # numpy's '...' elision can hash two different arrays equal).
             # Sequence-valued cells: str(ndarray) elides >1000-element
             # arrays with '...' (two different arrays could hash equal) and
             # ndarray vs list reprs differ between Spark toPandas and
-            # DuckDB to_pandas — serialize the actual elements instead.
+            # DuckDB to_pandas — serialize the actual elements instead;
+            # scalar cells pass through str() unchanged.
             # Numeric sequences go through a vectorized bytes path (rounded
             # float64 / int64 buffers) — the per-element canon() path is
             # minutes-slow at embedding widths × 100k+ rows.
