@@ -185,6 +185,7 @@ def semantic_dedup_pairs(
     threshold: float = 0.95,
     qdf: DataFrame | None = None,
     assignments: DataFrame | None = None,
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup pair stage: k-means the embeddings, then emit within-cluster
     pairs whose int8 cosine ≥ threshold. Returns
@@ -194,8 +195,18 @@ def semantic_dedup_pairs(
 
     The join shuffles on cluster_id only — pair work is Σ|cluster|², the
     whole point of clustering first. Skewed giant clusters are the known
-    failure mode; cap them upstream (split by a secondary hash) if the
-    cluster-size histogram degenerates.
+    failure mode; ``max_cluster_size`` is the guard: clusters above the
+    cap are sub-split into ⌈size/cap⌉ blocks keyed by a CONTENT signature
+    (the sign pattern of the quantized vector — near-identical vectors
+    share it, so true near-dup pairs overwhelmingly stay co-blocked while
+    the pair space drops by the block count). The signature is a hash of
+    the QUANTIZED CONTENT, so exact and quantization-identical duplicates
+    — the dominant duplicate class in a collapsed cluster — are always
+    co-blocked and never lost; near-but-not-identical pairs straddling a
+    block boundary are the deliberately-traded tail recall. Off by
+    default — the registry suite relies on corpus-proportional k instead;
+    the cap is for corpora whose embedding space genuinely collapses
+    (boilerplate floods), where no k keeps clusters bounded.
 
     ``qdf`` / ``assignments`` let a caller that already clustered (e.g. to
     report the assignment itself) share those frames instead of paying the
@@ -211,17 +222,32 @@ def semantic_dedup_pairs(
     )
     assigned = assignments.select(F.col(id_col), "cluster_id")
     side = qdf.join(assigned, id_col)
+    join_keys = ["cluster_id"]
+    if max_cluster_size is not None:
+        from pyspark.sql import Window
+
+        content = F.concat_ws(",", F.transform(F.col("qv"), lambda v: v.cast("string")))
+        sig = F.conv(F.substring(F.md5(content), 1, 8), 16, 10).cast("long")
+        nsub = F.greatest(
+            F.ceil(
+                F.count("*").over(Window.partitionBy("cluster_id"))
+                / F.lit(int(max_cluster_size))
+            ).cast("long"),
+            F.lit(1),
+        )
+        side = side.withColumn("__sub", F.pmod(sig, nsub))
+        join_keys = ["cluster_id", "__sub"]
     a = side.select(
         F.col(id_col).alias("id_a"),
         F.col("qv").alias("qa"),
         F.col("n2").alias("na"),
-        "cluster_id",
+        *join_keys,
     )
     b = side.select(
         F.col(id_col).alias("id_b"),
         F.col("qv").alias("qb"),
         F.col("n2").alias("nb"),
-        "cluster_id",
+        *join_keys,
     )
     t_sq_104 = int(threshold * threshold * 10_000)  # ⌊10⁴·t²⌋
     dot = F.aggregate(
@@ -230,7 +256,7 @@ def semantic_dedup_pairs(
         lambda acc, v: acc + v,
     )
     return (
-        a.join(b, "cluster_id")
+        a.join(b, join_keys)
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("dot", dot)
         .filter(

@@ -1869,3 +1869,43 @@ def test_incremental_dedup_exact_tier_uses_normalized_text(spark):
         corpus, incoming, "text", "doc_id", n=3, min_shared=2
     ).collect()
     assert got[0].verdict == "exact_dup"
+
+
+def test_semantic_dedup_cluster_cap_bounds_blocks_keeps_twins(spark):
+    """max_cluster_size sub-splits a degenerate giant cluster: capped pairs
+    are a subset of uncapped pairs, QUANTIZATION-IDENTICAL vectors always
+    stay co-blocked (same content signature), and the pair space shrinks
+    (distinct contents spread across the hash blocks)."""
+    from steam_data_engineer_project_spark.operators.clustering import (
+        semantic_dedup_pairs,
+    )
+
+    # one tight direction bundle = one giant cluster; ids 100/101 are
+    # exact twins planted inside it
+    rows = []
+    for i in range(60):
+        v = [5.0, 4.0 + 0.01 * (i % 7), 3.0, -2.0 + 0.01 * (i % 5)]
+        rows.append((i, v))
+    rows += [(100, [5.0, 4.0, 3.0, -2.0]), (101, [5.0, 4.0, 3.0, -2.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in semantic_dedup_pairs(
+            df, "embedding", "vec_id", k=2, n_iter=2, threshold=0.99
+        ).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in semantic_dedup_pairs(
+            df,
+            "embedding",
+            "vec_id",
+            k=2,
+            n_iter=2,
+            threshold=0.99,
+            max_cluster_size=20,
+        ).collect()
+    }
+    assert capped <= uncapped
+    assert (100, 101) in capped  # identical twins share the signature block
+    assert len(capped) < len(uncapped)  # the pair space actually shrank
