@@ -1,13 +1,27 @@
 from .components import canonical_per_component, connected_components, connected_components_star
+from .clustering import (
+    kmeans_int8,
+    semantic_dedup_pairs,
+    train_ivf_codebook,
+)
 from .dedup import (
+    cross_corpus_contamination,
     exact_dedup,
+    incremental_dedup_verdicts,
     minhash_signatures,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
     simhash_fingerprints,
 )
 from .merge import insert_ignore, merge_monotone_max, upsert_last_wins
-from .sampling import deterministic_split, stratified_sample_exact
+from .sampling import (
+    deterministic_split,
+    stratified_sample_exact,
+    temperature_allocations,
+    temperature_resample,
+    token_budget_cap,
+)
+from .sketches import kmv_distinct_estimate
 from .chunking import chunk_documents, pack_sequences, whitespace_token_count
 from .sessionize import sessionize
 from .skew import salted_aggregate, salted_join
@@ -18,7 +32,7 @@ from .similarity import (
     lsh_bucket_cosine_topk,
 )
 from .temporal import asof_join, asof_join_split, range_join_bucketed
-from .textstats import doc_fingerprint, language_id, text_quality
+from .textstats import bm25_scores, doc_fingerprint, group_quantiles, language_id, text_quality
 from .topk import latest_per_key, top_k
 
 __all__ = [
@@ -30,7 +44,18 @@ __all__ = [
     "deterministic_split",
     "range_join_bucketed",
     "stratified_sample_exact",
+    "bm25_scores",
+    "cross_corpus_contamination",
     "exact_dedup",
+    "group_quantiles",
+    "incremental_dedup_verdicts",
+    "kmeans_int8",
+    "kmv_distinct_estimate",
+    "semantic_dedup_pairs",
+    "temperature_allocations",
+    "temperature_resample",
+    "token_budget_cap",
+    "train_ivf_codebook",
     "minhash_signatures",
     "minhash_lsh_candidates",
     "ngram_jaccard_pairs",
