@@ -51,9 +51,6 @@ engine-original, SURVEY.md §2.12.
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -75,6 +72,11 @@ def _assign_to_centroids(
     matrix algebra — the vectorized-linear-algebra case Pandas UDFs exist
     for (interpreted per-element HOF expressions are ~1000× slower once
     k·dim reaches 10⁴ ops per row)."""
+    # lazy: keep numpy/pandas out of the operators package's import path —
+    # every other operators module is pure pyspark.
+    import numpy as np
+    import pandas as pd
+
     cids = np.array([cid for cid, _, _ in cur], dtype=np.int64)
     S = np.array([s for _, s, _ in cur], dtype=np.int64)
     C = np.array([c for _, _, c in cur], dtype=np.int64)
@@ -195,22 +197,31 @@ def semantic_dedup_pairs(
 
     The join shuffles on cluster_id only — pair work is Σ|cluster|², the
     whole point of clustering first. Skewed giant clusters are the known
-    failure mode; ``max_cluster_size`` is the guard: clusters above the
-    cap are sub-split into ⌈size/cap⌉ blocks keyed by a CONTENT signature
-    (the sign pattern of the quantized vector — near-identical vectors
-    share it, so true near-dup pairs overwhelmingly stay co-blocked while
-    the pair space drops by the block count). The signature is a hash of
-    the QUANTIZED CONTENT, so exact and quantization-identical duplicates
-    — the dominant duplicate class in a collapsed cluster — are always
-    co-blocked and never lost; near-but-not-identical pairs straddling a
-    block boundary are the deliberately-traded tail recall. Off by
-    default — the registry suite relies on corpus-proportional k instead;
-    the cap is for corpora whose embedding space genuinely collapses
-    (boilerplate floods), where no k keeps clusters bounded.
+    failure mode; ``max_cluster_size`` is the guard, and its capped output
+    intentionally changes SHAPE to stay genuinely bounded (a pure
+    sub-splitting scheme cannot be: a flood of IDENTICAL vectors shares
+    any content-derived key, so one block stays quadratic):
+
+    1. quantization-IDENTICAL groups collapse to linear STAR pairs —
+       (min-id representative, member) with cos_micro = 10⁶ exactly. A
+       boilerplate flood of n copies costs n−1 pairs, not n²/2, and no
+       duplicate row is ever lost.
+    2. only the DISTINCT representatives enter the all-pairs near tier,
+       sub-split into ⌈distinct/cap⌉ blocks by content hash (distinct
+       contents spread uniformly, so blocks are truly bounded). A
+       near-but-not-identical pair straddling a block boundary, or one
+       whose non-representative member was collapsed in step 1, is the
+       deliberately-traded tail recall — its representative still pairs.
+
+    Off by default — the registry suite relies on corpus-proportional k
+    instead; the cap is for corpora whose embedding space genuinely
+    collapses, where no k keeps clusters bounded.
 
     ``qdf`` / ``assignments`` let a caller that already clustered (e.g. to
     report the assignment itself) share those frames instead of paying the
     quantization and the Lloyd iterations twice."""
+    if max_cluster_size is not None and max_cluster_size <= 0:
+        raise ValueError(f"max_cluster_size must be positive, got {max_cluster_size}")
     if qdf is None:
         qdf = quantized_vectors(df, vec_col, id_col)
     if assignments is None:
@@ -222,64 +233,89 @@ def semantic_dedup_pairs(
     )
     assigned = assignments.select(F.col(id_col), "cluster_id")
     side = qdf.join(assigned, id_col)
-    join_keys = ["cluster_id"]
-    if max_cluster_size is not None:
-        from pyspark.sql import Window
 
-        content = F.concat_ws(",", F.transform(F.col("qv"), lambda v: v.cast("string")))
-        sig = F.conv(F.substring(F.md5(content), 1, 8), 16, 10).cast("long")
-        nsub = F.greatest(
-            F.ceil(
-                F.count("*").over(Window.partitionBy("cluster_id"))
-                / F.lit(int(max_cluster_size))
-            ).cast("long"),
-            F.lit(1),
-        )
-        side = side.withColumn("__sub", F.pmod(sig, nsub))
-        join_keys = ["cluster_id", "__sub"]
-    a = side.select(
-        F.col(id_col).alias("id_a"),
-        F.col("qv").alias("qa"),
-        F.col("n2").alias("na"),
-        *join_keys,
-    )
-    b = side.select(
-        F.col(id_col).alias("id_b"),
-        F.col("qv").alias("qb"),
-        F.col("n2").alias("nb"),
-        *join_keys,
-    )
     t_sq_104 = int(threshold * threshold * 10_000)  # ⌊10⁴·t²⌋
     dot = F.aggregate(
         F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
-    return (
-        a.join(b, join_keys)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("dot", dot)
-        .filter(
-            (F.col("dot") > 0)
-            & (
-                F.lit(10_000) * F.col("dot") * F.col("dot")
-                >= F.lit(t_sq_104) * F.col("na") * F.col("nb")
+
+    def _near_pairs(sides: DataFrame, join_keys: list[str]) -> DataFrame:
+        a = sides.select(
+            F.col(id_col).alias("id_a"),
+            F.col("qv").alias("qa"),
+            F.col("n2").alias("na"),
+            *join_keys,
+        )
+        b = sides.select(
+            F.col(id_col).alias("id_b"),
+            F.col("qv").alias("qb"),
+            F.col("n2").alias("nb"),
+            *join_keys,
+        )
+        return (
+            a.join(b, join_keys)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("dot", dot)
+            .filter(
+                (F.col("dot") > 0)
+                & (
+                    F.lit(10_000) * F.col("dot") * F.col("dot")
+                    >= F.lit(t_sq_104) * F.col("na") * F.col("nb")
+                )
+            )
+            .select(
+                "id_a",
+                "id_b",
+                "cluster_id",
+                F.floor(
+                    F.col("dot")
+                    / F.sqrt((F.col("na") * F.col("nb")).cast("double"))
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                .cast("long")
+                .alias("cos_micro"),
             )
         )
-        .select(
-            "id_a",
-            "id_b",
-            "cluster_id",
-            F.floor(
-                F.col("dot")
-                / F.sqrt((F.col("na") * F.col("nb")).cast("double"))
-                * F.lit(1e6)
-                + F.lit(0.5)
-            )
-            .cast("long")
-            .alias("cos_micro"),
-        )
+
+    if max_cluster_size is None:
+        return _near_pairs(side, ["cluster_id"])
+
+    # 1. collapse quantization-identical groups to star pairs (linear).
+    content = F.concat_ws(",", F.transform(F.col("qv"), lambda v: v.cast("string")))
+    side = side.withColumn("__content", content)
+    reps = side.groupBy("cluster_id", "__content").agg(
+        F.min(id_col).alias("__rep")
     )
+    with_rep = side.join(reps, ["cluster_id", "__content"])
+    star = with_rep.filter(F.col(id_col) != F.col("__rep")).select(
+        F.col("__rep").alias("id_a"),
+        F.col(id_col).alias("id_b"),
+        "cluster_id",
+        F.lit(1_000_000).cast("long").alias("cos_micro"),
+    )
+
+    # 2. near tier over distinct representatives only, blocked by content
+    # hash; block count from an aggregate + join (a window count would
+    # funnel the giant cluster through one buffering task — the hotspot
+    # this cap exists to relieve).
+    rep_side = with_rep.filter(F.col(id_col) == F.col("__rep"))
+    sizes = reps.groupBy("cluster_id").agg(
+        F.ceil(F.count("*") / F.lit(int(max_cluster_size)))
+        .cast("long")
+        .alias("__nsub")
+    )
+    sig = F.conv(F.substring(F.md5(F.col("__content")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    blocked = (
+        rep_side.join(sizes, "cluster_id")
+        .withColumn("__sub", F.pmod(sig, F.greatest(F.col("__nsub"), F.lit(1))))
+        .drop("__nsub", "__content", "__rep")
+    )
+    return star.unionByName(_near_pairs(blocked, ["cluster_id", "__sub"]))
 
 
 def train_ivf_codebook(

@@ -1907,5 +1907,28 @@ def test_semantic_dedup_cluster_cap_bounds_blocks_keeps_twins(spark):
         ).collect()
     }
     assert capped <= uncapped
-    assert (100, 101) in capped  # identical twins share the signature block
+    # the identical group {0, 35, 100, 101} collapses to star pairs from
+    # its min-id representative — every duplicate row is still flagged
+    assert {(0, 35), (0, 100), (0, 101)} <= capped
     assert len(capped) < len(uncapped)  # the pair space actually shrank
+
+
+def test_semantic_dedup_cap_bounds_identical_flood_linearly(spark):
+    """The cap's own target scenario: a flood of IDENTICAL vectors in one
+    cluster. A pure sub-split can't bound it (identical contents share any
+    content key); the star-pair collapse makes it LINEAR — n copies emit
+    exactly n−1 (representative, member) pairs at cos_micro = 10⁶."""
+    from steam_data_engineer_project_spark.operators.clustering import (
+        semantic_dedup_pairs,
+    )
+
+    n = 200
+    rows = [(i, [3.0, -1.0, 2.0, 0.5]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = semantic_dedup_pairs(
+        df, "embedding", "vec_id", k=1, n_iter=1, threshold=0.95,
+        max_cluster_size=50,
+    ).collect()
+    assert len(got) == n - 1  # linear, NOT n(n-1)/2 = 19900
+    assert all(r.id_a == 0 and r.cos_micro == 1_000_000 for r in got)
+    assert {r.id_b for r in got} == set(range(1, n))
