@@ -58,7 +58,11 @@ from .similarity import quantize_int8
 
 
 def _assign_to_centroids(
-    base: DataFrame, id_col: str, cur: list[tuple[int, list[int], int]]
+    base: DataFrame,
+    id_col: str,
+    cur: list[tuple[int, list[int], int]],
+    *,
+    broadcast_state: bool = False,
 ) -> DataFrame:
     """One narrow assignment pass: (id, qv, cluster_id, dist) for the
     centroid state ``cur`` (sorted by cid). The exact squared distance
@@ -71,34 +75,63 @@ def _assign_to_centroids(
     Arrow-batched mapInPandas: the N×k distance matrix is int64 numpy
     matrix algebra — the vectorized-linear-algebra case Pandas UDFs exist
     for (interpreted per-element HOF expressions are ~1000× slower once
-    k·dim reaches 10⁴ ops per row)."""
+    k·dim reaches 10⁴ ops per row).
+
+    ``broadcast_state=True`` ships the k×dim centroid state as a Spark
+    broadcast variable instead of inside the task closure: with
+    corpus-proportional k (k = N/500) on 10⁹ vectors the closure would
+    carry multi-GB of centroid lists PER TASK, while a broadcast is sent
+    once per executor over the torrent protocol. Results are bit-identical
+    (differential-tested); the closure path stays the default because at
+    registry/test scale the broadcast round-trip is pure overhead."""
     # lazy: keep numpy/pandas out of the operators package's import path —
     # every other operators module is pure pyspark.
     import numpy as np
-    import pandas as pd
 
     cids = np.array([cid for cid, _, _ in cur], dtype=np.int64)
     S = np.array([s for _, s, _ in cur], dtype=np.int64)
     C = np.array([c for _, _, c in cur], dtype=np.int64)
-    ss = np.einsum("kd,kd->k", S, S)
-    c2i = C * C
-    c2f = c2i.astype(np.float64)
+    # int64-overflow guard: each D term is bounded by dim·(2·127·c_max)²
+    # (|c·xᵢ − sᵢ| ≤ 2·127·c). numpy wraps silently past 2^63 — corrupt
+    # assignments with no signal — so exceeding the documented ~2×10⁸-vector
+    # bound must raise loudly here instead.
+    dim = S.shape[1] if S.ndim == 2 else 0
+    c_max = int(C.max()) if len(C) else 0
+    if dim * (2 * 127 * c_max) ** 2 >= 2**63:
+        raise ValueError(
+            f"kmeans int64 distance bound exceeded (dim={dim}, max cluster "
+            f"count={c_max}): shard the corpus (by language/source) before "
+            "clustering — see the module docstring's ~2e8-vector bound"
+        )
+    state = (cids, S, C, np.einsum("kd,kd->k", S, S), C * C)
+    if broadcast_state:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        bstate = spark.sparkContext.broadcast(state)
+        state = None  # keep the k×dim arrays OUT of the task closure
+    else:
+        bstate = None
 
     def fn(batches):
+        import pandas as pd
+
+        b_cids, b_S, b_C, b_ss, b_c2i = bstate.value if bstate is not None else state
+        b_c2f = b_c2i.astype(np.float64)
         for pdf in batches:
             if not len(pdf):
                 continue
             X = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["qv"]])
-            dots = X @ S.T
+            dots = X @ b_S.T
             xx = np.einsum("nd,nd->n", X, X)
-            D = c2i[None, :] * xx[:, None] - 2 * C[None, :] * dots + ss[None, :]
-            dist = D.astype(np.float64) / c2f[None, :]
+            D = b_c2i[None, :] * xx[:, None] - 2 * b_C[None, :] * dots + b_ss[None, :]
+            dist = D.astype(np.float64) / b_c2f[None, :]
             j = np.argmin(dist, axis=1)
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
                     "qv": pdf["qv"],
-                    "cluster_id": cids[j],
+                    "cluster_id": b_cids[j],
                     "dist": dist[np.arange(len(j)), j],
                 }
             )
@@ -124,6 +157,9 @@ def kmeans_int8(
     n_iter: int = 3,
     qdf: DataFrame | None = None,
     cache: bool = True,
+    seed: str = "id",
+    broadcast_state: bool = False,
+    persisted_out: list | None = None,
 ) -> DataFrame:
     """Fixed-iteration integer Lloyd k-means; returns one row per input id:
     (id, cluster_id, dist) where dist is the exact squared euclidean
@@ -139,23 +175,70 @@ def kmeans_int8(
     The persist is plan-keyed: repeated invocations over the same source
     reuse ONE cache entry (Spark's cache manager dedups by canonicalized
     plan), so bench loops don't accumulate copies; a long session
-    clustering MANY distinct corpora should pass ``cache=False`` or
-    ``spark.catalog.clearCache()`` between corpora."""
+    clustering MANY distinct corpora should pass ``cache=False``,
+    collect the handle via ``persisted_out`` (a list the persisted frame
+    is appended to, for ``.unpersist()`` once the result is materialized),
+    or ``spark.catalog.clearCache()`` between corpora.
+
+    ``seed`` picks the k seed rows — both engine-exact and oracle-replayable:
+
+    - ``"id"`` (default): the k smallest ids (a true ORDER BY id LIMIT k
+      selection, so sparse or non-zero-based id spaces seed exactly k
+      clusters — on dense 0-based ids this equals the historical
+      ``id < k`` filter the oracles mirror).
+    - ``"hash"``: the k smallest md5(id) values — id-order-independent,
+      for corpora whose low ids are correlated (a single-domain crawl
+      prefix), where id-order seeding puts every centroid in one semantic
+      cluster and the fixed iteration count can't recover.
+
+    Seeding fewer than k clusters (corpus smaller than k) warns and
+    proceeds with the available rows; an empty corpus raises.
+
+    ``broadcast_state`` forwards to :func:`_assign_to_centroids` — ship
+    the per-iteration centroid state as a broadcast variable instead of
+    in the task closure (the 10⁹-vector path; results identical)."""
     base = qdf if qdf is not None else quantized_vectors(df, vec_col, id_col)
     if cache:
         base = base.persist()
+        if persisted_out is not None:
+            persisted_out.append(base)
 
-    # init: k smallest ids, state (cid, s=qv, c=1) — bounded k-row collect.
+    # init: k seed rows, state (cid, s=qv, c=1) — bounded k-row collect.
+    if seed == "hash":
+        order = [
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("s:"), F.col(id_col).cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.col(id_col),
+        ]
+    elif seed == "id":
+        order = [F.col(id_col)]
+    else:
+        raise ValueError(f"seed must be 'id' or 'hash', got {seed!r}")
     cents = sorted(
         (int(r[0]), [int(v) for v in r[1]], 1)
-        for r in base.filter(F.col(id_col) < k).collect()
+        for r in base.orderBy(*order).limit(k).select(id_col, "qv").collect()
     )
     if not cents:
-        raise ValueError(f"no rows with {id_col} < {k} to seed centroids")
+        raise ValueError(f"empty corpus: no rows to seed {k} centroids from")
+    if len(cents) < k:
+        import warnings
+
+        warnings.warn(
+            f"seeded only {len(cents)} of {k} requested centroids "
+            f"(corpus has fewer rows); proceeding with {len(cents)}",
+            stacklevel=2,
+        )
 
     dim = len(cents[0][1])
     for _ in range(n_iter):
-        assigned = _assign_to_centroids(base, id_col, cents)
+        assigned = _assign_to_centroids(
+            base, id_col, cents, broadcast_state=broadcast_state
+        )
         rows = (
             assigned.groupBy("cluster_id")
             .agg(
@@ -174,7 +257,9 @@ def kmeans_int8(
             (cid, *(new.get(cid, (s, c)))) for cid, s, c in cents
         )
 
-    return _assign_to_centroids(base, id_col, cents).drop("qv")
+    return _assign_to_centroids(
+        base, id_col, cents, broadcast_state=broadcast_state
+    ).drop("qv")
 
 
 def semantic_dedup_pairs(

@@ -344,6 +344,27 @@ def _source_fingerprint(sf_dir: str, *names: str) -> str:
     return hashlib.md5("|".join(parts).encode()).hexdigest()[:10]
 
 
+def _builder_fingerprint(build) -> str:
+    """8-hex content fingerprint of a fixture builder: bytecode + names +
+    varnames + constants, with NESTED code objects (lambdas/comprehensions)
+    digested recursively by the same rule — their ``repr`` embeds a memory
+    address, which would change every process (cache never hits) while a
+    co_names-only edit would NOT change co_code/co_consts (stale hit)."""
+    import hashlib as _hl
+
+    def _code_digest(code) -> bytes:
+        h = _hl.md5(code.co_code)
+        h.update("\x00".join(code.co_names).encode())
+        h.update("\x00".join(code.co_varnames).encode())
+        for c in code.co_consts:
+            h.update(
+                _code_digest(c) if hasattr(c, "co_code") else repr(c).encode()
+            )
+        return h.hexdigest().encode()
+
+    return _code_digest(build.__code__)[:8].decode()
+
+
 def _cached_fixture(sf_dir: str, kind: str, sources: tuple, build) -> str:
     """Build-once fixture (event JSONL, raw CSV, …) derived deterministically
     from source tables: cached per (kind, source fingerprint) under
@@ -356,16 +377,16 @@ def _cached_fixture(sf_dir: str, kind: str, sources: tuple, build) -> str:
     file mtimes, so fixtures whose semantics ride on mtime order (the
     windowed slices) survive the publish step intact.
 
-    The cache key also folds in a fingerprint of the BUILDER's bytecode and
-    constants — editing ``build`` (a slice count, a schema column) must
-    miss the cache, or the edited query would silently run against the
-    pre-edit fixture until the 24 h reaper happened to collect it."""
-    import hashlib as _hl
-
-    code = build.__code__
-    build_ver = _hl.md5(
-        code.co_code + repr(code.co_consts).encode()
-    ).hexdigest()[:8]
+    The cache key also folds in a fingerprint of the BUILDER's bytecode,
+    names, and constants — editing ``build`` (a slice count, a schema
+    column, even a ``.text(...)``→``.json(...)`` swap that only changes
+    co_names) must miss the cache, or the edited query would silently run
+    against the pre-edit fixture until the 24 h reaper happened to collect
+    it. Nested code objects (lambdas/comprehensions inside the builder)
+    are digested recursively by CONTENT — ``repr`` of a code object embeds
+    a memory address, which would bust the cache every process and
+    silently accumulate fixture dirs."""
+    build_ver = _builder_fingerprint(build)
     base = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch"
     )

@@ -1932,3 +1932,166 @@ def test_semantic_dedup_cap_bounds_identical_flood_linearly(spark):
     assert len(got) == n - 1  # linear, NOT n(n-1)/2 = 19900
     assert all(r.id_a == 0 and r.cos_micro == 1_000_000 for r in got)
     assert {r.id_b for r in got} == set(range(1, n))
+
+
+def test_kmeans_broadcast_state_matches_closure_path(spark):
+    """broadcast_state=True (centroid state shipped as a Spark broadcast
+    variable, the 10⁹-vector path) is bit-identical to the default closure
+    path — same assignments, same exact distances."""
+    from steam_data_engineer_project_spark.operators.clustering import (
+        kmeans_int8,
+    )
+
+    rows = [
+        (i, [((i * 31 + j * 17) % 13 - 6) * 1.0 for j in range(8)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    base = {
+        r.vec_id: (r.cluster_id, r.dist)
+        for r in kmeans_int8(df, "embedding", "vec_id", k=4, n_iter=3).collect()
+    }
+    bcast = {
+        r.vec_id: (r.cluster_id, r.dist)
+        for r in kmeans_int8(
+            df, "embedding", "vec_id", k=4, n_iter=3, broadcast_state=True
+        ).collect()
+    }
+    assert base == bcast
+
+
+def test_kmeans_hash_seed_spreads_correlated_id_prefix(spark):
+    """A sorted-by-domain corpus (ids 0..7 all from ONE semantic cluster —
+    the single-domain crawl-prefix failure mode) degenerates under id-order
+    seeding: all 8 seeds land in one blob and the fixed iteration count
+    can't spread them. seed='hash' picks the k smallest md5(id) values —
+    id-order-independent — and must recover ≥5 of the 8 planted groups
+    (8 hash-uniform seeds over 8 groups expect ~5.2 distinct; the md5
+    order is fixed, so the count is deterministic, not flaky) while
+    staying engine-exact and oracle-replayable."""
+    from steam_data_engineer_project_spark.operators.clustering import (
+        kmeans_int8,
+    )
+
+    # 8 orthogonal directions, 24 vectors each; ids are SORTED BY GROUP so
+    # ids 0..23 (and so the first 8) all belong to group 0.
+    rows = []
+    for g in range(8):
+        for m in range(24):
+            v = [0.0] * 8
+            v[g] = 10.0
+            v[(g + 1) % 8] = 0.5 + 0.01 * m  # in-group jitter
+            rows.append((g * 24 + m, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def n_groups_recovered(seed):
+        got = {
+            r.vec_id: r.cluster_id
+            for r in kmeans_int8(
+                df, "embedding", "vec_id", k=8, n_iter=3, seed=seed
+            ).collect()
+        }
+        # a group is "recovered" when all its members share one cluster
+        # that no other group uses
+        by_group = [
+            {got[g * 24 + m] for m in range(24)} for g in range(8)
+        ]
+        pure = [c for c in by_group if len(c) == 1]
+        owners = [next(iter(c)) for c in pure]
+        return sum(1 for o in owners if owners.count(o) == 1)
+
+    assert n_groups_recovered("hash") >= 5
+    assert n_groups_recovered("hash") > n_groups_recovered("id")
+
+
+def test_kmeans_seeds_k_clusters_on_sparse_ids_and_warns_on_shortfall(spark):
+    """Sparse / non-zero-based id spaces must still seed exactly k clusters
+    (true k-smallest-ids selection, not an id<k filter that silently
+    under-seeds); a corpus smaller than k warns and proceeds."""
+    import warnings
+
+    from steam_data_engineer_project_spark.operators.clustering import (
+        kmeans_int8,
+    )
+
+    # ids start at 1000 — the old filter(id < k) would find ZERO seeds here
+    rows = [(1000 + i, [(-8.0 if i % 2 else 8.0) + 0.2 * (i % 3)] * 4) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = kmeans_int8(df, "embedding", "vec_id", k=2, n_iter=2).collect()
+    assert len({r.cluster_id for r in got}) == 2
+    assert {r.cluster_id for r in got} == {1000, 1001}  # seed ids ARE the cids
+
+    small = spark.createDataFrame(rows[:3], "vec_id long, embedding array<double>")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = kmeans_int8(small, "embedding", "vec_id", k=10, n_iter=1).collect()
+    assert len(out) == 3
+    assert any("seeded only 3 of 10" in str(x.message) for x in w)
+
+
+def test_kmeans_overflow_guard_raises_past_int64_bound(spark):
+    """Past the documented ~2e8-vector bound the int64 distance matrix
+    would WRAP silently in numpy — the guard must raise instead (wrong
+    assignments with no signal is the one unacceptable failure mode)."""
+    import pytest as _pytest
+
+    from steam_data_engineer_project_spark.operators.clustering import (
+        _assign_to_centroids,
+        quantized_vectors,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1.0] * 64)], "vec_id long, embedding array<double>"
+    )
+    base = quantized_vectors(df, "embedding", "vec_id")
+    huge_count = 2**30  # dim·(2·127·c)² ≥ 2⁶³ at dim=64
+    with _pytest.raises(ValueError, match="distance bound exceeded"):
+        _assign_to_centroids(base, "vec_id", [(0, [127] * 64, huge_count)])
+
+
+def test_kmeans_persisted_out_exposes_releasable_handle(spark):
+    """persisted_out hands the caller the persisted quantized frame so a
+    long session clustering many corpora can release the cache instead of
+    accumulating plan-keyed entries."""
+    from steam_data_engineer_project_spark.operators.clustering import (
+        kmeans_int8,
+    )
+
+    rows = [(i, [float(i % 5)] * 4 ) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    handles = []
+    out = kmeans_int8(
+        df, "embedding", "vec_id", k=2, n_iter=1, persisted_out=handles
+    )
+    out.count()
+    assert len(handles) == 1 and handles[0].is_cached
+    handles[0].unpersist(blocking=True)
+    assert not handles[0].is_cached
+
+
+def test_builder_fingerprint_tracks_names_and_nested_code():
+    """The fixture cache key must move when a builder edit only changes
+    co_names (e.g. .text(...)→.json(...)) and must stay STABLE for nested
+    lambdas (repr of a code object embeds a memory address — two
+    equal-content lambdas defined apart must digest identically)."""
+    from steam_data_engineer_project_spark.queries import _builder_fingerprint
+
+    def b_text(d):
+        return open(d).read()
+
+    def b_json(d):
+        return open(d).readline()  # same shapes, different co_names
+
+    assert _builder_fingerprint(b_text) != _builder_fingerprint(b_json)
+
+    def with_lambda_1(d):
+        return sorted([d], key=lambda x: x + "1")
+
+    def with_lambda_2(d):
+        return sorted([d], key=lambda x: x + "1")
+
+    def with_lambda_3(d):
+        return sorted([d], key=lambda x: x + "2")
+
+    assert _builder_fingerprint(with_lambda_1) == _builder_fingerprint(with_lambda_2)
+    assert _builder_fingerprint(with_lambda_1) != _builder_fingerprint(with_lambda_3)
