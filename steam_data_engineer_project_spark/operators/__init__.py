@@ -21,7 +21,12 @@ from .sampling import (
     temperature_resample,
     token_budget_cap,
 )
-from .sketches import kmv_distinct_estimate
+from .sketches import (
+    kmv_distinct_estimate,
+    kmv_estimate_from_sketch,
+    kmv_merge,
+    kmv_sketch,
+)
 from .chunking import chunk_documents, pack_sequences, whitespace_token_count
 from .sessionize import sessionize
 from .skew import salted_aggregate, salted_join
@@ -51,6 +56,9 @@ __all__ = [
     "incremental_dedup_verdicts",
     "kmeans_int8",
     "kmv_distinct_estimate",
+    "kmv_estimate_from_sketch",
+    "kmv_merge",
+    "kmv_sketch",
     "semantic_dedup_pairs",
     "temperature_allocations",
     "temperature_resample",

@@ -75,3 +75,90 @@ def kmv_distinct_estimate(
             F.col("m").cast("long").alias("sketch_size"),
         )
     )
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Materialize the per-group KMV SKETCH itself — (group, kmv_h) rows,
+    the ≤ k smallest distinct 52-bit value hashes per group — the form a
+    pipeline STORES (one tiny table per corpus shard / day) so cardinalities
+    can later be combined WITHOUT rescanning the data. Same hash family and
+    window shape as :func:`kmv_distinct_estimate`; the sketch keeps hashes
+    only (the estimate never needs values), which is what makes two
+    sketches of the same value collapse under the merge's DISTINCT."""
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("v:"), F.col(value_col).cast("string"))), 1, 13
+        ),
+        16,
+        10,
+    ).cast("long")
+    d = (
+        df.select(group_col, value_col)
+        .where(F.col(value_col).isNotNull())
+        .distinct()
+        .select(group_col, hv.alias("kmv_h"))
+        .distinct()
+    )
+    w = Window.partitionBy(group_col).orderBy("kmv_h")
+    return (
+        d.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(group_col, "kmv_h")
+    )
+
+
+def kmv_merge(
+    sketches: list[DataFrame],
+    group_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Merge stored KMV sketches: union the hash sets, drop duplicates, and
+    re-take each group's k smallest — the mergeability that is the sketch's
+    whole selling point (a distributed COUNT DISTINCT that composes across
+    shards/days with k-row-per-group traffic, never a rescan). The merged
+    sketch of A ∪ B is IDENTICAL to the sketch built directly on A ∪ B
+    (min-k of a union = min-k of the union of min-k's), so estimates agree
+    exactly — pinned by the equivalence test. All ``sketches`` must share
+    the same k (a larger-k sketch can always be downsampled by this same
+    function; merging a SMALLER-k sketch would under-estimate silently, so
+    pass the k the smallest sketch was built with)."""
+    if not sketches:
+        raise ValueError("kmv_merge needs at least one sketch")
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    w = Window.partitionBy(group_col).orderBy("kmv_h")
+    return (
+        u.distinct()
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(group_col, "kmv_h")
+    )
+
+
+def kmv_estimate_from_sketch(
+    sketch: DataFrame,
+    group_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """(group, est_distinct, sketch_size) from a stored/merged sketch —
+    the same all-integer (k−1)·2⁵² DIV h_k estimator as
+    :func:`kmv_distinct_estimate`, exact count for groups whose sketch
+    never filled (size < k)."""
+    est = F.when(F.col("m") < k, F.col("m")).otherwise(
+        F.expr(f"CAST({k - 1} AS BIGINT) * CAST({_KMV_DOMAIN} AS BIGINT) DIV hk")
+    )
+    return (
+        sketch.groupBy(group_col)
+        .agg(F.count("*").alias("m"), F.max("kmv_h").alias("hk"))
+        .select(
+            group_col,
+            est.cast("long").alias("est_distinct"),
+            F.col("m").cast("long").alias("sketch_size"),
+        )
+    )

@@ -2095,3 +2095,49 @@ def test_builder_fingerprint_tracks_names_and_nested_code():
 
     assert _builder_fingerprint(with_lambda_1) == _builder_fingerprint(with_lambda_2)
     assert _builder_fingerprint(with_lambda_1) != _builder_fingerprint(with_lambda_3)
+
+
+def test_kmv_merge_equals_direct_sketch_on_the_union(spark):
+    """Mergeability — the sketch's selling point: sketch two disjoint
+    shards separately, merge (union hash sets, re-take k smallest), and
+    the merged sketch AND its estimate are identical to sketching the
+    union directly. Overlapping shards collapse shared values via the
+    merge's DISTINCT (same value ⇒ same hash)."""
+    from steam_data_engineer_project_spark.operators.sketches import (
+        kmv_estimate_from_sketch,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    rows = [("g1", f"v{i}") for i in range(300)] + [
+        ("g2", f"v{i}") for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "g string, v string")
+    # overlapping halves: [0, 200) and [150, 300) — shared values must
+    # not double-count
+    a = df.where("CAST(substring(v, 2) AS INT) < 200")
+    b = df.where("CAST(substring(v, 2) AS INT) >= 150")
+    k = 32
+    merged = kmv_merge(
+        [kmv_sketch(a, "g", "v", k=k), kmv_sketch(b, "g", "v", k=k)], "g", k=k
+    )
+    direct = kmv_sketch(df, "g", "v", k=k)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    em = {r.g: (r.est_distinct, r.sketch_size)
+          for r in kmv_estimate_from_sketch(merged, "g", k=k).collect()}
+    ed = {r.g: (r.est_distinct, r.sketch_size)
+          for r in kmv_estimate_from_sketch(direct, "g", k=k).collect()}
+    assert em == ed
+    # g2 never fills the sketch: exact count; g1 estimates near 300
+    assert em["g2"] == (20, 20)
+    assert 150 <= em["g1"][0] <= 600 and em["g1"][1] == k
+    # and the sketch-path estimate agrees with the one-shot operator
+    from steam_data_engineer_project_spark.operators.sketches import (
+        kmv_distinct_estimate,
+    )
+
+    one_shot = {r.g: (r.est_distinct, r.sketch_size)
+                for r in kmv_distinct_estimate(df, "g", "v", k=k).collect()}
+    assert one_shot == em
