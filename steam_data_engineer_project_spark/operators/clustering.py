@@ -160,6 +160,7 @@ def kmeans_int8(
     seed: str = "id",
     broadcast_state: bool = False,
     persisted_out: list | None = None,
+    state_out: list | None = None,
 ) -> DataFrame:
     """Fixed-iteration integer Lloyd k-means; returns one row per input id:
     (id, cluster_id, dist) where dist is the exact squared euclidean
@@ -196,7 +197,11 @@ def kmeans_int8(
 
     ``broadcast_state`` forwards to :func:`_assign_to_centroids` — ship
     the per-iteration centroid state as a broadcast variable instead of
-    in the task closure (the 10⁹-vector path; results identical)."""
+    in the task closure (the 10⁹-vector path; results identical).
+
+    ``state_out`` (a list) receives the FINAL (cid, s, c) centroid state —
+    the frozen model an incremental pipeline assigns LATER batches against
+    (:func:`incremental_semantic_verdicts`) without re-clustering."""
     base = qdf if qdf is not None else quantized_vectors(df, vec_col, id_col)
     if cache:
         base = base.persist()
@@ -257,6 +262,8 @@ def kmeans_int8(
             (cid, *(new.get(cid, (s, c)))) for cid, s, c in cents
         )
 
+    if state_out is not None:
+        state_out.extend(cents)
     return _assign_to_centroids(
         base, id_col, cents, broadcast_state=broadcast_state
     ).drop("qv")
@@ -403,6 +410,32 @@ def semantic_dedup_pairs(
     return star.unionByName(_near_pairs(blocked, ["cluster_id", "__sub"]))
 
 
+def unit_micro_vectors(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    """(id, m): each vector L2-normalized then quantized to integer
+    micro-units — m_i = ⌊(v_i / max(‖v‖, 1e-30))·10⁶ + 0.5⌋. Every step is
+    a single exactly-rounded IEEE op over an ORDERED fold (the norm is a
+    left fold over the array, mirrored by DuckDB's ``list_reduce``), so
+    the integers are bit-identical on any engine — which is what lets the
+    codebook built from their sums be oracle-hashed."""
+    norm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col),
+            F.lit(0.0),
+            lambda a, v: a + v.cast("double") * v.cast("double"),
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col),
+            lambda v: F.floor(
+                v.cast("double") / F.greatest(norm, F.lit(1e-30)) * F.lit(1e6)
+                + F.lit(0.5)
+            ).cast("long"),
+        ).alias("m"),
+    )
+
+
 def train_ivf_codebook(
     df: DataFrame,
     vec_col: str,
@@ -412,44 +445,264 @@ def train_ivf_codebook(
     n_iter: int = 3,
 ) -> DataFrame:
     """Trained IVF codebook: cluster the corpus with :func:`kmeans_int8`,
-    then emit each cluster's elementwise MEAN of the L2-NORMALIZED float
-    vectors as (centroid_id, cv) — the input
-    operators/similarity.ivf_assignments accepts in place of its
-    first-ids stand-in. Normalizing before averaging matters: int8
-    quantization is per-vector scale-invariant, so the clustering is
-    direction-only (spherical), and the matching centroid is the mean
-    DIRECTION — averaging raw vectors lets long vectors dominate and
-    drags centroids off the cluster's direction (measured recall@10 0.7
-    vs 0.9+ with the normalized mean on the random fixture).
+    then emit each cluster's elementwise floor-MEAN of the L2-NORMALIZED,
+    micro-unit-quantized vectors as (centroid_id, cv array<long>) — the
+    input operators/similarity.ivf_assignments accepts in place of its
+    first-ids stand-in. Two deliberate choices:
 
-    One groupBy producing ≤ n_centroids rows; the per-dim F.avg columns
-    are map-side combinable. dim is probed from one row (a bounded
-    driver lookup, same class as loading the codebook itself)."""
+    - Normalize BEFORE averaging: int8 quantization is per-vector
+      scale-invariant, so the clustering is direction-only (spherical) and
+      the matching centroid is the mean DIRECTION — averaging raw vectors
+      lets long vectors dominate and drags centroids off the cluster's
+      direction (measured recall@10 0.7 vs 0.9+ with the normalized mean
+      on the random fixture).
+    - INTEGER micro-unit arithmetic end to end: per-component unit values
+      are floored to micro-units (:func:`unit_micro_vectors`, engine-exact),
+      summed per cluster as exact int64s (map-side combinable), and divided
+      by the member count with ONE floor at the end — so the codebook is
+      bit-identical on any engine and the trained path can be DuckDB
+      oracle-hashed, not just recall-floored. (An ``F.avg`` over doubles
+      has engine-defined summation order — unhashable.) Components stay
+      ≤ 10⁶ in magnitude, so downstream integer cosine norms fit int64 at
+      any cluster size.
+
+    One groupBy producing ≤ n_centroids rows; cosine is scale-invariant so
+    the floor-mean's 1e-6 granularity is noise. dim is probed from one row
+    (a bounded driver lookup, same class as loading the codebook itself)."""
     first = df.select(vec_col).first()
     if first is None:
         raise ValueError("cannot train a codebook on an empty corpus")
     dim = len(first[0])
     assigned = kmeans_int8(df, vec_col, id_col, k=n_centroids, n_iter=n_iter)
-    norm = F.sqrt(
-        F.aggregate(
-            F.col(vec_col),
-            F.lit(0.0),
-            lambda a, v: a + v.cast("double") * v.cast("double"),
-        )
-    )
-    unit = df.select(
-        F.col(id_col),
-        F.transform(
-            F.col(vec_col),
-            lambda v: v.cast("double") / F.greatest(norm, F.lit(1e-30)),
-        ).alias("__u"),
-    )
+    unit = unit_micro_vectors(df, vec_col, id_col)
     return (
         assigned.select(id_col, "cluster_id")
         .join(unit, id_col)
         .groupBy("cluster_id")
         .agg(
-            F.array(*[F.avg(F.col("__u")[i]) for i in range(dim)]).alias("cv")
+            F.array(
+                *[
+                    F.floor(F.sum(F.col("m")[i]) / F.count("*")).cast("long")
+                    for i in range(dim)
+                ]
+            ).alias("cv")
         )
         .select(F.col("cluster_id").alias("centroid_id"), "cv")
+    )
+
+
+def _int_cosine_score(qa: str, qb: str, na: str, nb: str):
+    """Engine-exact cosine of two INTEGER vectors: exact int64 dot over a
+    zip_with fold, divided by the product of two correctly-rounded sqrts of
+    exact integer norms — every step identically rounded on every engine."""
+    dot = F.aggregate(
+        F.zip_with(F.col(qa), F.col(qb), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return dot / (
+        F.sqrt(F.col(na).cast("double")) * F.sqrt(F.col(nb).cast("double"))
+    )
+
+
+def ivf_topk_trained(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_id: int,
+    *,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_iter: int = 3,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF ANN top-k over a TRAINED codebook, all-integer and oracle-exact:
+
+    1. train the codebook (:func:`train_ivf_codebook` — integer k-means,
+       micro-unit centroids);
+    2. assign every int8-quantized vector to its nearest centroid by exact
+       integer cosine (broadcast codebook join + max-struct argmax, ties →
+       smallest centroid id — one narrow pass, no wide shuffle);
+    3. probe the ``n_probe`` centroids nearest the query (the ``query_id``
+       row, int8-quantized from the same scan);
+    4. exact-score only vectors assigned to probed centroids; report
+       ``cos_micro`` = ⌊cosine·10⁶ + 0.5⌋ (exact integer across engines).
+
+    Returns (id, centroid_id, cos_micro) ordered by (cos_micro desc, id),
+    limit k. At scale steps 2's output is the inverted file (write
+    partitioned by centroid_id) and step 4 dynamic-partition-prunes it —
+    identical shape to similarity.ivf_cosine_topk_pruned, which accepts
+    this codebook directly."""
+    qdf = quantized_vectors(df, vec_col, id_col).withColumn(
+        "nx",
+        F.aggregate("qv", F.lit(0).cast("long"), lambda a, v: a + v * v),
+    )
+    codebook = train_ivf_codebook(
+        df, vec_col, id_col, n_centroids=n_centroids, n_iter=n_iter
+    ).withColumn(
+        "nc",
+        F.aggregate("cv", F.lit(0).cast("long"), lambda a, v: a + v * v),
+    )
+    scored = qdf.crossJoin(F.broadcast(codebook)).select(
+        F.col(id_col),
+        "centroid_id",
+        _int_cosine_score("qv", "cv", "nx", "nc").alias("score"),
+    )
+    assigned = (
+        scored.groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(F.col("score"), (-F.col("centroid_id")).alias("neg"))
+            ).alias("mx")
+        )
+        .select(F.col(id_col), (-F.col("mx.neg")).alias("centroid_id"))
+    )
+    qrow = qdf.filter(F.col(id_col) == query_id).select(
+        F.col("qv").alias("qq"), F.col("nx").alias("nq")
+    )
+    probe = (
+        codebook.crossJoin(F.broadcast(qrow))
+        .select(
+            "centroid_id",
+            _int_cosine_score("qq", "cv", "nq", "nc").alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("centroid_id"))
+        .limit(n_probe)
+        .select("centroid_id")
+    )
+    return (
+        assigned.join(F.broadcast(probe), "centroid_id")
+        .join(qdf, id_col)
+        .crossJoin(F.broadcast(qrow))
+        .select(
+            F.col(id_col),
+            F.col("centroid_id").cast("long").alias("centroid_id"),
+            F.floor(
+                _int_cosine_score("qv", "qq", "nx", "nq") * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("cos_micro"),
+        )
+        .orderBy(F.desc("cos_micro"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def incremental_semantic_verdicts(
+    corpus: DataFrame,
+    incoming: DataFrame,
+    vec_col: str,
+    id_col: str,
+    *,
+    k: int = 8,
+    n_iter: int = 3,
+    threshold: float = 0.95,
+    corpus_qdf: DataFrame | None = None,
+    incoming_qdf: DataFrame | None = None,
+    broadcast_state: bool = False,
+) -> DataFrame:
+    """Incremental SemDeDup — the crawl-shaped variant: cluster the CORPUS
+    once, FREEZE the centroid state, then classify an incoming batch by
+
+    1. assigning each incoming vector to the frozen codebook (the same
+       narrow integer-distance pass as training — no re-clustering, the
+       corpus is never re-paired with itself);
+    2. comparing incoming vectors ONLY against corpus members of their
+       assigned (touched) clusters — an equi-join on cluster_id whose pair
+       space is |batch|·E[cluster], never corpus²;
+    3. the same exact-integer cosine-≥-threshold test as
+       :func:`semantic_dedup_pairs`.
+
+    Returns one row per incoming id: (id, cluster_id, verdict,
+    n_corpus_matches, max_cos_micro) with verdict ∈ ('semantic_dup', 'new')
+    — zero/NULL stats on the 'new' rows, so that path is verified too.
+
+    Scale shape: the batch side is small (a crawl increment), so its
+    assignment is one Arrow-batched map over the batch and the pair join
+    broadcasts the batch side; the corpus side is touched only through a
+    cluster_id semi-join — with the corpus assignment stored partitioned by
+    cluster_id (the inverted file), untouched clusters are never read.
+    Mirrors operators/dedup.incremental_dedup_verdicts (the text-shingle
+    sibling); engine-original, no reference counterpart (SURVEY.md §2.12).
+    """
+    if corpus_qdf is None:
+        corpus_qdf = quantized_vectors(corpus, vec_col, id_col)
+    if incoming_qdf is None:
+        incoming_qdf = quantized_vectors(incoming, vec_col, id_col)
+    state: list = []
+    corpus_assign = kmeans_int8(
+        None,
+        vec_col,
+        id_col,
+        k=k,
+        n_iter=n_iter,
+        qdf=corpus_qdf,
+        broadcast_state=broadcast_state,
+        state_out=state,
+    )
+    inc_assign = _assign_to_centroids(
+        incoming_qdf, id_col, state, broadcast_state=broadcast_state
+    )
+
+    n2 = F.aggregate("qv", F.lit(0).cast("long"), lambda a, v: a + v * v)
+    inc_side = inc_assign.select(
+        F.col(id_col).alias("inc_id"),
+        F.col("qv").alias("qa"),
+        n2.alias("na"),
+        "cluster_id",
+    )
+    corp_side = (
+        corpus_assign.join(corpus_qdf, id_col)
+        .select(
+            F.col(id_col).alias("corp_id"),
+            F.col("qv").alias("qb"),
+            n2.alias("nb"),
+            "cluster_id",
+        )
+    )
+    t_sq_104 = int(threshold * threshold * 10_000)  # ⌊10⁴·t²⌋
+    dot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    matches = (
+        F.broadcast(inc_side)
+        .join(corp_side, "cluster_id")
+        .withColumn("dot", dot)
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.lit(10_000) * F.col("dot") * F.col("dot")
+                >= F.lit(t_sq_104) * F.col("na") * F.col("nb")
+            )
+        )
+        .groupBy("inc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_corpus_matches"),
+            F.max(
+                F.floor(
+                    F.col("dot")
+                    / F.sqrt((F.col("na") * F.col("nb")).cast("double"))
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                ).cast("long")
+            ).alias("max_cos_micro"),
+        )
+    )
+    return (
+        inc_assign.select(F.col(id_col).alias("inc_id"), "cluster_id")
+        .join(matches, "inc_id", "left")
+        .select(
+            F.col("inc_id").alias(id_col),
+            "cluster_id",
+            F.when(F.col("n_corpus_matches") >= 1, F.lit("semantic_dup"))
+            .otherwise(F.lit("new"))
+            .alias("verdict"),
+            F.coalesce(
+                F.col("n_corpus_matches"), F.lit(0).cast("long")
+            ).alias("n_corpus_matches"),
+            "max_cos_micro",
+        )
     )

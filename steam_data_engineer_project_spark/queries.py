@@ -44,6 +44,7 @@ from .operators.dedup import (
 from .operators.components import connected_components
 from .operators.sketches import kmv_distinct_estimate
 from .operators.clustering import (
+    ivf_topk_trained,
     kmeans_int8,
     quantized_vectors,
     semantic_dedup_pairs,
@@ -1879,24 +1880,134 @@ FROM ({_semdedup_oracle()})
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-10: coarse-quantize every vector to its nearest of 16
-    deterministic centroids (the 16 smallest vec_ids — standing in for a
-    trained codebook loaded the same way), probe the 4 centroids nearest the
-    vec_id=0 query, exact-score only vectors assigned to probed centroids.
-    Assignment is a broadcast nested-loop + map-side-combinable struct-max
-    argmax; the probe is a broadcast semi-join (no collect), which at scale
-    dynamic-partition-prunes an inverted file partitioned by centroid_id."""
+    """IVF ANN top-10 suite, tagged by `part`:
+
+    - firstids: coarse-quantize every vector to its nearest of 16
+      deterministic centroids (the 16 smallest vec_ids — the codebook-free
+      stand-in), probe the 4 centroids nearest the vec_id=0 query,
+      exact-score only vectors assigned to probed centroids. Assignment is
+      a broadcast nested-loop + map-side-combinable struct-max argmax; the
+      probe is a broadcast semi-join (no collect), which at scale
+      dynamic-partition-prunes an inverted file partitioned by centroid_id.
+    - trained: the same IVF shape over a TRAINED codebook
+      (operators/clustering.train_ivf_codebook — integer k-means, then
+      per-cluster floor-means of micro-unit NORMALIZED vectors) with
+      all-integer scoring (clustering.ivf_topk_trained), so the trained
+      path is hash-verified end to end, not just recall-floored: the
+      oracle replays the 3 unrolled Lloyd iterations, the codebook means,
+      and the integer cosines bit-for-bit."""
     e = _spread(spark, sf_dir, "embeddings", "vec_id")  # HOF vector math is interpreted: spread the single-row-group scan
     q = [
         float(v)
         for v in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     ]
-    return ivf_cosine_topk(
+    first = ivf_cosine_topk(
         e, "embedding", "vec_id", q, k=10, n_centroids=16, n_probe=4
+    ).select(
+        F.lit("firstids").alias("part"),
+        "vec_id",
+        "centroid_id",
+        "cosine",
+        F.lit(None).cast("long").alias("cos_micro"),
     )
+    trained = ivf_topk_trained(
+        e, "embedding", "vec_id", 0, k=10, n_centroids=16, n_iter=3, n_probe=4
+    ).select(
+        F.lit("trained").alias("part"),
+        "vec_id",
+        "centroid_id",
+        F.lit(None).cast("double").alias("cosine"),
+        "cos_micro",
+    )
+    return first.unionByName(trained)
 
 
-ANN_IVF_ORACLE = """
+def _ann_ivf_trained_oracle_body(d: int = 64) -> str:
+    """DuckDB replay of the TRAINED-codebook IVF leg: int8 quantization,
+    the 3 unrolled Lloyd iterations (shared _kmeans_iter_sql machinery),
+    per-cluster floor-means of micro-unit normalized vectors (list_reduce
+    is a left fold, matching Spark's F.aggregate order exactly), then
+    all-integer cosine assignment → probe-4 → top-10."""
+    chain, final_a = _kmeans_iter_sql(d, 3)
+    r = f"range(1, {d + 1})"
+    return f"""
+WITH src AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+), q AS (
+  SELECT vec_id, {_Q8_EMB_SQL} AS qv FROM src
+), c0 AS (
+  SELECT vec_id AS cid, qv AS s, CAST(1 AS BIGINT) AS c
+  FROM q WHERE vec_id < 16
+), {chain}, fin AS (
+  SELECT vec_id, cluster_id FROM {final_a}
+), unitm AS (
+  SELECT vec_id,
+         list_transform(emb, x -> CAST(floor(
+           x / greatest(sqrt(list_reduce(list_transform(emb, y -> y * y),
+                                         (a, b) -> a + b)), 1e-30)
+           * 1000000.0 + 0.5) AS BIGINT)) AS m
+  FROM src
+), cb AS (
+  SELECT cid AS centroid_id, list(mv ORDER BY i) AS cv FROM (
+    SELECT fin.cluster_id AS cid, i,
+           CAST(FLOOR(CAST(SUM(u.m[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mv
+    FROM fin JOIN unitm u USING (vec_id), {r} t(i)
+    GROUP BY 1, 2)
+  GROUP BY cid
+), cbn AS (
+  SELECT centroid_id, cv,
+         CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) AS nc
+  FROM cb
+), dn AS (
+  SELECT vec_id, qv,
+         CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nx
+  FROM q
+), ascore AS (
+  SELECT d.vec_id, c.centroid_id,
+         CAST(list_sum(list_transform({r}, i -> d.qv[i] * c.cv[i])) AS BIGINT)
+           / (sqrt(CAST(d.nx AS DOUBLE)) * sqrt(CAST(c.nc AS DOUBLE))) AS score
+  FROM dn d, cbn c
+), assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
+    FROM ascore) WHERE rn = 1
+), qv0 AS (
+  SELECT qv AS qq, nx AS nq FROM dn WHERE vec_id = 0
+), probe AS (
+  SELECT centroid_id FROM (
+    SELECT c.centroid_id,
+           CAST(list_sum(list_transform({r}, i -> q0.qq[i] * c.cv[i])) AS BIGINT)
+             / (sqrt(CAST(q0.nq AS DOUBLE)) * sqrt(CAST(c.nc AS DOUBLE))) AS score
+    FROM cbn c, qv0 q0)
+  ORDER BY score DESC, centroid_id LIMIT 4
+)
+SELECT a.vec_id, CAST(a.centroid_id AS BIGINT) AS centroid_id,
+       CAST(floor(
+         CAST(list_sum(list_transform({r}, i -> d.qv[i] * q0.qq[i])) AS BIGINT)
+           / (sqrt(CAST(d.nx AS DOUBLE)) * sqrt(CAST(q0.nq AS DOUBLE)))
+           * 1000000.0 + 0.5) AS BIGINT) AS cos_micro
+FROM assigned a
+JOIN probe USING (centroid_id)
+JOIN dn d USING (vec_id), qv0 q0
+ORDER BY cos_micro DESC, a.vec_id LIMIT 10
+"""
+
+
+def _ann_ivf_oracle() -> str:
+    return f"""
+SELECT 'firstids' AS part, vec_id, centroid_id, cosine,
+       CAST(NULL AS BIGINT) AS cos_micro
+FROM ({ANN_IVF_FIRSTIDS_ORACLE})
+UNION ALL
+SELECT 'trained' AS part, vec_id, centroid_id,
+       CAST(NULL AS DOUBLE) AS cosine, cos_micro
+FROM ({_ann_ivf_trained_oracle_body()})
+"""
+
+
+ANN_IVF_FIRSTIDS_ORACLE = """
 WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < 16),
 q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 apairs AS (
@@ -2088,6 +2199,65 @@ def semdedup_cluster_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_leg.unionByName(size_leg).unionByName(pair_leg)
 
 
+#: DuckDB int8 quantization over a CTE column named ``emb`` — the SQL
+#: mirror of similarity.quantize_int8 (scale 127/max|x|, floor(x·s + 0.5)).
+_Q8_EMB_SQL = (
+    "list_transform(emb, x -> CAST(floor(x * (127.0 / "
+    "greatest(list_max(list_transform(emb, y -> abs(y))), 1e-30)) "
+    "+ 0.5) AS BIGINT))"
+)
+
+
+def _kmeans_assign_cte(n: int, cent: str, d: int, prev_q: str = "q") -> str:
+    """One unrolled Lloyd assignment CTE ``a{n}`` over quantized CTE
+    ``prev_q`` (vec_id, qv) and centroid-state CTE ``cent`` (cid, s, c) —
+    the all-integer distance with ties → smallest cid, mirroring
+    operators/clustering._assign_to_centroids."""
+    return f"""a{n} AS (
+  SELECT vec_id, qv, cid AS cluster_id, dist FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM (
+      SELECT q.vec_id, q.qv, c.cid,
+             CAST(list_sum(list_transform(range(1, {d + 1}),
+               i -> (c.c * q.qv[i] - c.s[i]) * (c.c * q.qv[i] - c.s[i])))
+               AS DOUBLE) / (c.c * c.c) AS dist
+      FROM {prev_q} q, {cent} c))
+  WHERE rn = 1
+)"""
+
+
+def _kmeans_update_cte(n: int, prev_a: str, prev_c: str, d: int) -> str:
+    """One unrolled Lloyd update: new state ``c{n}`` from assignment
+    ``prev_a``; an emptied cluster keeps its previous (s, c) via COALESCE."""
+    return f"""g{n} AS (
+  SELECT cid, list(sm ORDER BY i) AS s, MIN(cnt) AS c FROM (
+    SELECT cluster_id AS cid, i, CAST(SUM(qv[i]) AS BIGINT) AS sm,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM {prev_a}, range(1, {d + 1}) t(i)
+    GROUP BY 1, 2)
+  GROUP BY cid
+), c{n} AS (
+  SELECT p.cid, COALESCE(g.s, p.s) AS s, COALESCE(g.c, p.c) AS c
+  FROM {prev_c} p LEFT JOIN g{n} g USING (cid)
+)"""
+
+
+def _kmeans_iter_sql(
+    d: int, n_iter: int, prev_q: str = "q"
+) -> tuple[str, str]:
+    """The full unrolled Lloyd CTE chain (c0→a1→c1→…→a{n+1}) as a SQL
+    fragment, over pre-existing CTEs ``prev_q`` (vec_id, qv) and ``c0``
+    (cid, s, c). Returns (fragment, final_assignment_cte_name) — shared by
+    the semdedup oracle, the trained-IVF-codebook oracle, and the
+    incremental-semdedup oracle (which trains on a corpus-only CTE)."""
+    iters = []
+    for it in range(n_iter):
+        iters.append(_kmeans_assign_cte(it + 1, f"c{it}", d, prev_q))
+        iters.append(_kmeans_update_cte(it + 1, f"a{it + 1}", f"c{it}", d))
+    iters.append(_kmeans_assign_cte(n_iter + 1, f"c{n_iter}", d, prev_q))
+    return ", ".join(iters), f"a{n_iter + 1}"
+
+
 def _semdedup_oracle() -> str:
     """DuckDB replay of the semdedup suite: same planted fixture, same int8
     quantization, same all-integer Lloyd iterations (unrolled ×3 — c0→a1→
@@ -2102,43 +2272,8 @@ def _semdedup_oracle() -> str:
         f"CASE WHEN vec_id % 10 = 7 AND i = 0 THEN 0.25 ELSE 0.0 END) "
         f"ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END"
     )
-    q8 = (
-        "list_transform(emb, x -> CAST(floor(x * (127.0 / "
-        "greatest(list_max(list_transform(emb, y -> abs(y))), 1e-30)) "
-        "+ 0.5) AS BIGINT))"
-    )
-
-    def assign(n: int, cent: str, prev_q: str = "q") -> str:
-        return f"""a{n} AS (
-  SELECT vec_id, qv, cid AS cluster_id, dist FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-    FROM (
-      SELECT q.vec_id, q.qv, c.cid,
-             CAST(list_sum(list_transform(range(1, {d + 1}),
-               i -> (c.c * q.qv[i] - c.s[i]) * (c.c * q.qv[i] - c.s[i])))
-               AS DOUBLE) / (c.c * c.c) AS dist
-      FROM {prev_q} q, {cent} c))
-  WHERE rn = 1
-)"""
-
-    def update(n: int, prev_a: str, prev_c: str) -> str:
-        return f"""g{n} AS (
-  SELECT cid, list(sm ORDER BY i) AS s, MIN(cnt) AS c FROM (
-    SELECT cluster_id AS cid, i, CAST(SUM(qv[i]) AS BIGINT) AS sm,
-           CAST(COUNT(*) AS BIGINT) AS cnt
-    FROM {prev_a}, range(1, {d + 1}) t(i)
-    GROUP BY 1, 2)
-  GROUP BY cid
-), c{n} AS (
-  SELECT p.cid, COALESCE(g.s, p.s) AS s, COALESCE(g.c, p.c) AS c
-  FROM {prev_c} p LEFT JOIN g{n} g USING (cid)
-)"""
-
-    iters = []
-    for it in range(_SEM_ITER):
-        iters.append(assign(it + 1, f"c{it}"))
-        iters.append(update(it + 1, f"a{it + 1}", f"c{it}"))
-    final = assign(_SEM_ITER + 1, f"c{_SEM_ITER}")
+    q8 = _Q8_EMB_SQL
+    chain, final_a = _kmeans_iter_sql(d, _SEM_ITER)
     return f"""
 WITH src AS (
   SELECT vec_id, {emb} AS emb FROM embeddings
@@ -2148,8 +2283,8 @@ WITH src AS (
   SELECT vec_id AS cid, qv AS s, CAST(1 AS BIGINT) AS c
   FROM q WHERE vec_id < (
     SELECT {k} * CAST(CEIL(COUNT(*) / {_SEM_SEED_UNIT}.0) AS BIGINT) FROM q)
-), {", ".join(iters)}, {final}, fin AS (
-  SELECT vec_id, cluster_id, dist FROM a{_SEM_ITER + 1}
+), {chain}, fin AS (
+  SELECT vec_id, cluster_id, dist FROM {final_a}
 ), n2 AS (
   SELECT vec_id, qv,
          CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2
@@ -4864,7 +4999,7 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_corpus_lines": QuerySpec(dedup_corpus_lines, DEDUP_CORPUS_LINES_ORACLE, "dedup: corpus-level line boilerplate removal (C4-style)"),
     "ann_cosine_topk": QuerySpec(ann_cosine_topk, ANN_COSINE_ORACLE, "similarity: brute-force cosine top-k"),
     "ann_lsh_suite": QuerySpec(ann_lsh_suite, ANN_LSH_SUITE_ORACLE, "similarity: LSH-bucketed cosine top-k, in-plan + partition-pruned layout legs"),
-    "ann_ivf_topk": QuerySpec(ann_ivf_topk, ANN_IVF_ORACLE, "similarity: IVF coarse-quantized cosine top-k"),
+    "ann_ivf_topk": QuerySpec(ann_ivf_topk, _ann_ivf_oracle(), "similarity: IVF cosine top-k, first-ids + trained-codebook (hash-verified integer k-means) legs"),
     "ann_quantized_topk": QuerySpec(ann_quantized_topk, ANN_QUANTIZED_ORACLE, "similarity: int8-quantized cosine top-k (scale-cancelling)"),
     "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, _dedup_embedding_oracle(), "dedup: embedding near-dup pairs (LSH-bucketed) + integer k-means semantic-dedup legs"),
     "text_profile_docs": QuerySpec(text_profile_docs, _text_profile_oracle(), "text: quality scoring + language ID + fingerprint + BPE-ish token accounting"),

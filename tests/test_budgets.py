@@ -33,7 +33,7 @@ SF_DIR = os.environ.get(
 #: seconds; regenerate with `python tools/derive_time_budgets.py`
 TIME_BUDGET = {
     "ann_cosine_topk": 3.0,
-    "ann_ivf_topk": 3.0,
+    "ann_ivf_topk": 9.0,  # round 6: gained the trained-codebook leg (a full kmeans_int8 train + integer-cosine IVF, ~4s steady)
     "ann_lsh_suite": 3.0,
     "ann_quantized_topk": 3.0,
     "cdc_suite": 3.0,

@@ -311,7 +311,7 @@ def test_packing_costs_exactly_one_shuffle(spark):
 #: fixture and justify in the commit).
 EXCHANGE_BUDGET = {
     "ann_cosine_topk": 2,
-    "ann_ivf_topk": 4,
+    "ann_ivf_topk": 5,  # +1 trained-codebook leg: the integer-cosine assignment argmax agg (codebook+probe joins stay broadcast; kmeans iterations run eagerly outside this plan)
     "ann_lsh_suite": 2,
     "ann_quantized_topk": 2,
     "cdc_suite": 3,
