@@ -1,8 +1,11 @@
 from .components import canonical_per_component, connected_components, connected_components_star
 from .clustering import (
+    incremental_semantic_verdicts,
+    ivf_topk_trained,
     kmeans_int8,
     semantic_dedup_pairs,
     train_ivf_codebook,
+    unit_micro_vectors,
 )
 from .dedup import (
     cross_corpus_contamination,
@@ -54,6 +57,8 @@ __all__ = [
     "exact_dedup",
     "group_quantiles",
     "incremental_dedup_verdicts",
+    "incremental_semantic_verdicts",
+    "ivf_topk_trained",
     "kmeans_int8",
     "kmv_distinct_estimate",
     "kmv_estimate_from_sketch",
@@ -64,6 +69,7 @@ __all__ = [
     "temperature_resample",
     "token_budget_cap",
     "train_ivf_codebook",
+    "unit_micro_vectors",
     "minhash_signatures",
     "minhash_lsh_candidates",
     "ngram_jaccard_pairs",

@@ -44,6 +44,7 @@ from .operators.dedup import (
 from .operators.components import connected_components
 from .operators.sketches import kmv_distinct_estimate
 from .operators.clustering import (
+    incremental_semantic_verdicts,
     ivf_topk_trained,
     kmeans_int8,
     quantized_vectors,
@@ -2139,10 +2140,20 @@ def semdedup_cluster_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     - pair: within-cluster near-duplicate pairs at cosine ≥ 0.95
       (clustering.semantic_dedup_pairs, exact-integer threshold test) —
       the planted ≡6/≡7 decade twins must surface here.
+    - inc_dup / inc_new: the INCREMENTAL crawl-shaped variant
+      (clustering.incremental_semantic_verdicts): ids ≡5/≡7 (mod 10) play
+      an incoming batch, the rest the existing corpus — the corpus is
+      clustered once, its centroid state FROZEN, the batch assigned to it
+      (never re-clustering), and pairs drawn batch-vs-corpus within
+      touched clusters only. Planted truth: each incoming ≡7 twin has its
+      ≡6 sibling in the corpus → inc_dup with cos_micro ≈ 10⁶; the ≡5
+      rows are natural random vectors → inc_new with zero matches (the
+      'new' path is verified, not just absent).
 
-    At 100 TB the pair space is Σ|cluster|² instead of corpus² — that IS
-    the operator; the oracle replays the identical fixed-point arithmetic
-    in SQL with the three iterations unrolled.
+    At 100 TB the pair space is Σ|cluster|² (batch·E[cluster] for the
+    incremental legs) instead of corpus² — that IS the operator; the
+    oracle replays the identical fixed-point arithmetic in SQL with the
+    three iterations unrolled.
 
     Not registered directly: its legs ship inside `dedup_embedding_cosine`
     to stay within the driver's 50-entry recording cap
@@ -2196,7 +2207,41 @@ def semdedup_cluster_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cos_micro",
         F.lit(None).cast("double").alias("dist"),
     )
-    return assign_leg.unionByName(size_leg).unionByName(pair_leg)
+
+    # incremental legs: ≡5/≡7 (mod 10) = the incoming batch, rest = the
+    # existing corpus. Shares the persisted quantized base (both sides are
+    # filters over `qdf`), so the only new corpus-scale work is the frozen
+    # corpus clustering and the batch-vs-corpus pair join.
+    inc_cond = (F.col("vec_id") % 10).isin(5, 7)
+    corpus_q, inc_q = qdf.filter(~inc_cond), qdf.filter(inc_cond)
+    k_inc = _SEM_K * math.ceil(corpus_q.count() / _SEM_SEED_UNIT)
+    verdicts = incremental_semantic_verdicts(
+        None,
+        None,
+        "embedding",
+        "vec_id",
+        k=k_inc,
+        n_iter=_SEM_ITER,
+        threshold=_SEM_THRESHOLD,
+        corpus_qdf=corpus_q,
+        incoming_qdf=inc_q,
+    )
+    inc_leg = verdicts.select(
+        F.when(F.col("verdict") == "semantic_dup", F.lit("inc_dup"))
+        .otherwise(F.lit("inc_new"))
+        .alias("part"),
+        F.col("vec_id").alias("id_a"),
+        F.lit(None).cast("long").alias("id_b"),
+        "cluster_id",
+        F.col("n_corpus_matches").alias("n"),
+        F.col("max_cos_micro").alias("cos_micro"),
+        F.lit(None).cast("double").alias("dist"),
+    )
+    return (
+        assign_leg.unionByName(size_leg)
+        .unionByName(pair_leg)
+        .unionByName(inc_leg)
+    )
 
 
 #: DuckDB int8 quantization over a CTE column named ``emb`` — the SQL
@@ -2313,6 +2358,84 @@ SELECT 'pair', id_a, id_b, cluster_id, NULL,
        CAST(NULL AS DOUBLE)
 FROM rawpairs
 WHERE dot > 0 AND 10000 * dot * dot >= {t_sq} * na * nb
+UNION ALL
+SELECT part, id_a, id_b, cluster_id, n, cos_micro, dist
+FROM ({_semdedup_incremental_oracle_body()})
+"""
+
+
+def _semdedup_incremental_oracle_body() -> str:
+    """The incremental (inc_dup/inc_new) legs as a self-contained query:
+    re-derive the planted fixture, train the SAME unrolled Lloyd chain on
+    the CORPUS rows only (ids ≢5,7 mod 10 — seeded by a true k-smallest-id
+    row_number, since corpus ids aren't dense), assign the incoming rows
+    against the FROZEN final state (one extra assign CTE, no re-cluster),
+    and score batch-vs-corpus pairs within shared clusters only."""
+    d = _SEM_DIM
+    t_sq = int(_SEM_THRESHOLD * _SEM_THRESHOLD * 10_000)
+    emb = (
+        f"CASE WHEN vec_id % 10 IN (6, 7) THEN "
+        f"list_transform(range(0, {d}), i -> "
+        f"CAST(((vec_id // 10) * 31 + i * 17) % 13 - 6 AS DOUBLE) + "
+        f"CASE WHEN vec_id % 10 = 7 AND i = 0 THEN 0.25 ELSE 0.0 END) "
+        f"ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END"
+    )
+    chain, final_a = _kmeans_iter_sql(d, _SEM_ITER, prev_q="qc")
+    inc_assign = _kmeans_assign_cte("i", f"c{_SEM_ITER}", d, prev_q="qi")
+    return f"""
+WITH src AS (
+  SELECT vec_id, {emb} AS emb FROM embeddings
+), q AS (
+  SELECT vec_id, {_Q8_EMB_SQL} AS qv FROM src
+), qc AS (
+  SELECT * FROM q WHERE vec_id % 10 NOT IN (5, 7)
+), qi AS (
+  SELECT * FROM q WHERE vec_id % 10 IN (5, 7)
+), c0 AS (
+  SELECT cid, s, c FROM (
+    SELECT vec_id AS cid, qv AS s, CAST(1 AS BIGINT) AS c,
+           ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+    FROM qc)
+  WHERE rn <= (
+    SELECT {_SEM_K} * CAST(CEIL(COUNT(*) / {_SEM_SEED_UNIT}.0) AS BIGINT)
+    FROM qc)
+), {chain}, {inc_assign}, cfin AS (
+  SELECT vec_id, cluster_id FROM {final_a}
+), ifin AS (
+  SELECT vec_id, cluster_id FROM ai
+), n2c AS (
+  SELECT vec_id, qv,
+         CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2
+  FROM qc
+), n2i AS (
+  SELECT vec_id, qv,
+         CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2
+  FROM qi
+), cside AS (
+  SELECT cfin.cluster_id, n2c.vec_id, n2c.qv, n2c.n2
+  FROM cfin JOIN n2c USING (vec_id)
+), iside AS (
+  SELECT ifin.cluster_id, n2i.vec_id, n2i.qv, n2i.n2
+  FROM ifin JOIN n2i USING (vec_id)
+), rawp AS (
+  SELECT i.vec_id AS inc_id, i.cluster_id,
+         CAST(list_sum(list_transform(range(1, {d + 1}),
+           t -> i.qv[t] * c.qv[t])) AS BIGINT) AS dot,
+         i.n2 AS na, c.n2 AS nb
+  FROM iside i JOIN cside c ON i.cluster_id = c.cluster_id
+), m AS (
+  SELECT inc_id, CAST(COUNT(*) AS BIGINT) AS nm,
+         MAX(CAST(floor(dot / sqrt(CAST(na * nb AS DOUBLE)) * 1e6 + 0.5)
+             AS BIGINT)) AS mc
+  FROM rawp
+  WHERE dot > 0 AND 10000 * dot * dot >= {t_sq} * na * nb
+  GROUP BY inc_id
+)
+SELECT CASE WHEN m.nm >= 1 THEN 'inc_dup' ELSE 'inc_new' END AS part,
+       i.vec_id AS id_a, CAST(NULL AS BIGINT) AS id_b, i.cluster_id,
+       COALESCE(m.nm, CAST(0 AS BIGINT)) AS n, m.mc AS cos_micro,
+       CAST(NULL AS DOUBLE) AS dist
+FROM ifin i LEFT JOIN m ON m.inc_id = i.vec_id
 """
 
 

@@ -2141,3 +2141,42 @@ def test_kmv_merge_equals_direct_sketch_on_the_union(spark):
     one_shot = {r.g: (r.est_distinct, r.sketch_size)
                 for r in kmv_distinct_estimate(df, "g", "v", k=k).collect()}
     assert one_shot == em
+
+
+def test_incremental_semantic_verdicts_classifies_batch_vs_corpus(spark):
+    """The crawl-shaped SemDeDup: the corpus is clustered ONCE, the batch
+    is assigned to the frozen centroid state, and pairs are drawn
+    batch-vs-corpus only. A near-twin of a corpus vector → semantic_dup
+    with cos_micro ≈ 10⁶; an orthogonal newcomer → new with zero matches
+    (the 'new' path verified, not just absent)."""
+    from steam_data_engineer_project_spark.operators.clustering import (
+        incremental_semantic_verdicts,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (0, [5.0, 0.0, 0.0, 0.0]),
+            (1, [0.0, 5.0, 0.0, 0.0]),
+            (2, [3.0, 3.0, 3.0, 3.0]),
+            (3, [0.0, 0.0, 5.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    incoming = spark.createDataFrame(
+        [
+            (10, [3.0, 3.0, 3.0, 3.01]),   # twin of corpus 2
+            (11, [0.0, 0.0, 0.0, 7.0]),    # novel direction
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r.vec_id: r
+        for r in incremental_semantic_verdicts(
+            corpus, incoming, "embedding", "vec_id", k=2, n_iter=2,
+            threshold=0.95,
+        ).collect()
+    }
+    assert got[10].verdict == "semantic_dup"
+    assert got[10].n_corpus_matches >= 1 and got[10].max_cos_micro >= 990_000
+    assert got[11].verdict == "new"
+    assert got[11].n_corpus_matches == 0 and got[11].max_cos_micro is None

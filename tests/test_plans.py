@@ -323,7 +323,7 @@ EXCHANGE_BUDGET = {
     "dedup_cluster_canonical": 2,
     "dedup_corpus_lines": 5,
     "dedup_cross_corpus": 28,  # two corpus-vs-corpus jobs: contamination + incremental verdicts (each an inverted-index build per side + pair agg) + the exact-tier distinct/join
-    "dedup_embedding_cosine": 6,  # +4 semdedup legs: pair self-join + size agg over the persisted quantized base (assignment itself is shuffle-free)
+    "dedup_embedding_cosine": 6,  # +4 semdedup legs: pair self-join + size agg over the persisted quantized base (assignment itself is shuffle-free); round-6 incremental legs fit free — the batch side broadcasts and the frozen-state kmeans aggs run eagerly outside this plan
     "dedup_exact_docs": 8,  # +6 kmv leg: bigram distinct + WindowGroupLimit-pruned top-k + exact countDistinct comparison
     "dedup_minhash_lsh_docs": 11,
     "dedup_ngram_jaccard_docs": 9,

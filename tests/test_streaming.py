@@ -803,3 +803,86 @@ def test_streaming_incremental_dedup_matches_batch(spark):
         assert streamed[1][0] == "exact_dup"
         assert streamed[3][0] == "near_dup"
         assert streamed[2][0] == "new" and streamed[4][0] == "new"
+
+
+def test_streaming_incremental_semantic_dedup_matches_batch(spark):
+    """The embedding sibling of the text test above: incoming VECTORS
+    stream in and each micro-batch is classified against the static
+    corpus's FROZEN k-means state inside foreachBatch
+    (operators/clustering.incremental_semantic_verdicts). Each vector's
+    verdict depends only on (vector, corpus) — the corpus clustering is
+    deterministic and batch-independent — so the streamed union of
+    per-batch verdicts must equal the one-shot classification of all
+    batches at once. That equivalence is what makes the operator safe to
+    run continuously on a crawl without ever re-clustering the corpus."""
+    from steam_data_engineer_project_spark.operators.clustering import (
+        incremental_semantic_verdicts,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (100, [5.0, 0.0, 0.0, 0.0]),
+            (101, [0.0, 5.0, 0.0, 0.0]),
+            (102, [3.0, 3.0, 3.0, 3.0]),
+            (103, [0.0, 0.0, 5.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    batches = [
+        [
+            (1, [3.0, 3.0, 3.0, 3.01]),   # twin of corpus 102
+            (2, [0.0, 0.0, 0.0, 7.0]),    # novel
+        ],
+        [
+            (3, [5.0, 0.01, 0.0, 0.0]),   # twin of corpus 100
+            (4, [-4.0, 4.0, 0.0, 0.0]),   # novel
+        ],
+    ]
+    kw = dict(k=2, n_iter=2, threshold=0.95)
+    with tempfile.TemporaryDirectory() as td:
+        in_dir = os.path.join(td, "incoming")
+        out_dir = os.path.join(td, "verdicts")
+        ckpt = os.path.join(td, "ckpt")
+        os.makedirs(in_dir)
+
+        def classify(batch_df, batch_id):
+            out = incremental_semantic_verdicts(
+                corpus, batch_df, "embedding", "vec_id", **kw
+            )
+            out.write.mode("append").parquet(out_dir)
+
+        for i, rows in enumerate(batches):
+            _write_events(
+                in_dir,
+                f"b{i}.jsonl",
+                [{"vec_id": v, "embedding": e} for v, e in rows],
+            )
+            (
+                spark.readStream.schema("vec_id long, embedding array<double>")
+                .option("maxFilesPerTrigger", "1")
+                .json(in_dir)
+                .writeStream.foreachBatch(classify)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination(120)
+            )
+
+        streamed = {
+            r.vec_id: (r.verdict, r.n_corpus_matches, r.max_cos_micro)
+            for r in spark.read.parquet(out_dir).collect()
+        }
+        incoming_all = spark.createDataFrame(
+            [r for b in batches for r in b],
+            "vec_id long, embedding array<double>",
+        )
+        batch = {
+            r.vec_id: (r.verdict, r.n_corpus_matches, r.max_cos_micro)
+            for r in incremental_semantic_verdicts(
+                corpus, incoming_all, "embedding", "vec_id", **kw
+            ).collect()
+        }
+        assert streamed == batch
+        assert streamed[1][0] == "semantic_dup"
+        assert streamed[3][0] == "semantic_dup"
+        assert streamed[2][0] == "new" and streamed[4][0] == "new"

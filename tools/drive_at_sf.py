@@ -221,25 +221,31 @@ def semdedup_numpy_oracle(con):
     S = qv[seed_mask][order].copy()
     C = np.ones(len(cids), dtype=np.int64)
 
-    def assign(S, C):
-        dots = qv @ S.T
-        xx = np.einsum("nd,nd->n", qv, qv)
+    def assign(X, S, C):
+        dots = X @ S.T
+        xx = np.einsum("nd,nd->n", X, X)
         ss = np.einsum("kd,kd->k", S, S)
         D = (C * C)[None, :] * xx[:, None] - 2 * C[None, :] * dots + ss[None, :]
         dist = D.astype(np.float64) / (C * C).astype(np.float64)[None, :]
         j = np.argmin(dist, axis=1)  # first min = smallest cid (cids sorted)
-        return j, dist[np.arange(n), j]
+        return j, dist[np.arange(len(X)), j]
 
-    for _ in range(_SEM_ITER):
-        j, _d = assign(S, C)
-        newS = np.zeros_like(S)
-        newC = np.zeros_like(C)
-        np.add.at(newS, j, qv)
-        np.add.at(newC, j, 1)
-        emptied = newC == 0  # emptied cluster keeps previous state
-        S = np.where(emptied[:, None], S, newS)
-        C = np.where(emptied, C, newC)
-    j, dist = assign(S, C)
+    def lloyd(X, S, C):
+        """_SEM_ITER Lloyd updates then the final assignment — identical
+        rules to the main chain (emptied cluster keeps previous state)."""
+        for _ in range(_SEM_ITER):
+            j, _d = assign(X, S, C)
+            newS = np.zeros_like(S)
+            newC = np.zeros_like(C)
+            np.add.at(newS, j, X)
+            np.add.at(newC, j, 1)
+            emptied = newC == 0  # emptied cluster keeps previous state
+            S = np.where(emptied[:, None], S, newS)
+            C = np.where(emptied, C, newC)
+        j, dist = assign(X, S, C)
+        return j, dist, S, C
+
+    j, dist, _S, _C = lloyd(qv, S, C)
     cluster = cids[j]
 
     legs = [
@@ -327,6 +333,62 @@ def semdedup_numpy_oracle(con):
                 }
             )
         )
+
+    # incremental legs (mirror of queries._semdedup_incremental_oracle_body):
+    # corpus = ids ≢ 5,7 (mod 10), incoming = the rest; Lloyd on the corpus
+    # only (seeded by its k smallest ids), incoming assigned to the FROZEN
+    # final state, pairs batch-vs-corpus within shared clusters.
+    cmask = ~np.isin(ids % 10, (5, 7))
+    imask = ~cmask
+    k2 = _SEM_K * math.ceil(int(cmask.sum()) / _SEM_SEED_UNIT)
+    seed_ids = np.sort(ids[cmask])[:k2]
+    smask = np.isin(ids, seed_ids)
+    cids2 = ids[smask]
+    order2 = np.argsort(cids2)
+    cids2 = cids2[order2]
+    jc, _dc, S2, C2 = lloyd(
+        qv[cmask],
+        qv[smask][order2].copy(),
+        np.ones(len(cids2), dtype=np.int64),
+    )
+    ji, _di = assign(qv[imask], S2, C2)
+    ccl, icl = cids2[jc], cids2[ji]
+    inc_ids_arr, qi, qc = ids[imask], qv[imask], qv[cmask]
+    n2i = np.einsum("nd,nd->n", qi, qi)
+    n2c = np.einsum("nd,nd->n", qc, qc)
+    nm = np.zeros(len(inc_ids_arr), dtype=np.int64)
+    mc = np.full(len(inc_ids_arr), np.nan)
+    for c in np.unique(icl):
+        im = np.flatnonzero(icl == c)
+        cm = np.flatnonzero(ccl == c)
+        if len(cm) == 0:
+            continue
+        dmat = qi[im] @ qc[cm].T
+        keep = (dmat > 0) & (
+            10_000 * dmat * dmat >= t_sq * n2i[im][:, None] * n2c[cm][None, :]
+        )
+        cnt = keep.sum(axis=1)
+        nm[im] += cnt
+        if keep.any():
+            na = (n2i[im][:, None] * n2c[cm][None, :]).astype(np.float64)
+            cosm = np.floor(dmat.astype(np.float64) / np.sqrt(na) * 1e6 + 0.5)
+            cosm = np.where(keep, cosm, -np.inf)
+            has = cnt > 0
+            mc[im[has]] = cosm.max(axis=1)[has]
+    legs.append(
+        pd.DataFrame(
+            {
+                "part": np.where(nm > 0, "inc_dup", "inc_new"),
+                "id_a": inc_ids_arr,
+                "id_b": np.nan,
+                "cosine": np.nan,
+                "cluster_id": icl,
+                "n": nm.astype(np.int64),
+                "cos_micro": mc,
+                "dist": np.nan,
+            }
+        )
+    )
     return pd.concat(legs, ignore_index=True)
 
 
