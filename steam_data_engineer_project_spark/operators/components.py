@@ -112,10 +112,24 @@ def connected_components(
     )
     if pre_contract:
         e0 = _partition_local_contract(e0)
+    # Truncate BEFORE symmetrizing: the union's two branches would otherwise
+    # each re-execute the whole upstream pair pipeline (the edges are
+    # usually an un-materialized dedup plan) — measured as a full second
+    # ngram-pair pass in the e2e corpus pipeline.
+    e0 = e0.localCheckpoint()
     sym = e0.union(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
     sym = (
         sym.filter(F.col("a") != F.col("b")).distinct().localCheckpoint()
     )
+    # The rounds below are O(diameter) JOBS whose cost on a small graph is
+    # pure scheduling (32-partition shuffles over a few hundred edges). The
+    # checkpoint just materialized sym, so counting it is metadata-cheap;
+    # shrink tiny graphs to a handful of partitions and let AQE keep the
+    # reduce sides matched. Big graphs keep their parallelism untouched.
+    n_edges = sym.count()
+    parts = max(1, min(sym.rdd.getNumPartitions(), n_edges // 50_000 + 1))
+    if parts < sym.rdd.getNumPartitions():
+        sym = sym.coalesce(parts)
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()

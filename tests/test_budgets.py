@@ -42,6 +42,7 @@ TIME_BUDGET = {
     "dbt_fact_reviews": 3.0,
     "dbt_game_quality_metrics": 3.0,
     "dbt_quality_report": 3.0,
+    "corpus_pipeline_e2e": 30.0,  # round 6: end-to-end composition — roughly the SUM of its stage operators' own budgets (contamination + ngram pairs + components + quality/quantile + split/mix/pack), serialized by the eager cache materialization
     "dedup_cluster_canonical": 4.4,
     "dedup_corpus_lines": 3.0,
     "dedup_cross_corpus": 6.0,  # round 5: gained the incremental-verdicts leg (a second corpus-vs-corpus job + exact tier)
@@ -56,12 +57,10 @@ TIME_BUDGET = {
     "fx_price_suite": 3.0,
     "fx_text_suite": 3.0,
     "fx_time_suite": 3.0,
-    "get_or_create_dim": 3.0,
-    "join_membership_suite": 3.0,
+    "join_membership_suite": 4.0,  # round 6: absorbed the outer-merge and get-or-create legs
     "kafka_frame_roundtrip": 3.0,
     "merge_strategies": 3.0,
     "mm_pipeline": 3.0,
-    "outer_union_merge": 3.0,
     "q1_pricing_summary": 3.0,
     "quality_metrics_fanout": 3.0,
     "quality_suite": 3.0,

@@ -2180,3 +2180,53 @@ def test_incremental_semantic_verdicts_classifies_batch_vs_corpus(spark):
     assert got[10].n_corpus_matches >= 1 and got[10].max_cos_micro >= 990_000
     assert got[11].verdict == "new"
     assert got[11].n_corpus_matches == 0 and got[11].max_cos_micro is None
+
+
+def test_corpus_pipeline_split_leaks_nothing_and_the_test_has_teeth(spark):
+    """The e2e pipeline's leakage guarantee, pinned non-vacuously:
+
+    1. its hashed `leakage` row is 0 — no near-dup pair straddles
+       train/valid when the split is keyed by the cluster canonical;
+    2. near-dup pairs DO survive into the split population (otherwise 0
+       would be vacuous);
+    3. counterfactual: splitting the same population by raw doc_id (the
+       naive key) WOULD straddle at least one pair — proving the zero is
+       the canonical key's doing, not an accident of the fixture."""
+    from steam_data_engineer_project_spark.operators.sampling import (
+        _hash_bucket,
+    )
+    from steam_data_engineer_project_spark.queries import corpus_pipeline_e2e
+
+    sf = "/root/testdata/sf0.01"
+    out = corpus_pipeline_e2e(spark, sf).persist()
+    leak = out.filter(F.col("part") == "leakage").collect()
+    assert len(leak) == 1 and leak[0].n == 0
+
+    # split rows carry (id=doc_id, n=split_key); rebuild the pair set the
+    # pipeline used and check both endpoints are present (teeth #2)
+    split_rows = {
+        r.id: (r.split, r.n) for r in out.filter(F.col("part") == "split").collect()
+    }
+    grouped = [
+        (i, k) for i, (s, k) in split_rows.items() if k != i
+    ]  # members of non-trivial clusters
+    assert grouped, "no near-dup cluster member reached the split — vacuous"
+
+    # counterfactual #3: bucket by RAW doc_id; some cluster must straddle
+    def side(key):
+        h = __import__("hashlib").md5(f"v:{key}".encode()).hexdigest()[:8]
+        return "train" if int(h, 16) % 10000 < 9000 else "valid"
+
+    by_cluster = {}
+    for i, (s, k) in split_rows.items():
+        by_cluster.setdefault(k, []).append((i, s))
+    # actual: every cluster on one side
+    for k, members in by_cluster.items():
+        assert len({s for _, s in members}) == 1
+    naive_straddle = any(
+        len({side(i) for i, _ in members}) > 1
+        for members in by_cluster.values()
+        if len(members) > 1
+    )
+    assert naive_straddle, "fixture has no cluster that the naive split would break — counterfactual vacuous"
+    out.unpersist()

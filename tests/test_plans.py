@@ -320,6 +320,7 @@ EXCHANGE_BUDGET = {
     "dbt_fact_reviews": 1,
     "dbt_game_quality_metrics": 6,
     "dbt_quality_report": 6,
+    "corpus_pipeline_e2e": 14,  # round 6: 9-stage composition — decontamination index builds (4), exact-dedup agg, ngram pair index+agg (3), component rounds ride localCheckpoints (not in this plan), quantile/split/mix/pack windows (one each), leakage join
     "dedup_cluster_canonical": 2,
     "dedup_corpus_lines": 5,
     "dedup_cross_corpus": 28,  # two corpus-vs-corpus jobs: contamination + incremental verdicts (each an inverted-index build per side + pair agg) + the exact-tier distinct/join
@@ -334,12 +335,10 @@ EXCHANGE_BUDGET = {
     "fx_price_suite": 1,
     "fx_text_suite": 4,
     "fx_time_suite": 0,
-    "get_or_create_dim": 2,
-    "join_membership_suite": 1,
+    "join_membership_suite": 5,  # round 6: absorbed outer_union_merge (2: the two pre-join aggs) and get_or_create_dim (2: distinct + two-phase global row number)
     "kafka_frame_roundtrip": 0,
     "merge_strategies": 7,
     "mm_pipeline": 2,
-    "outer_union_merge": 2,
     "q1_pricing_summary": 1,
     "quality_metrics_fanout": 2,
     "quality_suite": 5,
