@@ -7,7 +7,10 @@ from .clustering import (
     train_ivf_codebook,
     unit_micro_vectors,
 )
+from .bloom import bloom_bitset, bloom_merge, bloom_probe_count
 from .dedup import (
+    boilerplate_lines,
+    boilerplate_merge,
     cross_corpus_contamination,
     exact_dedup,
     incremental_dedup_verdicts,
@@ -28,7 +31,9 @@ from .sketches import (
     kmv_distinct_estimate,
     kmv_estimate_from_sketch,
     kmv_merge,
+    kmv_row_sample,
     kmv_sketch,
+    sampled_group_quantiles,
 )
 from .chunking import chunk_documents, pack_sequences, whitespace_token_count
 from .sessionize import sessionize
@@ -52,7 +57,12 @@ __all__ = [
     "deterministic_split",
     "range_join_bucketed",
     "stratified_sample_exact",
+    "bloom_bitset",
+    "bloom_merge",
+    "bloom_probe_count",
     "bm25_scores",
+    "boilerplate_lines",
+    "boilerplate_merge",
     "cross_corpus_contamination",
     "exact_dedup",
     "group_quantiles",
@@ -63,7 +73,9 @@ __all__ = [
     "kmv_distinct_estimate",
     "kmv_estimate_from_sketch",
     "kmv_merge",
+    "kmv_row_sample",
     "kmv_sketch",
+    "sampled_group_quantiles",
     "semantic_dedup_pairs",
     "temperature_allocations",
     "temperature_resample",

@@ -636,3 +636,104 @@ def incremental_dedup_verdicts(
             "max_jaccard",
         )
     )
+
+
+def boilerplate_lines(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    min_docs: int = 2,
+    top_m: int = 20,
+    n_shards: int = 16,
+    line_delim: str = "\n",
+) -> DataFrame:
+    """Sharded heavy-hitter LINES — the corpus-wide boilerplate REPORT that
+    :func:`corpus_line_dedup` acts on implicitly: (shard, line, n_docs,
+    rank) for each hash shard's top_m most-document-frequent lines with
+    n_docs ≥ min_docs, ranked by (n_docs DESC, line).
+
+    Why sharded: a single global top-m funnels every candidate through one
+    ordering task; sharding by content hash (md5(line) % n_shards) keeps
+    the per-task state at top_m and the output at ≤ n_shards·top_m rows
+    while staying fully deterministic — the same line lands in the same
+    shard on every engine, so shard reports MERGE across disjoint corpora
+    (per-line doc counts add; re-rank per shard — pinned by the
+    equivalence test in tests/test_operators.py).
+
+    Shape at scale: one map-side-combinable count on (line) — a line
+    pasted into a billion docs is a hot KEY but partial aggregation
+    reduces it to one row per map task before the exchange — then one
+    per-shard window whose WindowGroupLimit prunes to top_m per partition
+    BEFORE the second (n_shards-row) shuffle. Lines are counted by
+    DISTINCT containing doc, not occurrences, so a single doc repeating
+    its own header can't fake corpus-wide boilerplate."""
+    import re
+
+    from pyspark.sql import Window
+
+    lines = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.transform(
+                        F.split(F.col(text_col), re.escape(line_delim)),
+                        lambda x: F.trim(x),
+                    ),
+                    lambda x: x != "",
+                )
+            )
+        ).alias("line"),
+    )
+    counts = (
+        lines.groupBy("line")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .withColumn(
+            "shard",
+            (
+                F.conv(F.substring(F.md5(F.col("line")), 1, 13), 16, 10).cast(
+                    "long"
+                )
+                % n_shards
+            ),
+        )
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("n_docs").desc(), "line")
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_m)
+        .select("shard", "line", "n_docs", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def boilerplate_merge(
+    reports: list[DataFrame],
+    *,
+    top_m: int = 20,
+) -> DataFrame:
+    """Merge per-corpus :func:`boilerplate_lines` reports from DISJOINT
+    corpora: per-line doc counts add (a doc lives in exactly one corpus),
+    shard assignment is content-derived so identical lines collide, and
+    each shard re-ranks to its merged top_m. Exact — not heuristic —
+    whenever every input report was built with min_docs=1 (i.e. reports
+    carry ALL their lines); with a higher min_docs the merge is still a
+    valid lower bound per line (a line can only gain count), which is the
+    standard mergeable-heavy-hitter guarantee."""
+    from pyspark.sql import Window
+
+    if not reports:
+        raise ValueError("boilerplate_merge needs at least one report")
+    u = reports[0]
+    for r in reports[1:]:
+        u = u.unionByName(r)
+    merged = u.groupBy("shard", "line").agg(
+        F.sum("n_docs").cast("long").alias("n_docs")
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("n_docs").desc(), "line")
+    return (
+        merged.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_m)
+        .select("shard", "line", "n_docs", F.col("rank").cast("long").alias("rank"))
+    )

@@ -162,3 +162,83 @@ def kmv_estimate_from_sketch(
             F.col("m").cast("long").alias("sketch_size"),
         )
     )
+
+
+def kmv_row_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Per-group deterministic uniform row sample: the rows whose 52-bit
+    ``md5('r:' || key)`` hash is among the group's k smallest. The same
+    min-k-of-hashes shape as :func:`kmv_sketch`, applied to ROW KEYS
+    instead of values — so the sample is (a) uniform (md5 is a uniform
+    map), (b) engine-exact (any engine with md5 picks the identical rows),
+    and (c) MERGEABLE: min-k of a union = min-k of the union of min-k's,
+    so sampling shards independently and re-taking the k smallest yields
+    bit-identical rows to sampling the union directly — pinned by the
+    equivalence test.
+
+    One window shuffle on the group key; WindowGroupLimit prunes each
+    partition to k rows BEFORE the exchange, so the shuffle carries
+    ≤ k·partitions rows per group regardless of group size. Keeps all
+    input columns plus the hash (``__kmv_rh``) for downstream re-merging.
+    """
+    rh = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("r:"), F.col(key_col).cast("string"))), 1, 13
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy(group_col).orderBy("__kmv_rh", key_col)
+    return (
+        df.withColumn("__kmv_rh", rh)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def sampled_group_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    key_col: str,
+    quantiles: list[float],
+    k: int = 256,
+) -> DataFrame:
+    """APPROXIMATE per-group quantiles — exact PERCENTILE_DISC rank math
+    (the same ⌈q·n⌉ integer selection as textstats.group_quantiles) over
+    a :func:`kmv_row_sample` instead of the full group. Returns
+    (group, q_ppm, q_value, q_key, sample_n): the selected value is an
+    actual sampled document's, and sample_n < k marks groups that were
+    computed exactly (the whole group fit the sample).
+
+    Why this and not Spark's ``approx_percentile``: Greenwald-Khanna's
+    summary depends on arrival order, so its answer is engine-private and
+    cannot be oracle-verified or reproduced across engines. The sampled
+    quantile's error is instead a SAMPLING bound — the rank of the
+    sample's q-quantile deviates by O(1/√k) in quantile space (~±6% of
+    rank at k=256, shrinking as 1/√k) — while staying bit-deterministic:
+    same corpus, same k ⇒ same answer on every engine.
+
+    At 100 TB this replaces a full per-group sort shuffle with the
+    pruned k-row-per-group exchange of the sample, and stored samples
+    merge across shards/days (union, re-take min-k) without rescanning —
+    the property exact quantiles fundamentally lack."""
+    from .textstats import group_quantiles
+
+    s = kmv_row_sample(
+        df.select(group_col, value_col, key_col), group_col, key_col, k
+    )
+    n = s.groupBy(group_col).agg(F.count("*").cast("long").alias("sample_n"))
+    q = group_quantiles(
+        s.select(group_col, value_col, key_col),
+        group_col,
+        value_col,
+        key_col,
+        quantiles,
+    )
+    return q.join(F.broadcast(n), group_col)

@@ -32,17 +32,20 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .operators.bloom import bloom_bitset, bloom_probe_count
 from .operators.dedup import (
+    boilerplate_lines,
     corpus_line_dedup,
     cross_corpus_contamination,
     exact_dedup,
     incremental_dedup_verdicts,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
+    shingle_table,
     simhash_fingerprints,
 )
 from .operators.components import connected_components
-from .operators.sketches import kmv_distinct_estimate
+from .operators.sketches import kmv_distinct_estimate, sampled_group_quantiles
 from .operators.clustering import (
     incremental_semantic_verdicts,
     ivf_topk_trained,
@@ -2649,12 +2652,38 @@ def text_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("n_c"),
         *_null_rs,
     )
+    # quantile_kmv: the same distribution probes over a k=64 deterministic
+    # min-hash row sample (operators/sketches.sampled_group_quantiles) —
+    # the MERGEABLE form whose per-group exchange is pruned to k rows at
+    # 100 TB where the exact window above must sort every group member.
+    # n_c carries sample_n (= 64 where sampling engaged, < 64 exact).
+    qk = sampled_group_quantiles(
+        d.select(
+            "doc_id",
+            "lang",
+            F.size(_norm_tokens()).cast("long").alias("n_tokens"),
+        ),
+        "lang",
+        "n_tokens",
+        "doc_id",
+        TEXT_PROFILE_QUANTILES,
+        k=64,
+    ).select(
+        F.lit("quantile_kmv").alias("part"),
+        F.col("q_key").alias("doc_id"),
+        F.col("lang").alias("label"),
+        F.col("q_ppm").cast("long").alias("n_a"),
+        F.col("q_value").alias("n_b"),
+        F.col("sample_n").alias("n_c"),
+        *_null_rs,
+    )
     return (
         q.unionByName(lg)
         .unionByName(fp)
         .unionByName(bpe)
         .unionByName(bm)
         .unionByName(qt)
+        .unionByName(qk)
     )
 
 
@@ -2752,6 +2781,33 @@ FROM (
   )
   SELECT r.lang, CAST(q.q_ppm AS BIGINT) AS q_ppm, r.n AS q_value,
          r.doc_id AS q_key
+  FROM r JOIN (VALUES (500000), (900000), (990000)) q(q_ppm)
+    ON r.rn = CAST(FLOOR((q.q_ppm * r.cnt + 999999) / 1000000) AS BIGINT)
+)
+UNION ALL
+SELECT 'quantile_kmv', q_key, lang, q_ppm, q_value,
+       sample_n, NULL, NULL, NULL, NULL, NULL
+FROM (
+  -- operators/sketches.sampled_group_quantiles replay: per-lang k=64
+  -- min-md5-hash row sample, then the identical PERCENTILE_DISC rank math.
+  WITH tok AS (
+    SELECT doc_id, lang,
+           CAST(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS BIGINT) AS n,
+           ('0x' || substring(md5('r:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT AS rh
+    FROM documents
+  ), samp AS (
+    SELECT doc_id, lang, n FROM (
+      SELECT doc_id, lang, n,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY rh, doc_id) AS srn
+      FROM tok) WHERE srn <= 64
+  ), r AS (
+    SELECT doc_id, lang, n,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n, doc_id) AS rn,
+           COUNT(*) OVER (PARTITION BY lang) AS cnt
+    FROM samp
+  )
+  SELECT r.lang, CAST(q.q_ppm AS BIGINT) AS q_ppm, r.n AS q_value,
+         r.doc_id AS q_key, CAST(r.cnt AS BIGINT) AS sample_n
   FROM r JOIN (VALUES (500000), (900000), (990000)) q(q_ppm)
     ON r.rn = CAST(FLOOR((q.q_ppm * r.cnt + 999999) / 1000000) AS BIGINT)
 )
@@ -2961,7 +3017,15 @@ def dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
       dups); incoming docs ≡3 (mod 10) ∧ ≡0 (mod 3) and corpus docs
       ≡6 (mod 10) ∧ ≡0 (mod 3) append a refresh phrase keyed doc_id % 4
       (near dups). One row per incoming doc — verdict ∈ ('exact_dup',
-      'near_dup', 'new'), with zero/NULL stats proving the 'new' path."""
+      'near_dup', 'new'), with zero/NULL stats proving the 'new' path.
+
+    - bloom: the broadcast-sized prefilter for the same decontamination
+      decision (operators/bloom): the eval corpus's shingles hashed into
+      a 2^22-bit Bloom filter, train docs probed map-side with NO train
+      shuffle; docs with ≥3 hitting shingles surface as candidates
+      (n_eval_matches = hit count, max_shared = probed count). The bit
+      math (md5-derived positions, 32-bit bit_or words) is replayed by
+      the oracle exactly, false positives included."""
     d = _docs(spark, sf_dir)
     is_eval = F.col("source").isin("src0", "src1")
     marker = F.concat(
@@ -3029,7 +3093,44 @@ def dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_shared",
         "max_jaccard",
     )
-    return contamination.unionByName(incremental)
+
+    # bloom: the BROADCAST-SIZED decontamination prefilter (operators/
+    # bloom) — hash the eval corpus's distinct shingles into a 2^22-bit
+    # Bloom filter (≤131072 32-bit words regardless of eval size), then
+    # probe every train doc's shingles map-side: a doc with ≥3 shingles
+    # hitting the filter is a decontamination CANDIDATE for the exact
+    # (contamination-leg) join to verify. False negatives are impossible
+    # (the safe-prefilter property); false positives are deterministic
+    # given (m, h, salt), so the oracle replays the bit math exactly.
+    # Planted truth: every doc_id%7==0 train doc carries the benchmark
+    # marker whose 5 interior shingles all live in the eval union, so it
+    # MUST surface with n_hits ≥ 5 (pinned in tests/test_operators.py).
+    ev_bits = bloom_bitset(
+        shingle_table(ev, "mtext", "doc_id", n=3).select("shingle"),
+        "shingle",
+        m_bits=1 << 22,
+        n_hashes=4,
+    )
+    bloom = (
+        bloom_probe_count(
+            shingle_table(train, "mtext", "doc_id", n=3),
+            "shingle",
+            "doc_id",
+            ev_bits,
+            m_bits=1 << 22,
+            n_hashes=4,
+        )
+        .filter(F.col("n_hits") >= 3)
+        .select(
+            F.lit("bloom").alias("part"),
+            F.col("doc_id").alias("train_id"),
+            F.lit("bloom_candidate").alias("verdict"),
+            F.col("n_hits").alias("n_eval_matches"),
+            F.col("n_probed").alias("max_shared"),
+            F.lit(None).cast("double").alias("max_jaccard"),
+        )
+    )
+    return contamination.unionByName(incremental).unionByName(bloom)
 
 
 DEDUP_CROSS_CORPUS_ORACLE = r"""
@@ -3165,16 +3266,65 @@ LEFT JOIN (
          MAX(jaccard) AS max_jaccard
   FROM ipairs GROUP BY inc_id
 ) nr ON nr.inc_id = inc.doc_id
+
+UNION ALL
+
+-- bloom leg: bit-exact replay of operators/bloom — eval shingles hashed
+-- into a 2^22-bit filter (32-bit bit_or words), train shingles probed;
+-- a shingle hits iff all 4 md5-derived positions are set.
+SELECT 'bloom' AS part, doc_id AS train_id,
+       CAST('bloom_candidate' AS VARCHAR) AS verdict,
+       CAST(n_hits AS BIGINT) AS n_eval_matches,
+       CAST(n_probed AS BIGINT) AS max_shared,
+       CAST(NULL AS DOUBLE) AS max_jaccard
+FROM (
+  WITH evs AS (
+    SELECT DISTINCT shingle FROM sh0 WHERE source IN ('src0','src1')
+  ), bbits AS (
+    SELECT pos // 32 AS word_idx,
+           bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bits FROM (
+      SELECT DISTINCT
+             ('0x' || substring(md5('bf' || CAST(j AS VARCHAR) || ':' || shingle), 1, 13))::BIGINT
+               % 4194304 AS pos
+      FROM evs, range(0, 4) h(j))
+    GROUP BY 1
+  ), trs AS (
+    SELECT DISTINCT doc_id, shingle FROM sh0 WHERE source NOT IN ('src0','src1')
+  ), bprobe AS (
+    SELECT doc_id, shingle,
+           ('0x' || substring(md5('bf' || CAST(j AS VARCHAR) || ':' || shingle), 1, 13))::BIGINT
+             % 4194304 AS pos
+    FROM trs, range(0, 4) h(j)
+  ), bhit AS (
+    SELECT doc_id, shingle,
+           MIN(CASE WHEN b.bits IS NOT NULL
+                     AND (b.bits & (1::BIGINT << CAST(pos % 32 AS INT))) != 0
+                    THEN 1 ELSE 0 END) AS hit
+    FROM bprobe LEFT JOIN bbits b ON b.word_idx = pos // 32
+    GROUP BY doc_id, shingle
+  )
+  SELECT doc_id, COUNT(*) AS n_probed, SUM(hit) AS n_hits
+  FROM bhit GROUP BY doc_id HAVING SUM(hit) >= 3
+)
 """
 
 
 def dedup_corpus_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-level line dedup (C4-style boilerplate removal). The corpus is
+    """Corpus-level line dedup suite, tagged by `part`. The corpus is
     single-line docs, so the query synthesizes known boilerplate: a global
-    newsletter banner on even docs and a per-source footer line — both exceed
-    max_freq=1 across the corpus and must be dropped, while each doc's own
-    text line survives (unless two docs are literal duplicates, which is
-    exactly the signal the operator exists for)."""
+    newsletter banner on even docs and a per-source footer line.
+
+    - doc: C4-style boilerplate REMOVAL (operators/dedup.corpus_line_dedup)
+      — both planted lines exceed max_freq=1 corpus-wide and must be
+      dropped, while each doc's own text line survives (unless two docs
+      are literal duplicates, which is exactly the operator's signal).
+      (part, id=doc_id, txt=clean_text, n_a=n_kept, n_b=n_dropped).
+
+    - boilerplate: the corpus-wide heavy-hitter REPORT the removal acts on
+      (operators/dedup.boilerplate_lines) — each md5 shard's top-20 lines
+      by distinct-document frequency (≥2 docs), the mergeable-across-
+      corpora form a fleet stores per shard/day.
+      (part, id=shard, txt=line, n_a=n_docs, n_b=rank)."""
     d = _docs(spark, sf_dir)
     mtext = F.concat_ws(
         "\n",
@@ -3182,9 +3332,24 @@ def dedup_corpus_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text"),
         F.concat(F.lit("footer for "), F.col("source")),
     )
-    return corpus_line_dedup(
-        d.select("doc_id", mtext.alias("mtext")), "mtext", "doc_id", max_freq=1
+    md = d.select("doc_id", mtext.alias("mtext"))
+    doc = corpus_line_dedup(md, "mtext", "doc_id", max_freq=1).select(
+        F.lit("doc").alias("part"),
+        F.col("doc_id").alias("id"),
+        F.col("clean_text").alias("txt"),
+        F.col("n_kept").alias("n_a"),
+        F.col("n_dropped").alias("n_b"),
     )
+    bp = boilerplate_lines(
+        md, "mtext", "doc_id", min_docs=2, top_m=20, n_shards=16
+    ).select(
+        F.lit("boilerplate").alias("part"),
+        F.col("shard").alias("id"),
+        F.col("line").alias("txt"),
+        F.col("n_docs").alias("n_a"),
+        F.col("rank").alias("n_b"),
+    )
+    return doc.unionByName(bp)
 
 
 DEDUP_CORPUS_LINES_ORACLE = r"""
@@ -3212,12 +3377,28 @@ WITH base AS (
 ), tot AS (
   SELECT doc_id, COUNT(*) AS n_total FROM lines GROUP BY doc_id
 )
-SELECT d.doc_id, COALESCE(a.clean_text, '') AS clean_text,
-       CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
-       CAST(COALESCE(t.n_total, 0) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_dropped
+SELECT 'doc' AS part, d.doc_id AS id, COALESCE(a.clean_text, '') AS txt,
+       CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_a,
+       CAST(COALESCE(t.n_total, 0) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_b
 FROM documents d
 LEFT JOIN tot t USING (doc_id)
 LEFT JOIN agg a USING (doc_id)
+
+UNION ALL
+
+-- boilerplate leg: distinct-doc line frequencies, md5-sharded top-20
+-- (operators/dedup.boilerplate_lines replay).
+SELECT 'boilerplate' AS part, shard AS id, line AS txt,
+       CAST(n_docs AS BIGINT) AS n_a, CAST(rank AS BIGINT) AS n_b
+FROM (
+  SELECT shard, line, n_docs,
+         ROW_NUMBER() OVER (PARTITION BY shard ORDER BY n_docs DESC, line) AS rank
+  FROM (
+    SELECT line, COUNT(*) AS n_docs,
+           ('0x' || substring(md5(line), 1, 13))::BIGINT % 16 AS shard
+    FROM (SELECT DISTINCT doc_id, line FROM lines)
+    GROUP BY line HAVING COUNT(*) >= 2)
+) WHERE rank <= 20
 """
 
 

@@ -2230,3 +2230,161 @@ def test_corpus_pipeline_split_leaks_nothing_and_the_test_has_teeth(spark):
     )
     assert naive_straddle, "fixture has no cluster that the naive split would break — counterfactual vacuous"
     out.unpersist()
+
+
+def test_bloom_no_false_negatives_and_merge_equals_direct(spark):
+    """The Bloom prefilter's two load-bearing properties: (1) a value that
+    was built into the filter can NEVER miss (false negatives impossible —
+    what makes it a safe decontamination prefilter), and (2) merging two
+    filters (per-word bit_or) is identical to building one filter over the
+    unioned value sets — the store-one-filter-per-benchmark-release form."""
+    from steam_data_engineer_project_spark.operators.bloom import (
+        bloom_bitset,
+        bloom_merge,
+        bloom_probe_count,
+    )
+
+    kw = dict(m_bits=1 << 14, n_hashes=4, salt="t")
+    a = spark.createDataFrame([(f"a{i}",) for i in range(150)], "v string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(150)], "v string")
+    union = a.unionByName(b)
+    merged = bloom_merge(bloom_bitset(a, "v", **kw), bloom_bitset(b, "v", **kw))
+    direct = bloom_bitset(union, "v", **kw)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    # every built value probes back as a hit — zero false negatives
+    probe = union.withColumn("id", F.monotonically_increasing_id())
+    res = bloom_probe_count(probe, "v", "id", direct, **kw)
+    assert res.filter("n_hits != 1 OR n_probed != 1").count() == 0
+
+
+def test_bloom_planted_contamination_always_surfaces(spark):
+    """Decontamination shape: every shingle of a doc QUOTING benchmark
+    material hits the benchmark-side filter, so the quoting doc's hit
+    count reaches the threshold regardless of false-positive luck — while
+    a disjoint-vocabulary doc's hits come only from (deterministic, here
+    zero at this load factor) false positives."""
+    from steam_data_engineer_project_spark.operators.bloom import (
+        bloom_bitset,
+        bloom_probe_count,
+    )
+    from steam_data_engineer_project_spark.operators.dedup import shingle_table
+
+    ev = spark.createDataFrame(
+        [(100, "benchmark prompt alpha beta gamma variant one")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "filler words benchmark prompt alpha beta gamma variant one"),
+            (2, "totally unrelated vocabulary nothing shared here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    kw = dict(m_bits=1 << 16, n_hashes=4)
+    bits = bloom_bitset(
+        shingle_table(ev, "text", "doc_id", n=3).select("shingle"), "shingle", **kw
+    )
+    res = {
+        r.doc_id: (r.n_probed, r.n_hits)
+        for r in bloom_probe_count(
+            shingle_table(train, "text", "doc_id", n=3),
+            "shingle",
+            "doc_id",
+            bits,
+            **kw,
+        ).collect()
+    }
+    # doc 1 quotes the full 7-token phrase: its 5 interior shingles are
+    # all in the eval filter
+    assert res[1][1] >= 5, res
+    assert res[2][1] == 0, res
+
+
+def test_boilerplate_lines_counts_docs_not_occurrences_and_merges(spark):
+    """(1) A doc repeating its own header 50× contributes ONE to that
+    line's doc count; (2) min_docs=1 shard reports from disjoint corpora
+    merge (counts add, per-shard re-rank) to exactly the direct report."""
+    from steam_data_engineer_project_spark.operators.dedup import (
+        boilerplate_lines,
+        boilerplate_merge,
+    )
+
+    spammy = "\n".join(["repeated header"] * 50) + "\nbody zero"
+    docs = spark.createDataFrame(
+        [(0, spammy)]
+        + [(i, f"repeated header\nbody {i}") for i in range(1, 6)]
+        + [(i, f"only doc {i}") for i in range(6, 9)],
+        "doc_id long, text string",
+    )
+    rep = boilerplate_lines(docs, "text", "doc_id", min_docs=2, top_m=10, n_shards=4)
+    out = {r.line: r.n_docs for r in rep.collect()}
+    assert out == {"repeated header": 6}, out
+
+    left = docs.filter("doc_id < 4")
+    right = docs.filter("doc_id >= 4")
+    kw = dict(min_docs=1, top_m=10**6, n_shards=4)
+    merged = boilerplate_merge(
+        [
+            boilerplate_lines(left, "text", "doc_id", **kw),
+            boilerplate_lines(right, "text", "doc_id", **kw),
+        ],
+        top_m=5,
+    )
+    direct = boilerplate_lines(
+        docs, "text", "doc_id", min_docs=1, top_m=5, n_shards=4
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_kmv_row_sample_merge_equals_direct_and_quantiles_bounded(spark):
+    """The sampled-quantile stack: (1) min-k-of-hashes row samples from
+    disjoint shards re-minned to k are bit-identical to sampling the union
+    directly (the mergeability exact quantiles lack); (2) the sampled
+    quantile's rank error on a known uniform distribution stays inside the
+    O(1/sqrt(k)) band; (3) a group smaller than k is computed exactly and
+    says so via sample_n."""
+    from pyspark.sql import Window
+
+    from steam_data_engineer_project_spark.operators.sketches import (
+        kmv_row_sample,
+        sampled_group_quantiles,
+    )
+
+    data = [("big", i, (i * 37) % 1000) for i in range(4000)] + [
+        ("tiny", 10_000 + i, i) for i in range(20)
+    ]
+    df = spark.createDataFrame(data, "g string, id long, v long")
+
+    k = 64
+    direct = kmv_row_sample(df, "g", "id", k=k)
+    a = kmv_row_sample(df.filter("id % 2 = 0"), "g", "id", k=k)
+    b = kmv_row_sample(df.filter("id % 2 = 1"), "g", "id", k=k)
+    w = Window.partitionBy("g").orderBy("__kmv_rh", "id")
+    remerged = (
+        a.unionByName(b)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+    assert sorted(map(tuple, direct.collect())) == sorted(
+        map(tuple, remerged.collect())
+    )
+
+    q = sampled_group_quantiles(df, "g", "v", "id", [0.5, 0.9], k=128)
+    rows = {(r.g, r.q_ppm): r for r in q.collect()}
+    # big: values are ~uniform on [0, 1000); sampled quantile within
+    # ±4/sqrt(128) of the true quantile in quantile space
+    import math
+
+    tol = 4 / math.sqrt(128) * 1000
+    assert abs(rows[("big", 500_000)].q_value - 500) < tol
+    assert abs(rows[("big", 900_000)].q_value - 900) < tol
+    assert rows[("big", 500_000)].sample_n == 128
+    # tiny never fills the sample: exact PERCENTILE_DISC over all 20 rows
+    assert rows[("tiny", 500_000)].sample_n == 20
+    assert rows[("tiny", 500_000)].q_value == 9
+    assert rows[("tiny", 900_000)].q_value == 17

@@ -322,8 +322,8 @@ EXCHANGE_BUDGET = {
     "dbt_quality_report": 6,
     "corpus_pipeline_e2e": 14,  # round 6: 9-stage composition — decontamination index builds (4), exact-dedup agg, ngram pair index+agg (3), component rounds ride localCheckpoints (not in this plan), quantile/split/mix/pack windows (one each), leakage join
     "dedup_cluster_canonical": 2,
-    "dedup_corpus_lines": 5,
-    "dedup_cross_corpus": 28,  # two corpus-vs-corpus jobs: contamination + incremental verdicts (each an inverted-index build per side + pair agg) + the exact-tier distinct/join
+    "dedup_corpus_lines": 8,  # +3 boilerplate leg: distinct-doc line count agg + the sharded top-m window (WindowGroupLimit-pruned) + its re-shard
+    "dedup_cross_corpus": 32,  # two corpus-vs-corpus jobs: contamination + incremental verdicts (each an inverted-index build per side + pair agg) + the exact-tier distinct/join; +4 bloom leg (bitset distinct + bit_or agg on ≤131k words, per-value all-hit agg, per-doc count — the probe join itself is broadcast, no train shuffle)
     "dedup_embedding_cosine": 6,  # +4 semdedup legs: pair self-join + size agg over the persisted quantized base (assignment itself is shuffle-free); round-6 incremental legs fit free — the batch side broadcasts and the frozen-state kmeans aggs run eagerly outside this plan
     "dedup_exact_docs": 8,  # +6 kmv leg: bigram distinct + WindowGroupLimit-pruned top-k + exact countDistinct comparison
     "dedup_minhash_lsh_docs": 11,
@@ -355,7 +355,7 @@ EXCHANGE_BUDGET = {
     "streaming_windowed_stats": 0,
     "temporal_join_suite": 3,
     "text_pii_redaction": 1,
-    "text_profile_docs": 9,  # +3 bm25 single-row corpus-stats aggregate; +2 quantile leg (per-lang window + its own spread scan)
+    "text_profile_docs": 13,  # +3 bm25 single-row corpus-stats aggregate; +2 quantile leg (per-lang window + its own spread scan); +4 quantile_kmv leg (k=64 sample window — WindowGroupLimit-pruned — + sample quantile window + sample_n agg + its broadcast back)
     "text_repetition_docs": 2,
     "time_filter_suite": 2,
     "window_suite": 3,
