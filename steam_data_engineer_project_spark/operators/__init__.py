@@ -12,6 +12,7 @@ from .dedup import (
     boilerplate_lines,
     boilerplate_merge,
     cross_corpus_contamination,
+    duplicated_spans,
     exact_dedup,
     incremental_dedup_verdicts,
     minhash_signatures,
@@ -64,6 +65,7 @@ __all__ = [
     "boilerplate_lines",
     "boilerplate_merge",
     "cross_corpus_contamination",
+    "duplicated_spans",
     "exact_dedup",
     "group_quantiles",
     "incremental_dedup_verdicts",

@@ -737,3 +737,105 @@ def boilerplate_merge(
         .filter(F.col("rank") <= top_m)
         .select("shard", "line", "n_docs", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    w: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """EXACT SUBSTRING-level dedup — the span-granular third tier between
+    document-level (:func:`exact_dedup`) and line-level
+    (:func:`corpus_line_dedup`): find every maximal run of tokens that is
+    part of a ``w``-token window appearing in ≥ ``min_docs`` distinct
+    documents, and cut those runs out (the shape of Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", which
+    removes repeated ≥50-token substrings corpus-wide; their suffix-array
+    build is replaced here by the distributed-friendly equivalent over
+    fixed-width windows: a w-token window is shared iff the suffix-array
+    match is ≥ w tokens long).
+
+    Returns one row per input doc: (id_col, clean_text, n_tokens,
+    n_dup_tokens, n_spans) — clean_text is the doc with covered tokens
+    removed (order preserved), n_spans the count of maximal covered runs.
+
+    Scale shape: one map-side-combinable groupBy on the w-gram hash finds
+    shared windows (same hot-key behavior as line dedup: partial agg
+    collapses a billion-fold repeated passage per map task); marking is a
+    broadcast-free equi-join of each doc's window table against the
+    shared set, and span algebra (coverage, maximal runs, removal) is
+    pure array expressions per doc — a token at position p is covered iff
+    some shared window starts in [p-w+1, p], so no interval-merge state
+    is needed. Per-doc cost is O(tokens × shared-windows-in-doc); a doc
+    that is ENTIRELY quoted text has ≤ tokens windows, keeping the worst
+    case quadratic only in the doc's own length, never the corpus.
+
+    Window hashes are xxhash64 like line dedup (8-byte shuffle keys;
+    collisions only ever over-drop). Determinism: everything is
+    content-derived — no ordering sensitivity anywhere."""
+    toks = df.select(
+        F.col(id_col),
+        F.split(_normalized(F.col(text_col)), " ").alias("__toks"),
+    ).select(
+        id_col,
+        F.filter(F.col("__toks"), lambda x: x != "").alias("__toks"),
+    )
+    grams = toks.select(
+        F.col(id_col),
+        F.posexplode(_word_shingles(F.col("__toks"), w)).alias("pos0", "gram"),
+    ).select(id_col, "pos0", F.xxhash64("gram").alias("gh"))
+    shared = (
+        grams.select("gh", id_col)
+        .distinct()
+        .groupBy("gh")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("gh")
+    )
+    # per doc: SORTED array of shared-window start positions (0-based)
+    starts = (
+        grams.join(shared, "gh")
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_set("pos0")).alias("__starts"))
+    )
+    marked = toks.join(starts, id_col, "left").withColumn(
+        "__starts",
+        F.coalesce(F.col("__starts"), F.array().cast("array<int>")),
+    )
+
+    def covered(p):
+        # token p covered iff a shared window starts in [p-w+1, p]
+        return F.exists(
+            F.col("__starts"), lambda s: (s <= p) & (p < s + F.lit(w))
+        )
+
+    # guard the empty-doc case: sequence(0, -1) would count DOWN in Spark
+    idx = F.when(
+        F.size("__toks") > 0, F.sequence(F.lit(0), F.size("__toks") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return marked.select(
+        id_col,
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.filter(idx, lambda p: ~covered(p)),
+                lambda p: F.element_at(F.col("__toks"), (p + 1).cast("int")),
+            ),
+        ).alias("clean_text"),
+        F.size("__toks").cast("long").alias("n_tokens"),
+        F.size(F.filter(idx, lambda p: covered(p)))
+        .cast("long")
+        .alias("n_dup_tokens"),
+        F.size(
+            F.filter(
+                idx,
+                lambda p: covered(p)
+                & F.when(p == 0, F.lit(True)).otherwise(~covered(p - 1)),
+            )
+        )
+        .cast("long")
+        .alias("n_spans"),
+    )

@@ -37,6 +37,7 @@ from .operators.dedup import (
     boilerplate_lines,
     corpus_line_dedup,
     cross_corpus_contamination,
+    duplicated_spans,
     exact_dedup,
     incremental_dedup_verdicts,
     minhash_lsh_candidates,
@@ -3324,7 +3325,16 @@ def dedup_corpus_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
       (operators/dedup.boilerplate_lines) — each md5 shard's top-20 lines
       by distinct-document frequency (≥2 docs), the mergeable-across-
       corpora form a fleet stores per shard/day.
-      (part, id=shard, txt=line, n_a=n_docs, n_b=rank)."""
+      (part, id=shard, txt=line, n_a=n_docs, n_b=rank).
+
+    - substring: EXACT SUBSTRING-level span removal (operators/dedup.
+      duplicated_spans, the Lee-et-al-2022 shape) over its own fixture —
+      docs ≡1 (mod 5) append a 13-token quoted passage keyed doc_id % 3,
+      so every planted doc must surface with exactly that span cut
+      (n_dup_tokens = 13, n_spans = 1 — word soup produces no natural
+      10-gram collisions), while the un-planted majority passes through
+      untouched. (part, id=doc_id, txt=clean_text, n_a=n_dup_tokens,
+      n_b=n_spans)."""
     d = _docs(spark, sf_dir)
     mtext = F.concat_ws(
         "\n",
@@ -3349,7 +3359,27 @@ def dedup_corpus_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_docs").alias("n_a"),
         F.col("rank").alias("n_b"),
     )
-    return doc.unionByName(bp)
+    passage = F.concat(
+        F.lit(
+            "quoted shared passage alpha bravo charlie delta echo foxtrot "
+            "golf hotel variant "
+        ),
+        (F.col("doc_id") % 3).cast("string"),
+    )
+    stext = F.concat_ws(
+        " ", F.col("text"), F.when(F.col("doc_id") % 5 == 1, passage)
+    )
+    sub = duplicated_spans(
+        d.select("doc_id", stext.alias("stext")), "stext", "doc_id",
+        w=10, min_docs=2,
+    ).select(
+        F.lit("substring").alias("part"),
+        F.col("doc_id").alias("id"),
+        F.col("clean_text").alias("txt"),
+        F.col("n_dup_tokens").alias("n_a"),
+        F.col("n_spans").alias("n_b"),
+    )
+    return doc.unionByName(bp).unionByName(sub)
 
 
 DEDUP_CORPUS_LINES_ORACLE = r"""
@@ -3399,6 +3429,56 @@ FROM (
     FROM (SELECT DISTINCT doc_id, line FROM lines)
     GROUP BY line HAVING COUNT(*) >= 2)
 ) WHERE rank <= 20
+
+UNION ALL
+
+-- substring leg: operators/dedup.duplicated_spans replay — 10-token
+-- windows shared by >=2 docs; token p covered iff a shared window starts
+-- in [p-9, p]; covered tokens removed, maximal runs counted.
+SELECT 'substring' AS part, doc_id AS id,
+       -- COALESCE: DuckDB's array_to_string([]) is NULL, Spark's
+       -- concat_ws over an empty transform is '' (fully-covered docs)
+       COALESCE(array_to_string(
+         list_transform(
+           list_filter(range(0, len(t)),
+                       p -> len(list_filter(st, s -> s <= p AND p < s + 10)) = 0),
+           p -> t[CAST(p + 1 AS INT)]), ' '), '') AS txt,
+       CAST(len(list_filter(range(0, len(t)),
+                 p -> len(list_filter(st, s -> s <= p AND p < s + 10)) > 0))
+            AS BIGINT) AS n_a,
+       CAST(len(list_filter(range(0, len(t)),
+                 p -> len(list_filter(st, s -> s <= p AND p < s + 10)) > 0
+                      AND (p = 0 OR len(list_filter(st, s -> s <= p - 1 AND p - 1 < s + 10)) = 0)))
+            AS BIGINT) AS n_b
+FROM (
+  WITH sbase AS (
+    SELECT doc_id,
+           concat_ws(' ', text,
+             CASE WHEN doc_id % 5 = 1 THEN
+               'quoted shared passage alpha bravo charlie delta echo foxtrot golf hotel variant '
+               || CAST(doc_id % 3 AS VARCHAR)
+             END) AS stext
+    FROM documents
+  ), stoks AS (
+    SELECT doc_id,
+           list_filter(string_split(trim(regexp_replace(lower(stext), '\s+', ' ', 'g')), ' '),
+                       x -> x <> '') AS t
+    FROM sbase
+  ), swin AS (
+    SELECT doc_id, i - 1 AS pos0, array_to_string(t[i:i+9], ' ') AS gram
+    FROM stoks, UNNEST(range(1, len(t) - 8)) u(i)
+    WHERE len(t) >= 10
+  ), sshared AS (
+    SELECT gram FROM (
+      SELECT gram, COUNT(DISTINCT doc_id) AS c FROM swin GROUP BY gram)
+    WHERE c >= 2
+  ), sstarts AS (
+    SELECT doc_id, list_sort(list(DISTINCT pos0)) AS st
+    FROM swin JOIN sshared USING (gram) GROUP BY doc_id
+  )
+  SELECT s.doc_id, s.t, COALESCE(ss.st, []) AS st
+  FROM stoks s LEFT JOIN sstarts ss USING (doc_id)
+)
 """
 
 

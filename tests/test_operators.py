@@ -2388,3 +2388,68 @@ def test_kmv_row_sample_merge_equals_direct_and_quantiles_bounded(spark):
     assert rows[("tiny", 500_000)].sample_n == 20
     assert rows[("tiny", 500_000)].q_value == 9
     assert rows[("tiny", 900_000)].q_value == 17
+
+
+def test_duplicated_spans_cuts_cross_doc_passages_only(spark):
+    """Substring-level dedup (the Lee-et-al-2022 shape): a 25-token passage
+    quoted by two docs is cut from both as ONE maximal span with its
+    surrounding unique text intact; a doc repeating ITSELF is untouched
+    (min_docs counts distinct documents); exact-dup docs are fully
+    covered; sub-window docs (< w tokens) pass through whole."""
+    from steam_data_engineer_project_spark.operators.dedup import (
+        duplicated_spans,
+    )
+
+    passage = " ".join(f"quoted{i}" for i in range(25))
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta " + passage + " gamma delta"),
+            (2, "x1 x2 x3 " + passage + " y1"),
+            (3, "self repeat self repeat self repeat self repeat self repeat self repeat"),
+            (4, "exact duplicate full document body here now twelve tokens total ok"),
+            (5, "exact duplicate full document body here now twelve tokens total ok"),
+            (6, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    r = {
+        x.doc_id: x
+        for x in duplicated_spans(docs, "text", "doc_id", w=10).collect()
+    }
+    assert (r[1].n_dup_tokens, r[1].n_spans) == (25, 1)
+    assert r[1].clean_text == "alpha beta gamma delta"
+    assert (r[2].n_dup_tokens, r[2].n_spans) == (25, 1)
+    assert r[2].clean_text == "x1 x2 x3 y1"
+    # within-doc repetition is NOT cross-doc duplication
+    assert r[3].n_dup_tokens == 0 and r[3].n_spans == 0
+    # exact-dup pair: every window shared, whole doc covered
+    for i in (4, 5):
+        assert r[i].n_dup_tokens == r[i].n_tokens and r[i].clean_text == ""
+        assert r[i].n_spans == 1
+    # shorter than one window: no windows, untouched
+    assert r[6].n_dup_tokens == 0 and r[6].clean_text == "short doc"
+
+
+def test_duplicated_spans_disjoint_quotes_make_separate_spans(spark):
+    """Two separate shared windows inside one doc, with unique text
+    between, produce TWO maximal spans — the n_spans run-boundary math."""
+    from steam_data_engineer_project_spark.operators.dedup import (
+        duplicated_spans,
+    )
+
+    q1 = " ".join(f"first{i}" for i in range(10))
+    q2 = " ".join(f"second{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (1, q1 + " middle unique bridge words here " + q2),
+            (2, "lead in " + q1 + " tail"),
+            (3, q2 + " closing remark"),
+        ],
+        "doc_id long, text string",
+    )
+    r = {
+        x.doc_id: x
+        for x in duplicated_spans(docs, "text", "doc_id", w=10).collect()
+    }
+    assert (r[1].n_dup_tokens, r[1].n_spans) == (20, 2)
+    assert r[1].clean_text == "middle unique bridge words here"

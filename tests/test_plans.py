@@ -322,7 +322,7 @@ EXCHANGE_BUDGET = {
     "dbt_quality_report": 6,
     "corpus_pipeline_e2e": 14,  # round 6: 9-stage composition — decontamination index builds (4), exact-dedup agg, ngram pair index+agg (3), component rounds ride localCheckpoints (not in this plan), quantile/split/mix/pack windows (one each), leakage join
     "dedup_cluster_canonical": 2,
-    "dedup_corpus_lines": 8,  # +3 boilerplate leg: distinct-doc line count agg + the sharded top-m window (WindowGroupLimit-pruned) + its re-shard
+    "dedup_corpus_lines": 12,  # +3 boilerplate leg: distinct-doc line count agg + the sharded top-m window (WindowGroupLimit-pruned) + its re-shard; +4 substring leg (shared-window distinct + doc-count agg + per-doc start-list agg + the left join back onto the token table)
     "dedup_cross_corpus": 32,  # two corpus-vs-corpus jobs: contamination + incremental verdicts (each an inverted-index build per side + pair agg) + the exact-tier distinct/join; +4 bloom leg (bitset distinct + bit_or agg on ≤131k words, per-value all-hit agg, per-doc count — the probe join itself is broadcast, no train shuffle)
     "dedup_embedding_cosine": 6,  # +4 semdedup legs: pair self-join + size agg over the persisted quantized base (assignment itself is shuffle-free); round-6 incremental legs fit free — the batch side broadcasts and the frozen-state kmeans aggs run eagerly outside this plan
     "dedup_exact_docs": 8,  # +6 kmv leg: bigram distinct + WindowGroupLimit-pruned top-k + exact countDistinct comparison
