@@ -242,3 +242,29 @@ def sampled_group_quantiles(
         quantiles,
     )
     return q.join(F.broadcast(n), group_col)
+
+
+def kmv_row_sample_merge(
+    samples: list[DataFrame],
+    group_col: str,
+    key_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Merge stored :func:`kmv_row_sample` outputs from disjoint shards:
+    union, re-take each group's k smallest row hashes. Identical rows to
+    sampling the union directly (min-k of a union = min-k of the union of
+    min-k's — same argument as :func:`kmv_merge`), so quantile summaries
+    computed from stored shard samples agree exactly with a full rescan.
+    All inputs must carry the ``__kmv_rh`` column their sampler added and
+    share the same (or larger) k."""
+    if not samples:
+        raise ValueError("kmv_row_sample_merge needs at least one sample")
+    u = samples[0]
+    for s in samples[1:]:
+        u = u.unionByName(s)
+    w = Window.partitionBy(group_col).orderBy("__kmv_rh", key_col)
+    return (
+        u.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

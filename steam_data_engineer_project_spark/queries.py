@@ -32,9 +32,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .operators.bloom import bloom_bitset, bloom_probe_count
+from .operators.bloom import bloom_bitset, bloom_merge, bloom_probe_count
 from .operators.dedup import (
     boilerplate_lines,
+    boilerplate_merge,
     corpus_line_dedup,
     cross_corpus_contamination,
     duplicated_spans,
@@ -46,7 +47,15 @@ from .operators.dedup import (
     simhash_fingerprints,
 )
 from .operators.components import connected_components
-from .operators.sketches import kmv_distinct_estimate, sampled_group_quantiles
+from .operators.sketches import (
+    kmv_distinct_estimate,
+    kmv_estimate_from_sketch,
+    kmv_merge,
+    kmv_row_sample,
+    kmv_row_sample_merge,
+    kmv_sketch,
+    sampled_group_quantiles,
+)
 from .operators.clustering import (
     incremental_semantic_verdicts,
     ivf_topk_trained,
@@ -5407,9 +5416,16 @@ def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale notes: the only corpus² hazards (pair generation) ride the
     df-capped inverted index; everything else is hash-bucket windows and
     broadcast joins (allocation table, quantile cutoffs, probe sets).
-    Persisted: decontaminated set (count arm + exact stage), survivors
-    (3 consumers), pairs (components + leakage), quality features (the
-    quantile cutoff self-join), split (4 consumers)."""
+    Stage materialization uses EAGER ``localCheckpoint`` (not persist):
+    each checkpoint both caches the stage for its multiple consumers AND
+    truncates lineage, so the 6-arm union's plan TREE stays flat — with
+    persist(), every arm's InMemoryRelation re-embeds its full upstream
+    DAG and the plan-string rendering alone (QueryExecution.explainString
+    → generateTreeString, run by the SQL listener per execution) was
+    measured OOM-ing a vanilla 1 GB driver at sf0.01. On a cluster the
+    same role is played by reliable ``checkpoint()``/staging tables
+    (localCheckpoint trades executor-loss recoverability for speed —
+    same note as operators/components.py)."""
     d = _docs(spark, sf_dir)
     is_eval = F.col("source").isin("src0", "src1")
     train0 = d.filter(~is_eval)
@@ -5427,10 +5443,10 @@ def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("train_id").alias("doc_id"))
         .distinct()
     )
-    clean1 = train0.join(contam_ids, "doc_id", "left_anti").persist()
+    clean1 = train0.join(contam_ids, "doc_id", "left_anti").localCheckpoint()
 
     exact_keep = exact_dedup(clean1, "text", "doc_id").select("doc_id")
-    clean2 = clean1.join(exact_keep, "doc_id").persist()
+    clean2 = clean1.join(exact_keep, "doc_id").localCheckpoint()
 
     # min_jaccard=0.5: "near-duplicate" means genuinely-similar documents
     # (the same truth definition the recall suite pins), not the 2-shared-
@@ -5440,7 +5456,7 @@ def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(
         clean2, "text", "doc_id", n=3, min_shared=2, min_jaccard=0.5,
         max_doc_freq=100,
-    ).persist()
+    ).localCheckpoint()
     comp = connected_components(pairs.select("id_a", "id_b"), "id_a", "id_b")
     keyed = clean2.join(
         comp.withColumnRenamed("node", "doc_id"), "doc_id", "left"
@@ -5449,7 +5465,7 @@ def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     tq = text_quality(clean2, "text", "doc_id").select(
         "doc_id", "n_tokens", "quality_score"
     )
-    feats = keyed.join(tq, "doc_id").persist()
+    feats = keyed.join(tq, "doc_id").localCheckpoint()
     cut = group_quantiles(
         feats.select("lang", "n_tokens", "doc_id"),
         "lang",
@@ -5463,12 +5479,12 @@ def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_tokens") >= F.col("len_cutoff"))
             & (F.col("quality_score") >= 0.5)
         )
-        .persist()
+        .localCheckpoint()
     )
 
     spl = deterministic_split(
         qual, "split_key", {"train": 0.9, "valid": 0.1}
-    ).persist()
+    ).localCheckpoint()
 
     sa = spl.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a"))
     sb = spl.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_b"))
@@ -5489,7 +5505,7 @@ def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         max_budget=6000,
         alpha=0.5,
-    ).persist()  # consumed by the mix arm AND the chunk/pack arm
+    ).localCheckpoint()  # consumed by the mix arm AND the chunk/pack arm
 
     chunks = chunk_documents(
         mix.select("doc_id", "text"), "text", "doc_id",
@@ -5517,13 +5533,11 @@ def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         return dfx.select(*sel)
 
-    # Funnel counts via EAGER bounded .count() — each call both records the
-    # stage size (a single long back to the driver, the same bounded class
-    # as the semdedup k sizing) and POPULATES that stage's persist before
-    # the union arms are built: union arms sharing an un-materialized cache
-    # race to compute it (measured 70s → 23s at sf0.1 for this query). The
-    # counts come back as literal rows; values are identical to in-plan
-    # count arms, just computed once.
+    # Funnel counts: the localCheckpoints above already materialized every
+    # stage eagerly (the same sharing fix as the earlier eager-count form —
+    # union arms sharing an un-materialized cache raced to compute it,
+    # measured 70s → 23s at sf0.1), so these .count() calls are cheap
+    # scans over checkpointed partitions, each returning one bounded long.
     funnel_counts = [
         ("input", train0.count()),
         ("eval_heldout", ev.count()),
@@ -5531,13 +5545,6 @@ def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("exact_canonical", clean2.count()),
         ("quality_kept", qual.count()),
     ]
-    spl.count()  # populate the split cache its four arms share
-    mix.count()  # ... and the mix cache its two arms share
-    # clean1/feats have no arm consumers once the counts above ran and
-    # their dependents are cached — release them so a vanilla 1g driver
-    # session running all 50 queries doesn't accumulate dead storage.
-    clean1.unpersist()
-    feats.unpersist()
     funnel = spark.createDataFrame(
         funnel_counts, "stage string, __n long"
     )
@@ -5762,6 +5769,214 @@ FROM pkc GROUP BY pack_id
 """
 
 
+
+
+def sketch_merge_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABILITY gate for the sketch tier — every leg computes its
+    result through the MERGE path on Spark (per-"day" summaries built on
+    the corpus split by doc_id % 3, then combined), while the oracle
+    computes the DIRECT form over the whole corpus in SQL. Hash equality
+    is therefore the distributed-lifecycle proof: build small summaries
+    per shard/day, store them, combine without rescanning — and get
+    bit-identical answers to a full rescan. Legs, tagged by `part`:
+
+    - kmv: per-lang distinct-TEXT cardinality from three day-sketches
+      merged (operators/sketches.kmv_merge, k=32 so the estimator path is
+      exercised, not the exact-small fallback). (key=lang,
+      n_a=est_distinct, n_b=sketch_size)
+    - bloom: the per-day VOCABULARY (distinct tokens) Bloom bitsets
+      OR-merged (operators/bloom.bloom_merge, m=2^16, h=3); the oracle
+      builds the direct bitset over the union vocabulary. (key=word_idx
+      as string, n_a=bits)
+    - boilerplate: per-day min_docs=1 line reports (the form that merges
+      EXACTLY) count-summed and re-ranked to each shard's top-10
+      (operators/dedup.boilerplate_merge) over the same banner/footer
+      fixture as dedup_corpus_lines. (key=shard as string, txt=line,
+      n_a=n_docs, n_b=rank)
+    - qkmv: per-lang p50/p90 token-count quantiles over three day
+      row-samples re-minned to one k=48 sample
+      (operators/sketches.kmv_row_sample_merge) — the stored-sample
+      quantile lifecycle. (key=lang, txt=doc_id of the selected row,
+      n_a=q_ppm, n_b=q_value)
+
+    All four merge operators are ALSO pinned merge==direct by unit tests;
+    this suite upgrades the merge paths to driver-hashed correctness rows.
+    """
+    d = _docs(spark, sf_dir)
+    days = [d.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+
+    nulls = dict(
+        txt=F.lit(None).cast("string"),
+        n_a=F.lit(None).cast("long"),
+        n_b=F.lit(None).cast("long"),
+    )
+
+    def leg(part, dfx, key, **cols):
+        sel = [F.lit(part).alias("part"), key.alias("key")] + [
+            (cols[c].alias(c) if c in cols else nulls[c].alias(c))
+            for c in ("txt", "n_a", "n_b")
+        ]
+        return dfx.select(*sel)
+
+    k_sketch = 32
+    merged_sk = kmv_merge(
+        [kmv_sketch(di.select("lang", "text"), "lang", "text", k=k_sketch)
+         for di in days],
+        "lang",
+        k=k_sketch,
+    )
+    kmv_leg = leg(
+        "kmv",
+        kmv_estimate_from_sketch(merged_sk, "lang", k=k_sketch),
+        key=F.col("lang"),
+        n_a=F.col("est_distinct"),
+        n_b=F.col("sketch_size"),
+    )
+
+    def day_tokens(di):
+        return di.select(F.explode(_norm_tokens()).alias("token"))
+
+    bkw = dict(m_bits=1 << 16, n_hashes=3, salt="sm")
+    b0, b1, b2 = [bloom_bitset(day_tokens(di), "token", **bkw) for di in days]
+    bloom_leg = leg(
+        "bloom",
+        bloom_merge(bloom_merge(b0, b1), b2),
+        key=F.col("word_idx").cast("string"),
+        n_a=F.col("bits"),
+    )
+
+    def day_report(di):
+        mtext = F.concat_ws(
+            "\n",
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.lit("subscribe to our newsletter today"),
+            ),
+            F.col("text"),
+            F.concat(F.lit("footer for "), F.col("source")),
+        )
+        return boilerplate_lines(
+            di.select("doc_id", mtext.alias("mtext")),
+            "mtext",
+            "doc_id",
+            min_docs=1,
+            top_m=10**9,
+            n_shards=8,
+        )
+
+    bp_leg = leg(
+        "boilerplate",
+        boilerplate_merge([day_report(di) for di in days], top_m=10),
+        key=F.col("shard").cast("string"),
+        txt=F.col("line"),
+        n_a=F.col("n_docs"),
+        n_b=F.col("rank"),
+    )
+
+    k_sample = 48
+
+    def day_sample(di):
+        return kmv_row_sample(
+            di.select(
+                "lang",
+                "doc_id",
+                F.size(_norm_tokens()).cast("long").alias("n_tokens"),
+            ),
+            "lang",
+            "doc_id",
+            k=k_sample,
+        )
+
+    ms = kmv_row_sample_merge(
+        [day_sample(di) for di in days], "lang", "doc_id", k=k_sample
+    )
+    qk = group_quantiles(
+        ms.select("lang", "n_tokens", "doc_id"),
+        "lang",
+        "n_tokens",
+        "doc_id",
+        [0.5, 0.9],
+    )
+    q_leg = leg(
+        "qkmv",
+        qk,
+        key=F.col("lang"),
+        txt=F.col("q_key").cast("string"),
+        n_a=F.col("q_ppm").cast("long"),
+        n_b=F.col("q_value"),
+    )
+    return kmv_leg.unionByName(bloom_leg).unionByName(bp_leg).unionByName(q_leg)
+
+
+SKETCH_MERGE_ORACLE = r"""
+-- Every arm below is the DIRECT computation over the full corpus; the
+-- Spark side goes through the per-day merge path. Equal hashes = the
+-- merge lifecycle is exact.
+SELECT 'kmv' AS part, lang AS key, CAST(NULL AS VARCHAR) AS txt,
+       CASE WHEN m < 32 THEN m
+            ELSE CAST(31 AS BIGINT) * 4503599627370496 // hk END AS n_a,
+       CAST(m AS BIGINT) AS n_b
+FROM (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS m, MAX(h) AS hk FROM (
+    SELECT lang, h, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rn
+    FROM (SELECT DISTINCT lang,
+                 CAST(concat('0x', substring(md5('v:' || text), 1, 13)) AS BIGINT) AS h
+          FROM documents))
+  WHERE rn <= 32 GROUP BY lang)
+
+UNION ALL
+
+SELECT 'bloom', CAST(pos // 32 AS VARCHAR), NULL,
+       bit_or(1::BIGINT << CAST(pos % 32 AS INT)), NULL
+FROM (
+  SELECT DISTINCT
+         ('0x' || substring(md5('sm' || CAST(j AS VARCHAR) || ':' || token), 1, 13))::BIGINT
+           % 65536 AS pos
+  FROM (SELECT DISTINCT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+        FROM documents) , range(0, 3) h(j)
+  WHERE token IS NOT NULL)
+GROUP BY pos // 32
+
+UNION ALL
+
+SELECT 'boilerplate', CAST(shard AS VARCHAR), line,
+       CAST(n_docs AS BIGINT), CAST(rank AS BIGINT)
+FROM (
+  SELECT shard, line, n_docs,
+         ROW_NUMBER() OVER (PARTITION BY shard ORDER BY n_docs DESC, line) AS rank
+  FROM (
+    SELECT line, COUNT(*) AS n_docs,
+           ('0x' || substring(md5(line), 1, 13))::BIGINT % 8 AS shard
+    FROM (
+      SELECT DISTINCT doc_id, unnest(list_filter(
+        list_transform(string_split(concat_ws(chr(10),
+          CASE WHEN doc_id % 2 = 0 THEN 'subscribe to our newsletter today' END,
+          text, 'footer for ' || source), chr(10)), x -> trim(x)),
+        x -> x <> '')) AS line
+      FROM documents)
+    GROUP BY line)
+) WHERE rank <= 10
+
+UNION ALL
+
+SELECT 'qkmv', r.lang, CAST(r.doc_id AS VARCHAR),
+       CAST(q.q_ppm AS BIGINT), r.n
+FROM (
+  SELECT doc_id, lang, n,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS cnt
+  FROM (
+    SELECT doc_id, lang, n FROM (
+      SELECT doc_id, lang,
+             CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+               ('0x' || substring(md5('r:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT, doc_id) AS srn
+      FROM documents) WHERE srn <= 48)
+) r JOIN (VALUES (500000), (900000)) q(q_ppm)
+  ON r.rn = CAST(FLOOR((q.q_ppm * r.cnt + 999999) / 1000000) AS BIGINT)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     # --- round-2 signal gap first: the entries the r2 driver never reached.
     "kafka_frame_roundtrip": QuerySpec(kafka_frame_roundtrip, KAFKA_FRAME_ORACLE, "S6/S8: Kafka frame codec round trip"),
@@ -5795,6 +6010,7 @@ QUERIES: dict[str, QuerySpec] = {
     "quality_suite": QuerySpec(quality_suite, QUALITY_SUITE_ORACLE, "Q1/Q2/Q4/A4: data-quality checks + counts"),
     # --- training-data pipeline operators.
     "dedup_exact_docs": QuerySpec(dedup_exact_docs, DEDUP_EXACT_ORACLE, "dedup: exact hash-groupBy"),
+    "sketch_merge_suite": QuerySpec(sketch_merge_suite, SKETCH_MERGE_ORACLE, "sketches: merge-path == direct (KMV, Bloom, heavy hitters, sampled quantiles)"),
     "dedup_ngram_jaccard_docs": QuerySpec(dedup_ngram_jaccard_docs, DEDUP_NGRAM_ORACLE, "dedup: n-gram Jaccard pairs"),
     "dedup_minhash_lsh_docs": QuerySpec(dedup_minhash_lsh_docs, DEDUP_MINHASH_ORACLE, "dedup: MinHash+LSH candidates"),
     "dedup_simhash_docs": QuerySpec(dedup_simhash_docs, DEDUP_SIMHASH_ORACLE, "dedup: SimHash fingerprints"),

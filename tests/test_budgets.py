@@ -42,12 +42,13 @@ TIME_BUDGET = {
     "dbt_fact_reviews": 3.0,
     "dbt_game_quality_metrics": 3.0,
     "dbt_quality_report": 3.0,
-    "corpus_pipeline_e2e": 30.0,  # round 6: end-to-end composition — roughly the SUM of its stage operators' own budgets (contamination + ngram pairs + components + quality/quantile + split/mix/pack), serialized by the eager cache materialization
+    "corpus_pipeline_e2e": 20.0,  # round 6: end-to-end composition — roughly the SUM of its stage operators' own budgets, serialized by the eager checkpoint materialization; RETIGHTENED after the persist→localCheckpoint change (plan-string rendering was most of the old cost — sf0.1 runtime halved, 17.4s→9.8s)
     "dedup_cluster_canonical": 4.4,
     "dedup_corpus_lines": 3.0,
     "dedup_cross_corpus": 6.0,  # round 5: gained the incremental-verdicts leg (a second corpus-vs-corpus job + exact tier)
     "dedup_embedding_cosine": 17.0,  # round 5: gained the semdedup legs (~7s steady: 4 Arrow-batched Lloyd passes + pair join; fixed driver/job cost, not data — 35s at sf1.0 vs >580s for the pre-vectorized k=8 version)
     "dedup_exact_docs": 6.0,  # round 5: gained the kmv cardinality-sketch leg (~2.2s steady)
+    "sketch_merge_suite": 12.0,  # round 6: 4 sketch legs x 3 per-day summaries each, merged in-plan (~4s steady; generous for the slow-epoch box variance)
     "dedup_minhash_lsh_docs": 3.0,
     "dedup_ngram_jaccard_docs": 3.0,
     "dedup_simhash_docs": 3.0,

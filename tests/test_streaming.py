@@ -886,3 +886,72 @@ def test_streaming_incremental_semantic_dedup_matches_batch(spark):
         assert streamed[1][0] == "semantic_dup"
         assert streamed[3][0] == "semantic_dup"
         assert streamed[2][0] == "new" and streamed[4][0] == "new"
+
+
+def test_streaming_boilerplate_report_accumulates_to_global(spark):
+    """The crawl-shaped use of operators/dedup.boilerplate_lines: each
+    micro-batch of crawled docs emits its own min_docs=1 shard report
+    (ALL lines, the mergeable form) appended to a stored report table;
+    merging the store (count-sum per (shard, line), per-shard re-rank)
+    must equal the one-shot report over every doc crawled so far. That
+    per-batch-report + merge = global equivalence is what lets a fleet
+    keep one small report table per day instead of rescanning the corpus
+    for boilerplate."""
+    from steam_data_engineer_project_spark.operators.dedup import (
+        boilerplate_lines,
+        boilerplate_merge,
+    )
+
+    batches = [
+        [(1, "common banner\nbody one"), (2, "common banner\nbody two")],
+        [(3, "common banner\nbody three"), (4, "other footer\nbody four")],
+        [(5, "other footer\nbody five"), (6, "common banner\nbody six")],
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        in_dir = os.path.join(td, "incoming")
+        rep_dir = os.path.join(td, "reports")
+        ckpt = os.path.join(td, "ckpt")
+        os.makedirs(in_dir)
+
+        def report(batch_df, batch_id):
+            out = boilerplate_lines(
+                batch_df, "text", "doc_id",
+                min_docs=1, top_m=10**6, n_shards=4,
+            )
+            out.write.mode("append").parquet(rep_dir)
+
+        for i, rows in enumerate(batches):
+            _write_events(
+                in_dir,
+                f"b{i}.jsonl",
+                [{"doc_id": d, "text": t} for d, t in rows],
+            )
+            (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", "1")
+                .json(in_dir)
+                .writeStream.foreachBatch(report)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination(120)
+            )
+
+        merged = boilerplate_merge([spark.read.parquet(rep_dir)], top_m=5)
+        direct = boilerplate_lines(
+            spark.createDataFrame(
+                [r for b in batches for r in b], "doc_id long, text string"
+            ),
+            "text",
+            "doc_id",
+            min_docs=1,
+            top_m=5,
+            n_shards=4,
+        )
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, direct.collect())
+        )
+        # and the merged counts carry the cross-batch truth: the banner
+        # was seen by 4 docs across 3 different batches
+        counts = {r.line: r.n_docs for r in merged.collect()}
+        assert counts["common banner"] == 4 and counts["other footer"] == 2
