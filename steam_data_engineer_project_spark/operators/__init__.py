@@ -46,7 +46,14 @@ from .similarity import (
     lsh_bucket_cosine_topk,
 )
 from .temporal import asof_join, asof_join_split, range_join_bucketed
-from .textstats import bm25_scores, doc_fingerprint, group_quantiles, language_id, text_quality
+from .textstats import (
+    bm25_scores,
+    doc_fingerprint,
+    group_quantiles,
+    language_id,
+    text_quality,
+    token_rarity_stats,
+)
 from .topk import latest_per_key, top_k
 
 __all__ = [
@@ -105,5 +112,6 @@ __all__ = [
     "language_id",
     "text_quality",
     "latest_per_key",
+    "token_rarity_stats",
     "top_k",
 ]

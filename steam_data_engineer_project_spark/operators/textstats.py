@@ -390,3 +390,67 @@ def group_quantiles(
             F.col(key_col).alias("q_key"),
         )
     )
+
+
+def token_rarity_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document TOKEN RARITY — the log-free, engine-exact stand-in for
+    a unigram-LM surprisal prior: every vocabulary token gets its global
+    rank ordered by (document frequency, token) — so the rarest tokens
+    rank FIRST — and a document's score is the mean REVERSED rank
+    (|vocab| − rank + 1) of its token occurrences in micro-units of the
+    vocabulary size:
+
+        rarity_micro = (Σ (|vocab| − rank(tok) + 1)) · 10⁶
+                         DIV (n_occurrences · |vocab|)
+
+    ≈ 10⁶ · mean rank percentile — near 0 for documents made entirely of
+    the most corpus-common tokens (boilerplate-shaped), near 10⁶ for
+    documents of corpus-rare tokens (OCR noise / non-language / genuinely
+    novel text) — both tails are what a curation pass samples for review.
+    Unlike idf-based surprisal there is NO logarithm anywhere (ln is not
+    correctly-rounded-guaranteed across engines), so the score is pure
+    integer arithmetic and bit-identical on every engine. Exactness bound:
+    n_occurrences · |vocab| · 10⁶ must stay below 2⁶³ (a 10k-token doc
+    against a 100M-token vocabulary is ~10¹² — comfortably inside).
+
+    Scale shape: doc frequency is one map-side-combinable groupBy on the
+    token; the vocabulary ranking uses operators/ranking.global_row_number
+    (two-phase range-partitioned row number — NO single-partition window
+    over the vocab); scoring is one equi-join on the token key + one
+    per-doc aggregate. |vocab| comes back as a single bounded long (the
+    same driver-traffic class as the semdedup k sizing).
+
+    Returns (id_col, n_tokens, rarity_micro); documents whose normalized
+    text is empty are absent (they have no occurrences to score)."""
+    norm = _norm_text(F.col(text_col))
+    occ = df.select(
+        F.col(id_col),
+        F.explode(F.split(norm, " ")).alias("__tok"),
+    ).filter(F.col("__tok") != "")
+    vocab = (
+        occ.select(id_col, "__tok")
+        .distinct()
+        .groupBy("__tok")
+        .agg(F.count("*").cast("long").alias("__df"))
+    )
+    from .ranking import global_row_number
+
+    ranked = global_row_number(vocab, ["__df", "__tok"], "__rank")
+    n_vocab = ranked.count()
+    per_doc = (
+        occ.join(ranked.select("__tok", "__rank"), "__tok")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.lit(n_vocab + 1) - F.col("__rank"))
+            .cast("long")
+            .alias("__sum_rev"),
+        )
+    )
+    return per_doc.select(
+        id_col,
+        "n_tokens",
+        F.expr(
+            f"CAST((__sum_rev * 1000000) DIV (n_tokens * {n_vocab}) AS BIGINT)"
+        ).alias("rarity_micro"),
+    )

@@ -134,6 +134,7 @@ from .operators.textstats import (
     language_id,
     repetition_stats,
     text_quality,
+    token_rarity_stats,
 )
 from .operators.topk import latest_per_key, top_k
 
@@ -2687,6 +2688,18 @@ def text_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sample_n").alias("n_c"),
         *_null_rs,
     )
+    # rarity: integer token-rarity prior (operators/textstats.
+    # token_rarity_stats) — mean vocab rank of each doc's token
+    # occurrences in micro-units, the log-free surprisal stand-in.
+    rar = token_rarity_stats(d, "text", "doc_id").select(
+        F.lit("rarity").alias("part"),
+        "doc_id",
+        F.lit(None).cast("string").alias("label"),
+        F.col("n_tokens").alias("n_a"),
+        F.col("rarity_micro").alias("n_b"),
+        F.lit(None).cast("long").alias("n_c"),
+        *_null_rs,
+    )
     return (
         q.unionByName(lg)
         .unionByName(fp)
@@ -2694,6 +2707,7 @@ def text_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(bm)
         .unionByName(qt)
         .unionByName(qk)
+        .unionByName(rar)
     )
 
 
@@ -2820,6 +2834,32 @@ FROM (
          r.doc_id AS q_key, CAST(r.cnt AS BIGINT) AS sample_n
   FROM r JOIN (VALUES (500000), (900000), (990000)) q(q_ppm)
     ON r.rn = CAST(FLOOR((q.q_ppm * r.cnt + 999999) / 1000000) AS BIGINT)
+)
+UNION ALL
+SELECT 'rarity', doc_id, NULL, n_tokens, rarity_micro,
+       NULL, NULL, NULL, NULL, NULL, NULL
+FROM (
+  -- operators/textstats.token_rarity_stats replay: vocab ranked by
+  -- (doc frequency, token), per-doc mean occurrence rank in micro-units.
+  WITH occ AS (
+    SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+    FROM documents
+  ), occ2 AS (
+    SELECT doc_id, tok FROM occ WHERE tok <> ''
+  ), vocab AS (
+    SELECT tok, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM occ2)
+    GROUP BY tok
+  ), ranked AS (
+    SELECT tok, ROW_NUMBER() OVER (ORDER BY df, tok) AS rnk FROM vocab
+  ), nv AS (
+    SELECT COUNT(*) AS n_vocab FROM vocab
+  )
+  SELECT o.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST((SUM(nv.n_vocab + 1 - r.rnk) * 1000000)
+              // (COUNT(*) * ANY_VALUE(nv.n_vocab)) AS BIGINT) AS rarity_micro
+  FROM occ2 o JOIN ranked r USING (tok), nv
+  GROUP BY o.doc_id
 )
 """
 

@@ -44,8 +44,8 @@ TIME_BUDGET = {
     "dbt_quality_report": 3.0,
     "corpus_pipeline_e2e": 20.0,  # round 6: end-to-end composition — roughly the SUM of its stage operators' own budgets, serialized by the eager checkpoint materialization; RETIGHTENED after the persist→localCheckpoint change (plan-string rendering was most of the old cost — sf0.1 runtime halved, 17.4s→9.8s)
     "dedup_cluster_canonical": 4.4,
-    "dedup_corpus_lines": 3.0,
-    "dedup_cross_corpus": 6.0,  # round 5: gained the incremental-verdicts leg (a second corpus-vs-corpus job + exact tier)
+    "dedup_corpus_lines": 7.0,  # round 6: gained the boilerplate heavy-hitter and substring-span legs (~2.1s steady at sf0.1; measured flaking past the old 3.0 under concurrent host load)
+    "dedup_cross_corpus": 9.0,  # round 5: gained the incremental-verdicts leg (a second corpus-vs-corpus job + exact tier); round 6: +bloom prefilter leg
     "dedup_embedding_cosine": 17.0,  # round 5: gained the semdedup legs (~7s steady: 4 Arrow-batched Lloyd passes + pair join; fixed driver/job cost, not data — 35s at sf1.0 vs >580s for the pre-vectorized k=8 version)
     "dedup_exact_docs": 6.0,  # round 5: gained the kmv cardinality-sketch leg (~2.2s steady)
     "sketch_merge_suite": 12.0,  # round 6: 4 sketch legs x 3 per-day summaries each, merged in-plan (~4s steady; generous for the slow-epoch box variance)
@@ -78,7 +78,7 @@ TIME_BUDGET = {
     "streaming_windowed_stats": 7.6,
     "temporal_join_suite": 3.0,
     "text_pii_redaction": 3.0,
-    "text_profile_docs": 3.0,
+    "text_profile_docs": 11.0,  # round 6: +quantile_kmv and +rarity legs — rarity's two-phase vocab rank is several extra JOBS whose scheduling floor dominates at sf0.001 (~3.6s steady; 4.1s total at sf0.1)
     "text_repetition_docs": 3.0,
     "time_filter_suite": 3.0,
     "window_suite": 3.0,

@@ -2453,3 +2453,31 @@ def test_duplicated_spans_disjoint_quotes_make_separate_spans(spark):
     }
     assert (r[1].n_dup_tokens, r[1].n_spans) == (20, 2)
     assert r[1].clean_text == "middle unique bridge words here"
+
+
+def test_token_rarity_separates_common_from_rare_docs(spark):
+    """The integer surprisal prior: a doc of corpus-common tokens scores
+    low, a doc of corpus-unique tokens scores high, and the score is the
+    exact integer (sum-of-ranks · 10⁶) DIV (occurrences · |vocab|) — no
+    floats anywhere."""
+    from steam_data_engineer_project_spark.operators.textstats import (
+        token_rarity_stats,
+    )
+
+    # 'common' appears in every doc; each rare{i} in exactly one
+    docs = spark.createDataFrame(
+        [(i, "common common common") for i in range(8)]
+        + [(100, "rareA rareB rareC"), (101, "common rareD")],
+        "doc_id long, text string",
+    )
+    r = {
+        x.doc_id: (x.n_tokens, x.rarity_micro)
+        for x in token_rarity_stats(docs, "text", "doc_id").collect()
+    }
+    # vocab = common(df=9), rareA..rareD(df=1 each) → ranks by (df, tok):
+    # rareA=1, rareB=2, rareC=3, rareD=4, common=5; reversed rank =
+    # |vocab|−rank+1, so common→1, rareD→2, rareC→3, rareB→4, rareA→5
+    assert r[0] == (3, (1 * 3 * 1_000_000) // (3 * 5))  # all-common → low
+    assert r[100] == (3, ((5 + 4 + 3) * 1_000_000) // (3 * 5))  # rare → high
+    assert r[101] == (2, ((1 + 2) * 1_000_000) // (2 * 5))
+    assert r[100][1] > r[0][1]

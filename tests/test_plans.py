@@ -356,7 +356,7 @@ EXCHANGE_BUDGET = {
     "streaming_windowed_stats": 0,
     "temporal_join_suite": 3,
     "text_pii_redaction": 1,
-    "text_profile_docs": 13,  # +3 bm25 single-row corpus-stats aggregate; +2 quantile leg (per-lang window + its own spread scan); +4 quantile_kmv leg (k=64 sample window — WindowGroupLimit-pruned — + sample quantile window + sample_n agg + its broadcast back)
+    "text_profile_docs": 17,  # +3 bm25 single-row corpus-stats aggregate; +2 quantile leg (per-lang window + its own spread scan); +4 quantile_kmv leg (k=64 sample window — WindowGroupLimit-pruned — + sample quantile window + sample_n agg + its broadcast back); +4 rarity leg (vocab df agg + the two-phase global rank's range exchange + token join + per-doc agg — the vocab rank itself rides localCheckpoint outside this plan)
     "text_repetition_docs": 2,
     "time_filter_suite": 2,
     "window_suite": 3,
