@@ -2481,3 +2481,115 @@ def test_token_rarity_separates_common_from_rare_docs(spark):
     assert r[100] == (3, ((5 + 4 + 3) * 1_000_000) // (3 * 5))  # rare → high
     assert r[101] == (2, ((1 + 2) * 1_000_000) // (2 * 5))
     assert r[100][1] > r[0][1]
+
+
+def test_merge_operators_property_random_shards_equal_direct(spark):
+    """Property test over ALL four mergeable sketch families at once: for
+    ANY small corpus and ANY 2-way sharding of it, building per-shard
+    summaries and merging equals building directly on the union —
+    arbitrary inputs, not just the planted fixtures. (Value overlap
+    across KMV shards is covered separately by
+    test_kmv_merge_equals_direct_sketch_on_the_union; the row-sample and
+    boilerplate merges require disjoint shards, which is their documented
+    contract and what the boolean sharding generates.)"""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import Window
+
+    from steam_data_engineer_project_spark.operators.bloom import (
+        bloom_bitset,
+        bloom_merge,
+    )
+    from steam_data_engineer_project_spark.operators.dedup import (
+        boilerplate_lines,
+        boilerplate_merge,
+    )
+    from steam_data_engineer_project_spark.operators.sketches import (
+        kmv_merge,
+        kmv_row_sample,
+        kmv_row_sample_merge,
+        kmv_sketch,
+    )
+
+    words = st.sampled_from([f"w{i}" for i in range(12)])
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.lists(
+            st.tuples(st.lists(words, min_size=1, max_size=6), st.booleans()),
+            min_size=2,
+            max_size=10,
+        )
+    )
+    def check(doc_specs):
+        rows = [
+            (i, " ".join(ws), in_a)
+            for i, (ws, in_a) in enumerate(doc_specs)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, in_a boolean")
+        a, b = df.filter("in_a"), df.filter("NOT in_a")
+
+        # KMV value sketches (overlap allowed: same text may be in both)
+        k = 4
+        merged = kmv_merge(
+            [kmv_sketch(s, "in_a", "text", k=k) for s in (a, b)], "in_a", k=k
+        )
+        # direct sketch per original group (in_a) over the SAME rows
+        direct = kmv_merge([kmv_sketch(df, "in_a", "text", k=k)], "in_a", k=k)
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, direct.collect())
+        )
+
+        # Bloom bitsets over each shard's tokens
+        kw = dict(m_bits=1 << 10, n_hashes=2, salt="p")
+        from pyspark.sql import functions as FF
+
+        def toks(s):
+            return s.select(
+                FF.explode(FF.split(FF.col("text"), " ")).alias("t")
+            )
+
+        bm = bloom_merge(
+            bloom_bitset(toks(a), "t", **kw), bloom_bitset(toks(b), "t", **kw)
+        )
+        bd = bloom_bitset(toks(df), "t", **kw)
+        assert sorted(map(tuple, bm.collect())) == sorted(
+            map(tuple, bd.collect())
+        )
+
+        # boilerplate reports (disjoint shards by construction)
+        kw2 = dict(min_docs=1, top_m=10**6, n_shards=4, line_delim=" ")
+        bpm = boilerplate_merge(
+            [
+                boilerplate_lines(s, "text", "doc_id", **kw2)
+                for s in (a, b)
+                if s.count() > 0
+            ],
+            top_m=3,
+        )
+        bpd = boilerplate_lines(
+            df, "text", "doc_id", min_docs=1, top_m=3, n_shards=4,
+            line_delim=" ",
+        )
+        assert sorted(map(tuple, bpm.collect())) == sorted(
+            map(tuple, bpd.collect())
+        )
+
+        # row samples (disjoint shards by construction)
+        ks = 3
+        sm = kmv_row_sample_merge(
+            [kmv_row_sample(s, "in_a", "doc_id", k=ks) for s in (a, b)],
+            "in_a",
+            "doc_id",
+            k=ks,
+        )
+        sd = kmv_row_sample(df, "in_a", "doc_id", k=ks)
+        assert sorted(map(tuple, sm.collect())) == sorted(
+            map(tuple, sd.collect())
+        )
+
+    check()

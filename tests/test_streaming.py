@@ -955,3 +955,70 @@ def test_streaming_boilerplate_report_accumulates_to_global(spark):
         # was seen by 4 docs across 3 different batches
         counts = {r.line: r.n_docs for r in merged.collect()}
         assert counts["common banner"] == 4 and counts["other footer"] == 2
+
+
+def test_streaming_kmv_sketches_accumulate_to_global(spark):
+    """The crawl-shaped KMV lifecycle: each micro-batch appends its own
+    per-group sketch (k smallest value hashes) to a stored sketch table;
+    merging the store must give the identical sketch AND estimate to
+    sketching everything crawled so far in one shot — distinct counting
+    that composes across days without rescans, including values re-seen
+    across batches (the merge's DISTINCT collapses them)."""
+    from steam_data_engineer_project_spark.operators.sketches import (
+        kmv_estimate_from_sketch,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    batches = [
+        [("en", f"v{i}") for i in range(40)],
+        [("en", f"v{i}") for i in range(20, 60)] + [("de", "d0"), ("de", "d1")],
+        [("en", f"v{i}") for i in range(50, 90)] + [("de", "d1"), ("de", "d2")],
+    ]
+    k = 16
+    with tempfile.TemporaryDirectory() as td:
+        in_dir = os.path.join(td, "incoming")
+        sk_dir = os.path.join(td, "sketches")
+        ckpt = os.path.join(td, "ckpt")
+        os.makedirs(in_dir)
+
+        def sketch(batch_df, batch_id):
+            kmv_sketch(batch_df, "lang", "v", k=k).write.mode("append").parquet(
+                sk_dir
+            )
+
+        for i, rows in enumerate(batches):
+            _write_events(
+                in_dir, f"b{i}.jsonl", [{"lang": g, "v": v} for g, v in rows]
+            )
+            (
+                spark.readStream.schema("lang string, v string")
+                .option("maxFilesPerTrigger", "1")
+                .json(in_dir)
+                .writeStream.foreachBatch(sketch)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination(120)
+            )
+
+        merged = kmv_merge([spark.read.parquet(sk_dir)], "lang", k=k)
+        direct = kmv_sketch(
+            spark.createDataFrame(
+                [r for b in batches for r in b], "lang string, v string"
+            ),
+            "lang",
+            "v",
+            k=k,
+        )
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, direct.collect())
+        )
+        est = {
+            r.lang: (r.est_distinct, r.sketch_size)
+            for r in kmv_estimate_from_sketch(merged, "lang", k=k).collect()
+        }
+        # de never fills the sketch: exact 3 distinct across batches;
+        # en saw 90 distinct values with overlap — estimator engaged
+        assert est["de"] == (3, 3)
+        assert est["en"][1] == k and 40 <= est["en"][0] <= 300
