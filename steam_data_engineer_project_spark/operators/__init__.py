@@ -15,6 +15,7 @@ from .dedup import (
     duplicated_spans,
     exact_dedup,
     incremental_dedup_verdicts,
+    incremental_duplicated_spans,
     minhash_signatures,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
@@ -76,6 +77,7 @@ __all__ = [
     "exact_dedup",
     "group_quantiles",
     "incremental_dedup_verdicts",
+    "incremental_duplicated_spans",
     "incremental_semantic_verdicts",
     "ivf_topk_trained",
     "kmeans_int8",

@@ -776,17 +776,8 @@ def duplicated_spans(
     Window hashes are xxhash64 like line dedup (8-byte shuffle keys;
     collisions only ever over-drop). Determinism: everything is
     content-derived — no ordering sensitivity anywhere."""
-    toks = df.select(
-        F.col(id_col),
-        F.split(_normalized(F.col(text_col)), " ").alias("__toks"),
-    ).select(
-        id_col,
-        F.filter(F.col("__toks"), lambda x: x != "").alias("__toks"),
-    )
-    grams = toks.select(
-        F.col(id_col),
-        F.posexplode(_word_shingles(F.col("__toks"), w)).alias("pos0", "gram"),
-    ).select(id_col, "pos0", F.xxhash64("gram").alias("gh"))
+    toks = _span_toks(df, text_col, id_col)
+    grams = _span_grams(toks, id_col, w)
     shared = (
         grams.select("gh", id_col)
         .distinct()
@@ -795,19 +786,47 @@ def duplicated_spans(
         .filter(F.col("n_docs") >= min_docs)
         .select("gh")
     )
-    # per doc: SORTED array of shared-window start positions (0-based)
     starts = (
         grams.join(shared, "gh")
         .groupBy(id_col)
         .agg(F.array_sort(F.collect_set("pos0")).alias("__starts"))
     )
+    return _span_coverage(toks, starts, id_col, w)
+
+
+def _span_toks(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, __toks): normalized non-empty token array per doc."""
+    return df.select(
+        F.col(id_col),
+        F.split(_normalized(F.col(text_col)), " ").alias("__toks"),
+    ).select(
+        id_col,
+        F.filter(F.col("__toks"), lambda x: x != "").alias("__toks"),
+    )
+
+
+def _span_grams(toks: DataFrame, id_col: str, w: int) -> DataFrame:
+    """(id, pos0, gh): every w-token window with its 0-based start and
+    xxhash64 (8-byte shuffle/join keys, collisions only ever over-drop)."""
+    return toks.select(
+        F.col(id_col),
+        F.posexplode(_word_shingles(F.col("__toks"), w)).alias("pos0", "gram"),
+    ).select(id_col, "pos0", F.xxhash64("gram").alias("gh"))
+
+
+def _span_coverage(
+    toks: DataFrame, starts: DataFrame, id_col: str, w: int
+) -> DataFrame:
+    """Shared span algebra: given per-doc SORTED arrays of flagged window
+    start positions, compute (id, clean_text, n_tokens, n_dup_tokens,
+    n_spans) — a token p is covered iff a flagged window starts in
+    [p-w+1, p], so no interval-merge state is ever needed."""
     marked = toks.join(starts, id_col, "left").withColumn(
         "__starts",
         F.coalesce(F.col("__starts"), F.array().cast("array<int>")),
     )
 
     def covered(p):
-        # token p covered iff a shared window starts in [p-w+1, p]
         return F.exists(
             F.col("__starts"), lambda s: (s <= p) & (p < s + F.lit(w))
         )
@@ -839,3 +858,49 @@ def duplicated_spans(
         .cast("long")
         .alias("n_spans"),
     )
+
+
+def incremental_duplicated_spans(
+    corpus: DataFrame,
+    incoming: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    w: int = 10,
+) -> DataFrame:
+    """Batch-vs-corpus substring dedup — the crawl-shaped form of
+    :func:`duplicated_spans`, completing the incremental family at span
+    granularity (doc-level: incremental_dedup_verdicts; embedding-level:
+    clustering.incremental_semantic_verdicts): for each INCOMING document,
+    the tokens covered by w-token windows that appear ANYWHERE in the
+    existing corpus, with the corpus never paired against itself.
+
+    Returns (id_col, clean_text, n_tokens, n_dup_tokens, n_spans) for
+    every incoming doc — n_dup_tokens = 0 is the verified 'new' path.
+
+    Scale shape: the batch's distinct window hashes BROADCAST into a
+    semi-join against the corpus window table (at 100 TB that table is the
+    STORED artifact a pipeline maintains — append each admitted batch's
+    windows — so per-batch cost is one scan of the store, or a
+    bloom-prefiltered fraction of it, never a corpus re-shingle); matched
+    hashes broadcast back to the batch's positions and the coverage
+    algebra is the same pure array math as the full operator. A window the
+    incoming doc shares only with OTHER INCOMING docs does NOT count —
+    batch-internal duplication is the full operator's job after admission.
+    """
+    inc_toks = _span_toks(incoming, text_col, id_col)
+    inc_grams = _span_grams(inc_toks, id_col, w)
+    corpus_gh = (
+        _span_grams(_span_toks(corpus, text_col, id_col), id_col, w)
+        .select("gh")
+        .distinct()
+    )
+    matched = corpus_gh.join(
+        F.broadcast(inc_grams.select("gh").distinct()), "gh", "left_semi"
+    )
+    starts = (
+        inc_grams.join(F.broadcast(matched), "gh")
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_set("pos0")).alias("__starts"))
+    )
+    return _span_coverage(inc_toks, starts, id_col, w)

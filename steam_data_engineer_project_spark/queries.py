@@ -39,6 +39,7 @@ from .operators.dedup import (
     corpus_line_dedup,
     cross_corpus_contamination,
     duplicated_spans,
+    incremental_duplicated_spans,
     exact_dedup,
     incremental_dedup_verdicts,
     minhash_lsh_candidates,
@@ -3075,7 +3076,17 @@ def dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
       shuffle; docs with ≥3 hitting shingles surface as candidates
       (n_eval_matches = hit count, max_shared = probed count). The bit
       math (md5-derived positions, 32-bit bit_or words) is replayed by
-      the oracle exactly, false positives included."""
+      the oracle exactly, false positives included.
+
+    - span: batch-vs-corpus SUBSTRING dedup (operators/dedup.
+      incremental_duplicated_spans) — the same incoming batch (≡3 mod 10)
+      checked for 10-token windows appearing anywhere in the corpus side,
+      over its own fixture: incoming docs ≡3 (mod 20) and corpus docs
+      ≡6 (mod 20) append a 13-token quoted passage keyed doc_id % 3, so
+      those incoming docs MUST surface verdict='span_dup' with
+      n_eval_matches(=n_dup_tokens) = 13 and max_shared(=n_spans) = 1,
+      while incoming docs ≡13 (mod 20) prove the 'new' path with zero
+      coverage (word soup has no natural 10-gram collisions)."""
     d = _docs(spark, sf_dir)
     is_eval = F.col("source").isin("src0", "src1")
     marker = F.concat(
@@ -3180,7 +3191,41 @@ def dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("double").alias("max_jaccard"),
         )
     )
-    return contamination.unionByName(incremental).unionByName(bloom)
+
+    passage = F.concat(
+        F.lit(
+            "quoted shared passage alpha bravo charlie delta echo foxtrot "
+            "golf hotel variant "
+        ),
+        (F.col("doc_id") % 3).cast("string"),
+    )
+    sp_text = F.concat_ws(
+        " ",
+        F.col("text"),
+        F.when((F.col("doc_id") % 20).isin(3, 6), passage),
+    )
+    sp = d.select("doc_id", sp_text.alias("sptext"))
+    span = incremental_duplicated_spans(
+        sp.filter(F.col("doc_id") % 10 != 3),
+        sp.filter(F.col("doc_id") % 10 == 3),
+        "sptext",
+        "doc_id",
+        w=10,
+    ).select(
+        F.lit("span").alias("part"),
+        F.col("doc_id").alias("train_id"),
+        F.when(F.col("n_dup_tokens") > 0, F.lit("span_dup"))
+        .otherwise(F.lit("new"))
+        .alias("verdict"),
+        F.col("n_dup_tokens").alias("n_eval_matches"),
+        F.col("n_spans").alias("max_shared"),
+        F.lit(None).cast("double").alias("max_jaccard"),
+    )
+    return (
+        contamination.unionByName(incremental)
+        .unionByName(bloom)
+        .unionByName(span)
+    )
 
 
 DEDUP_CROSS_CORPUS_ORACLE = r"""
@@ -3355,6 +3400,55 @@ FROM (
   )
   SELECT doc_id, COUNT(*) AS n_probed, SUM(hit) AS n_hits
   FROM bhit GROUP BY doc_id HAVING SUM(hit) >= 3
+)
+
+UNION ALL
+
+-- span leg: operators/dedup.incremental_duplicated_spans replay —
+-- incoming (≡3 mod 10) docs' 10-token windows checked against the
+-- corpus side's window set; coverage algebra as in the substring leg.
+SELECT 'span' AS part, doc_id AS train_id,
+       CASE WHEN n_dup > 0 THEN 'span_dup' ELSE 'new' END AS verdict,
+       CAST(n_dup AS BIGINT) AS n_eval_matches,
+       CAST(n_sp AS BIGINT) AS max_shared,
+       CAST(NULL AS DOUBLE) AS max_jaccard
+FROM (
+  WITH spbase AS (
+    SELECT doc_id,
+           concat_ws(' ', text,
+             CASE WHEN doc_id % 20 IN (3, 6) THEN
+               'quoted shared passage alpha bravo charlie delta echo foxtrot golf hotel variant '
+               || CAST(doc_id % 3 AS VARCHAR)
+             END) AS sptext,
+           doc_id % 10 = 3 AS is_inc
+    FROM documents
+  ), sptoks AS (
+    SELECT doc_id, is_inc,
+           list_filter(string_split(trim(regexp_replace(lower(sptext), '\s+', ' ', 'g')), ' '),
+                       x -> x <> '') AS t
+    FROM spbase
+  ), spwin AS (
+    SELECT doc_id, is_inc, i - 1 AS pos0, array_to_string(t[i:i+9], ' ') AS gram
+    FROM sptoks, UNNEST(range(1, len(t) - 8)) u(i)
+    WHERE len(t) >= 10
+  ), cgrams AS (
+    SELECT DISTINCT gram FROM spwin WHERE NOT is_inc
+  ), istarts AS (
+    SELECT w.doc_id, list_sort(list(DISTINCT w.pos0)) AS st
+    FROM spwin w JOIN cgrams USING (gram)
+    WHERE w.is_inc
+    GROUP BY w.doc_id
+  )
+  SELECT s.doc_id,
+         CAST(len(list_filter(range(0, len(s.t)),
+               p -> len(list_filter(COALESCE(i.st, []), x -> x <= p AND p < x + 10)) > 0))
+              AS BIGINT) AS n_dup,
+         CAST(len(list_filter(range(0, len(s.t)),
+               p -> len(list_filter(COALESCE(i.st, []), x -> x <= p AND p < x + 10)) > 0
+                    AND (p = 0 OR len(list_filter(COALESCE(i.st, []), x -> x <= p - 1 AND p - 1 < x + 10)) = 0)))
+              AS BIGINT) AS n_sp
+  FROM sptoks s LEFT JOIN istarts i USING (doc_id)
+  WHERE s.is_inc
 )
 """
 

@@ -2593,3 +2593,41 @@ def test_merge_operators_property_random_shards_equal_direct(spark):
         )
 
     check()
+
+
+def test_incremental_duplicated_spans_batch_vs_corpus_only(spark):
+    """The crawl-shaped span dedup: an incoming doc quoting corpus text is
+    flagged with exactly the quoted span; a window shared only BETWEEN
+    incoming docs does NOT count (batch-internal duplication belongs to
+    the full operator after admission); unrelated incoming docs take the
+    zero-coverage 'new' path."""
+    from steam_data_engineer_project_spark.operators.dedup import (
+        incremental_duplicated_spans,
+    )
+
+    passage = " ".join(f"q{i}" for i in range(12))
+    batchdup = " ".join(f"b{i}" for i in range(10))
+    corpus = spark.createDataFrame(
+        [(100, "corpus filler text " + passage + " more corpus filler")],
+        "doc_id long, text string",
+    )
+    incoming = spark.createDataFrame(
+        [
+            (1, "lead in " + passage + " tail words"),
+            (2, batchdup + " unique two"),
+            (3, batchdup + " unique three"),
+            (4, "nothing shared with anything here at all ten tokens pad"),
+        ],
+        "doc_id long, text string",
+    )
+    r = {
+        x.doc_id: x
+        for x in incremental_duplicated_spans(
+            corpus, incoming, "text", "doc_id", w=10
+        ).collect()
+    }
+    assert (r[1].n_dup_tokens, r[1].n_spans) == (12, 1)
+    assert r[1].clean_text == "lead in tail words"
+    # batch-internal 10-gram shared by docs 2 and 3: NOT corpus-backed
+    assert r[2].n_dup_tokens == 0 and r[3].n_dup_tokens == 0
+    assert r[4].n_dup_tokens == 0 and r[4].n_spans == 0
