@@ -867,6 +867,7 @@ def incremental_duplicated_spans(
     id_col: str,
     *,
     w: int = 10,
+    broadcast_batch: bool = True,
 ) -> DataFrame:
     """Batch-vs-corpus substring dedup — the crawl-shaped form of
     :func:`duplicated_spans`, completing the incremental family at span
@@ -887,19 +888,27 @@ def incremental_duplicated_spans(
     algebra is the same pure array math as the full operator. A window the
     incoming doc shares only with OTHER INCOMING docs does NOT count —
     batch-internal duplication is the full operator's job after admission.
+
+    ``broadcast_batch`` (default True) hints the batch's distinct window
+    hashes — and the matched subset, which is no larger — to both joins;
+    right for the crawl shape (a batch is MBs against a TB corpus). A
+    backfill-sized "batch" whose distinct windows exceed executor memory
+    should pass False and let the planner shuffle both joins instead —
+    results identical, exchanges instead of broadcasts.
     """
     inc_toks = _span_toks(incoming, text_col, id_col)
     inc_grams = _span_grams(inc_toks, id_col, w)
+    hint = F.broadcast if broadcast_batch else (lambda df: df)
     corpus_gh = (
         _span_grams(_span_toks(corpus, text_col, id_col), id_col, w)
         .select("gh")
         .distinct()
     )
     matched = corpus_gh.join(
-        F.broadcast(inc_grams.select("gh").distinct()), "gh", "left_semi"
+        hint(inc_grams.select("gh").distinct()), "gh", "left_semi"
     )
     starts = (
-        inc_grams.join(F.broadcast(matched), "gh")
+        inc_grams.join(hint(matched), "gh")
         .groupBy(id_col)
         .agg(F.array_sort(F.collect_set("pos0")).alias("__starts"))
     )

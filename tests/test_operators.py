@@ -2631,3 +2631,29 @@ def test_incremental_duplicated_spans_batch_vs_corpus_only(spark):
     # batch-internal 10-gram shared by docs 2 and 3: NOT corpus-backed
     assert r[2].n_dup_tokens == 0 and r[3].n_dup_tokens == 0
     assert r[4].n_dup_tokens == 0 and r[4].n_spans == 0
+
+
+def test_incremental_spans_shuffle_path_matches_broadcast_path(spark):
+    """broadcast_batch=False (the backfill-sized-batch escape hatch) must
+    produce identical rows to the broadcast default — only the join
+    strategy changes."""
+    from steam_data_engineer_project_spark.operators.dedup import (
+        incremental_duplicated_spans,
+    )
+
+    passage = " ".join(f"q{i}" for i in range(12))
+    corpus = spark.createDataFrame(
+        [(100, "corpus filler " + passage + " more filler")],
+        "doc_id long, text string",
+    )
+    incoming = spark.createDataFrame(
+        [(1, "lead " + passage + " tail"), (2, "nothing shared here at all now")],
+        "doc_id long, text string",
+    )
+    a = incremental_duplicated_spans(
+        corpus, incoming, "text", "doc_id", w=10, broadcast_batch=True
+    )
+    b = incremental_duplicated_spans(
+        corpus, incoming, "text", "doc_id", w=10, broadcast_batch=False
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
