@@ -112,6 +112,20 @@ def shingle_postings(
     return postings
 
 
+def _postings_from_pairs(
+    pairs: DataFrame, id_col: str, max_doc_freq: int | None
+) -> DataFrame:
+    """Posting lists from a precomputed distinct (id, shingle) table —
+    the same one-shuffle shape as :func:`shingle_postings`, for callers
+    sharing a materialized shingle pass across consumers."""
+    postings = pairs.groupBy("shingle").agg(
+        F.array_sort(F.collect_set(id_col)).alias("ids")
+    )
+    if max_doc_freq is not None:
+        postings = postings.filter(F.size("ids") <= max_doc_freq)
+    return postings
+
+
 def _posting_pairs(ids):
     """All ordered pairs (a < b) from a sorted id array, generated JVM-side
     with higher-order functions — no self-join. Bounded by the doc-freq cap."""
@@ -498,6 +512,8 @@ def cross_corpus_contamination(
     n: int = 3,
     min_shared: int = 2,
     max_doc_freq: int | None = None,
+    train_shingles: DataFrame | None = None,
+    eval_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Decontamination: n-gram overlap of every TRAIN document against an
     EVAL/benchmark corpus — the leakage check a training-data pipeline runs
@@ -515,9 +531,25 @@ def cross_corpus_contamination(
     (train, eval) pairs explode JVM-side bounded by
     ``max_doc_freq_train × max_doc_freq_eval`` per shingle. The Jaccard
     denominator uses each side's own capped shingle count.
+
+    ``train_shingles`` / ``eval_shingles`` optionally supply precomputed
+    distinct (id, shingle) tables (the :func:`shingle_table` shape) in
+    place of re-shingling ``train`` / ``eval_`` — for callers that feed
+    several consumers from ONE materialized shingle pass (the
+    dedup_cross_corpus suite shares them with its bloom-prefilter leg).
+    Semantics are identical: posting lists and doc-frequency caps are
+    built from the given pairs exactly as from a fresh explosion.
     """
-    tp = shingle_postings(train, text_col, id_col, n, max_doc_freq=max_doc_freq)
-    ep = shingle_postings(eval_, text_col, id_col, n, max_doc_freq=max_doc_freq)
+    tp = (
+        shingle_postings(train, text_col, id_col, n, max_doc_freq=max_doc_freq)
+        if train_shingles is None
+        else _postings_from_pairs(train_shingles, id_col, max_doc_freq)
+    )
+    ep = (
+        shingle_postings(eval_, text_col, id_col, n, max_doc_freq=max_doc_freq)
+        if eval_shingles is None
+        else _postings_from_pairs(eval_shingles, id_col, max_doc_freq)
+    )
     t_sizes = (
         tp.select(F.explode("ids").alias("train_id"))
         .groupBy("train_id")

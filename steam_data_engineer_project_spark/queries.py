@@ -3102,8 +3102,14 @@ def dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     train = with_m.filter(~F.col("source").isin("src0", "src1"))
     ev = with_m.filter(F.col("source").isin("src0", "src1"))
+    # ONE shingle pass per side, checkpointed (lineage-flat, same as the
+    # e2e pipeline's stage frames) and shared by the contamination AND
+    # bloom legs below — re-shingling mtext twice was ~25% of this suite.
+    tr_sh = shingle_table(train, "mtext", "doc_id", n=3).localCheckpoint()
+    ev_sh = shingle_table(ev, "mtext", "doc_id", n=3).localCheckpoint()
     pairs = cross_corpus_contamination(
-        train, ev, "mtext", "doc_id", n=3, min_shared=2, max_doc_freq=200
+        train, ev, "mtext", "doc_id", n=3, min_shared=2, max_doc_freq=200,
+        train_shingles=tr_sh, eval_shingles=ev_sh,
     )
     contamination = (
         pairs.groupBy("train_id")
@@ -3167,14 +3173,14 @@ def dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # marker whose 5 interior shingles all live in the eval union, so it
     # MUST surface with n_hits ≥ 5 (pinned in tests/test_operators.py).
     ev_bits = bloom_bitset(
-        shingle_table(ev, "mtext", "doc_id", n=3).select("shingle"),
+        ev_sh.select("shingle"),
         "shingle",
         m_bits=1 << 22,
         n_hashes=4,
     )
     bloom = (
         bloom_probe_count(
-            shingle_table(train, "mtext", "doc_id", n=3),
+            tr_sh,
             "shingle",
             "doc_id",
             ev_bits,

@@ -323,7 +323,7 @@ EXCHANGE_BUDGET = {
     "corpus_pipeline_e2e": 8,  # round 6: 9-stage composition; stage materialization moved from persist to eager localCheckpoint (plan-tree flattening — see the query docstring), so the audited plan counts only the post-checkpoint arms (split/mix/pack windows, leakage join, funnel aggs); the stage-build exchanges run eagerly outside this plan, same accounting as the kmeans iterations
     "dedup_cluster_canonical": 2,
     "dedup_corpus_lines": 12,  # +3 boilerplate leg: distinct-doc line count agg + the sharded top-m window (WindowGroupLimit-pruned) + its re-shard; +4 substring leg (shared-window distinct + doc-count agg + per-doc start-list agg + the left join back onto the token table)
-    "dedup_cross_corpus": 38,  # two corpus-vs-corpus jobs: contamination + incremental verdicts (each an inverted-index build per side + pair agg) + the exact-tier distinct/join; +4 bloom leg (bitset distinct + bit_or agg on ≤131k words, per-value all-hit agg, per-doc count — the probe join itself is broadcast, no train shuffle); +6 span leg (corpus + batch window distincts, the corpus-side semi-join, per-doc start-list agg, coverage join — the batch side broadcasts both ways)
+    "dedup_cross_corpus": 34,  # two corpus-vs-corpus jobs: contamination + incremental verdicts (each an inverted-index build per side + pair agg) + the exact-tier distinct/join; +4 bloom leg (bitset distinct + bit_or agg on ≤131k words, per-value all-hit agg, per-doc count — the probe join itself is broadcast, no train shuffle); +6 span leg (corpus + batch window distincts, the corpus-side semi-join, per-doc start-list agg, coverage join — the batch side broadcasts both ways); −4 after the contamination and bloom legs started sharing one checkpointed shingle pass per side
     "dedup_embedding_cosine": 6,  # +4 semdedup legs: pair self-join + size agg over the persisted quantized base (assignment itself is shuffle-free); round-6 incremental legs fit free — the batch side broadcasts and the frozen-state kmeans aggs run eagerly outside this plan
     "dedup_exact_docs": 8,  # +6 kmv leg: bigram distinct + WindowGroupLimit-pruned top-k + exact countDistinct comparison
     "sketch_merge_suite": 33,  # deliberately a 3-shard lifecycle in ONE plan: each of 4 sketch legs builds 3 per-day summaries (each its own distinct/agg/window) before merging — in production those are separate daily jobs storing tiny tables; every post-summary exchange here carries bounded rows (≤k·groups, ≤m/32 words, ≤top_m·shards)
