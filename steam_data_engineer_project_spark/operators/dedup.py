@@ -536,9 +536,15 @@ def cross_corpus_contamination(
     distinct (id, shingle) tables (the :func:`shingle_table` shape) in
     place of re-shingling ``train`` / ``eval_`` — for callers that feed
     several consumers from ONE materialized shingle pass (the
-    dedup_cross_corpus suite shares them with its bloom-prefilter leg).
-    Semantics are identical: posting lists and doc-frequency caps are
-    built from the given pairs exactly as from a fresh explosion.
+    dedup_cross_corpus suite shares them with its bloom-prefilter leg)
+    or serve a STORED shingle table. Semantics are identical: posting
+    lists and doc-frequency caps are built from the given pairs exactly
+    as from a fresh explosion. NOTE: when a side's shingle table is
+    supplied, that side's DataFrame and the ``n`` / ``text_col``
+    parameters are IGNORED for it — the caller owns the guarantee that
+    the table was shingled with the intended (text_col, n); a table
+    built with a different n silently changes what "shared shingle"
+    means.
     """
     tp = (
         shingle_postings(train, text_col, id_col, n, max_doc_freq=max_doc_freq)

@@ -184,6 +184,13 @@ def kmv_row_sample(
     partition to k rows BEFORE the exchange, so the shuffle carries
     ≤ k·partitions rows per group regardless of group size. Keeps all
     input columns plus the hash (``__kmv_rh``) for downstream re-merging.
+
+    PRECONDITION: ``key_col`` must be unique per row (the same contract
+    :func:`kmv_merge` states for k). Duplicate keys tie on
+    (``__kmv_rh``, key) — row selection among the tied copies becomes
+    partition-order-dependent, and the tied rows inflate the sample past
+    one-per-key — so deduplicate on the key upstream (or pick a truly
+    unique key) before sampling.
     """
     rh = F.conv(
         F.substring(

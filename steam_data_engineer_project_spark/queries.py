@@ -5651,8 +5651,15 @@ def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         mix.select("doc_id", "text"), "text", "doc_id",
         chunk_chars=200, overlap_chars=40,
     )
+    # chunk_uid is a STRING composite key ("doc_id:chunk_idx") —
+    # collision-free by construction for any doc length (the earlier
+    # doc_id*1000+idx form silently collided past 1000 chunks ≈ 160k
+    # chars, routine in a web corpus; pack_sequences hashes the key with
+    # md5 so string keys cost nothing extra).
     ch = chunks.select(
-        (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("chunk_uid"),
+        F.concat_ws(
+            ":", F.col("doc_id").cast("string"), F.col("chunk_idx").cast("string")
+        ).alias("chunk_uid"),
         whitespace_token_count(F.col("chunk_text")).alias("toks"),
     )
     packed = pack_sequences(ch, "chunk_uid", "toks", budget=512, num_shards=16)
@@ -5860,7 +5867,7 @@ WITH RECURSIVE train0 AS MATERIALIZED (
 ), mix AS MATERIALIZED (
   SELECT * FROM mixr WHERE cum <= token_budget
 ), chunks AS (
-  SELECT doc_id * 1000 + i AS uid,
+  SELECT CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR) AS uid,
          substring(text, CAST(i * 160 + 1 AS INT), 200) AS chunk_text
   FROM mix,
        LATERAL UNNEST(range(GREATEST(1, CAST(ceil((length(text) - 40) / 160.0) AS BIGINT)))) AS t(i)

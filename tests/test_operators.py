@@ -859,6 +859,46 @@ def test_pack_sequences_budget_and_determinism(spark):
     assert sum(per_pack[giant_pack]) >= 5000
 
 
+def test_chunk_uid_is_collision_free_past_1000_chunks(spark):
+    """The e2e pipeline's chunk key ("doc_id:chunk_idx" string composite)
+    must stay unique for a >1000-chunk document — the regime where the old
+    doc_id*1000+idx arithmetic silently collided (any doc over ~160k chars
+    at 200/40 chunking), corrupting pack accounting. Plant a 170k-char doc
+    next to the doc whose ids its chunks used to collide into, and verify
+    uid uniqueness plus exact token conservation through packing."""
+    from pyspark.sql import functions as F
+
+    from steam_data_engineer_project_spark.operators.chunking import (
+        chunk_documents,
+        pack_sequences,
+        whitespace_token_count,
+    )
+
+    long_text = ("word " * 4) + ("lorem ipsum dolor sit amet " * 6300)
+    df = spark.createDataFrame(
+        [(7, long_text), (7001, "victim doc seven thousand one"),
+         (7002, "second bystander document")],
+        "doc_id long, text string",
+    )
+    chunks = chunk_documents(df, "text", "doc_id", 200, 40)
+    ch = chunks.select(
+        F.concat_ws(
+            ":", F.col("doc_id").cast("string"), F.col("chunk_idx").cast("string")
+        ).alias("chunk_uid"),
+        whitespace_token_count(F.col("chunk_text")).alias("toks"),
+    )
+    n_chunks = ch.count()
+    assert n_chunks > 1000 + 2  # the planted doc really exceeds 1000 chunks
+    assert ch.select("chunk_uid").distinct().count() == n_chunks  # no collisions
+    packed = pack_sequences(ch, "chunk_uid", "toks", budget=512, num_shards=16)
+    # every chunk admitted exactly once: pack token totals == chunk totals
+    assert packed.count() == n_chunks
+    assert (
+        packed.agg(F.sum("toks")).first()[0]
+        == ch.agg(F.sum("toks")).first()[0]
+    )
+
+
 # ------------------------------------------------------------------ sampling
 
 
