@@ -515,11 +515,17 @@ def ivf_topk_trained(
     n_centroids: int = 16,
     n_iter: int = 3,
     n_probe: int = 4,
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN top-k over a TRAINED codebook, all-integer and oracle-exact:
 
     1. train the codebook (:func:`train_ivf_codebook` — integer k-means,
-       micro-unit centroids);
+       micro-unit centroids), or SERVE a stored one: pass ``codebook``
+       (the (centroid_id, cv) table train_ivf_codebook emits, e.g. read
+       back from parquet) and no training runs at all — the production
+       shape, where a codebook is trained once, persisted, and every
+       query after that is pure scan + broadcast joins (``n_centroids`` /
+       ``n_iter`` are ignored on this path);
     2. assign every int8-quantized vector to its nearest centroid by exact
        integer cosine (broadcast codebook join + max-struct argmax, ties →
        smallest centroid id — one narrow pass, no wide shuffle);
@@ -537,9 +543,11 @@ def ivf_topk_trained(
         "nx",
         F.aggregate("qv", F.lit(0).cast("long"), lambda a, v: a + v * v),
     )
-    codebook = train_ivf_codebook(
-        df, vec_col, id_col, n_centroids=n_centroids, n_iter=n_iter
-    ).withColumn(
+    if codebook is None:
+        codebook = train_ivf_codebook(
+            df, vec_col, id_col, n_centroids=n_centroids, n_iter=n_iter
+        )
+    codebook = codebook.withColumn(
         "nc",
         F.aggregate("cv", F.lit(0).cast("long"), lambda a, v: a + v * v),
     )

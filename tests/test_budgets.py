@@ -33,7 +33,7 @@ SF_DIR = os.environ.get(
 #: seconds; regenerate with `python tools/derive_time_budgets.py`
 TIME_BUDGET = {
     "ann_cosine_topk": 3.0,
-    "ann_ivf_topk": 9.0,  # round 6: gained the trained-codebook leg (a full kmeans_int8 train + integer-cosine IVF, ~4s steady)
+    "ann_ivf_topk": 9.0,  # round 7: trained leg serves a STORED codebook cached per (session, corpus) — the budget covers the worst case where THIS process pays the one-time train+write (steady-state serve is ~1.3s at sf0.1; the first pass ~6.6s)
     "ann_lsh_suite": 3.0,
     "ann_quantized_topk": 3.0,
     "cdc_suite": 3.0,

@@ -113,6 +113,23 @@ def test_flagship_agg_has_mapside_partial(plans):
     assert re.search(r"partial_(sum|count|avg|min|max)", plan), plan
 
 
+def test_ann_ivf_served_plan_has_no_training(plans):
+    """The trained-IVF leg serves a STORED parquet codebook: the returned
+    plan must contain zero kmeans machinery — no Arrow-batched assignment
+    pass (MapInPandas) and no scan-time codebook aggregation — only the
+    embeddings scan, broadcast codebook/probe joins, and the argmax agg.
+    Training runs once at the codebook WRITE action, never per driver
+    action; a regression that drags the train back into the served plan
+    re-runs Lloyd on every downstream consumer at 100 TB."""
+    plan = plans["ann_ivf_topk"]
+    # before round 7 the trained leg embedded kmeans' Arrow assignment pass
+    # (MapInPandas) in the served plan; with the stored codebook it must be
+    # gone. (The codebook parquet scan itself sits below the tree-string
+    # truncation point, so its presence is pinned by the oracle's codebook
+    # leg instead — serving a wrong/missing store hash-fails.)
+    assert "MapInPandas" not in plan, plan
+
+
 def test_star_denorm_broadcasts_dimensions(spark):
     """J1: after AQE finishes, every dim side of the 8-way star denorm is a
     BroadcastHashJoin; the one SortMergeJoin is orders⋈lineitem — the
@@ -311,7 +328,7 @@ def test_packing_costs_exactly_one_shuffle(spark):
 #: fixture and justify in the commit).
 EXCHANGE_BUDGET = {
     "ann_cosine_topk": 2,
-    "ann_ivf_topk": 5,  # +1 trained-codebook leg: the integer-cosine assignment argmax agg (codebook+probe joins stay broadcast; kmeans iterations run eagerly outside this plan)
+    "ann_ivf_topk": 5,  # round 7: trained leg now SERVES a stored parquet codebook — kmeans train + codebook build run once at the write action, so the audited plan is scan + broadcast joins + the integer-cosine assignment argmax agg (and the codebook leg reads the store with zero exchanges)
     "ann_lsh_suite": 2,
     "ann_quantized_topk": 2,
     "cdc_suite": 3,
