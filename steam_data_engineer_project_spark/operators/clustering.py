@@ -597,8 +597,62 @@ def ivf_topk_trained(
     )
 
 
+def assign_with_state(
+    df: DataFrame | None,
+    vec_col: str,
+    id_col: str,
+    state: list,
+    *,
+    qdf: DataFrame | None = None,
+    broadcast_state: bool = False,
+) -> DataFrame:
+    """Assign vectors to a FROZEN centroid state — the admission step of
+    the stored-codebook lifecycle: a batch is quantized and assigned in
+    one Arrow pass (no re-clustering), and the resulting
+    (id, qv, cluster_id) rows are what a pipeline APPENDS to its stored
+    inverted file (see :func:`semantic_state_table`). Returns
+    (id, qv, cluster_id, dist)."""
+    if qdf is None:
+        qdf = quantized_vectors(df, vec_col, id_col)
+    return _assign_to_centroids(qdf, id_col, state, broadcast_state=broadcast_state)
+
+
+def semantic_state_table(spark, state: list) -> DataFrame:
+    """The frozen k-means centroid state as a k-row DataFrame
+    (cid, s array<long>, c) — the codebook ARTIFACT an incremental
+    pipeline PERSISTS (one parquet write per corpus release) and later
+    reloads via :func:`semantic_state_from_table`. Stores the exact Lloyd
+    sums-and-counts, not derived means, so a store/serve round trip is
+    bit-lossless: assignments from the reloaded state are identical to
+    assignments from the in-memory state."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("cid", T.LongType()),
+            T.StructField("s", T.ArrayType(T.LongType())),
+            T.StructField("c", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [(int(cid), [int(v) for v in s], int(c)) for cid, s, c in state],
+        schema,
+    )
+
+
+def semantic_state_from_table(df: DataFrame) -> list:
+    """Reload a stored :func:`semantic_state_table` artifact into the
+    sorted (cid, s, c) list :func:`_assign_to_centroids` consumes — a
+    bounded k-row collect (codebook-class driver traffic, same cost class
+    as k-means' own seed collect)."""
+    return sorted(
+        (int(r["cid"]), [int(v) for v in r["s"]], int(r["c"]))
+        for r in df.select("cid", "s", "c").collect()
+    )
+
+
 def incremental_semantic_verdicts(
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     incoming: DataFrame,
     vec_col: str,
     id_col: str,
@@ -609,6 +663,8 @@ def incremental_semantic_verdicts(
     corpus_qdf: DataFrame | None = None,
     incoming_qdf: DataFrame | None = None,
     broadcast_state: bool = False,
+    state: list | None = None,
+    corpus_assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental SemDeDup — the crawl-shaped variant: cluster the CORPUS
     once, FREEZE the centroid state, then classify an incoming batch by
@@ -633,22 +689,34 @@ def incremental_semantic_verdicts(
     cluster_id (the inverted file), untouched clusters are never read.
     Mirrors operators/dedup.incremental_dedup_verdicts (the text-shingle
     sibling); engine-original, no reference counterpart (SURVEY.md §2.12).
+
+    STORE-SERVED path: pass ``state`` (the reloaded
+    :func:`semantic_state_from_table` codebook) to skip training entirely,
+    and ``corpus_assigned`` — the stored inverted file, (id_col, qv,
+    cluster_id) rows appended per admitted batch — to skip the corpus
+    scan/assignment too (``corpus``/``corpus_qdf`` may then be None).
+    This is the per-batch production shape: one stored-table read + one
+    Arrow assignment pass over the batch; ``k``/``n_iter`` are ignored
+    (they were fixed when the stored codebook was trained).
     """
-    if corpus_qdf is None:
-        corpus_qdf = quantized_vectors(corpus, vec_col, id_col)
     if incoming_qdf is None:
         incoming_qdf = quantized_vectors(incoming, vec_col, id_col)
-    state: list = []
-    corpus_assign = kmeans_int8(
-        None,
-        vec_col,
-        id_col,
-        k=k,
-        n_iter=n_iter,
-        qdf=corpus_qdf,
-        broadcast_state=broadcast_state,
-        state_out=state,
-    )
+    if state is None:
+        if corpus_qdf is None:
+            corpus_qdf = quantized_vectors(corpus, vec_col, id_col)
+        state = []
+        corpus_assign = kmeans_int8(
+            None,
+            vec_col,
+            id_col,
+            k=k,
+            n_iter=n_iter,
+            qdf=corpus_qdf,
+            broadcast_state=broadcast_state,
+            state_out=state,
+        )
+    else:
+        corpus_assign = None
     inc_assign = _assign_to_centroids(
         incoming_qdf, id_col, state, broadcast_state=broadcast_state
     )
@@ -660,14 +728,24 @@ def incremental_semantic_verdicts(
         n2.alias("na"),
         "cluster_id",
     )
-    corp_side = (
-        corpus_assign.join(corpus_qdf, id_col)
-        .select(
-            F.col(id_col).alias("corp_id"),
-            F.col("qv").alias("qb"),
-            n2.alias("nb"),
-            "cluster_id",
+    if corpus_assigned is not None:
+        # the stored inverted file already carries (id, qv, cluster_id)
+        corp_base = corpus_assigned
+    elif corpus_assign is not None:
+        corp_base = corpus_assign.join(corpus_qdf, id_col)
+    else:
+        # frozen state but no stored assignment: one frozen-state pass
+        # over the corpus (still no re-clustering)
+        if corpus_qdf is None:
+            corpus_qdf = quantized_vectors(corpus, vec_col, id_col)
+        corp_base = _assign_to_centroids(
+            corpus_qdf, id_col, state, broadcast_state=broadcast_state
         )
+    corp_side = corp_base.select(
+        F.col(id_col).alias("corp_id"),
+        F.col("qv").alias("qb"),
+        n2.alias("nb"),
+        "cluster_id",
     )
     t_sq_104 = int(threshold * threshold * 10_000)  # ⌊10⁴·t²⌋
     dot = F.aggregate(

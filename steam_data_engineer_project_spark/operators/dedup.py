@@ -32,6 +32,18 @@ def _normalized(col):
     return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
 
 
+def normalized_hashes(df: DataFrame, text_col: str) -> DataFrame:
+    """DISTINCT md5 hashes of the canonical text form — the exact-tier
+    ARTIFACT an incremental pipeline stores (append each admitted batch's
+    hashes; serve :func:`incremental_dedup_verdicts` from the store instead
+    of rescanning the corpus). One column ``h``; same :func:`_normalized`
+    canonicalization as :func:`exact_dedup`, so store-served verdicts agree
+    with batch exact-dedup on what a duplicate is. Append-then-distinct is
+    exactly rescan-distinct (set union), so the stored form loses nothing.
+    """
+    return df.select(F.md5(_normalized(F.col(text_col))).alias("h")).distinct()
+
+
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact near-literal dedup: md5 over normalized text, keep the lowest id
     per content group.
@@ -594,7 +606,7 @@ def cross_corpus_contamination(
 
 
 def incremental_dedup_verdicts(
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     incoming: DataFrame,
     text_col: str,
     id_col: str,
@@ -602,6 +614,9 @@ def incremental_dedup_verdicts(
     n: int = 3,
     min_shared: int = 2,
     max_doc_freq: int | None = None,
+    corpus_hashes: DataFrame | None = None,
+    corpus_shingles: DataFrame | None = None,
+    incoming_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Classify an INCOMING batch against an EXISTING corpus — the shape an
     ongoing crawl actually needs: the 100 TB corpus is never re-paired with
@@ -624,19 +639,35 @@ def incremental_dedup_verdicts(
     verdict ∈ ('exact_dup', 'near_dup', 'new') with exact > near > new;
     n_corpus_matches / max_shared / max_jaccard summarize the near tier
     (0 / NULL / NULL for docs with no near match, so the 'new' path is
-    verified too, not just absent)."""
+    verified too, not just absent).
+
+    STORE-SERVED path: pass ``corpus_hashes`` (the :func:`normalized_hashes`
+    artifact) and/or ``corpus_shingles`` (the :func:`shingle_table` artifact)
+    to serve the corresponding tier from a STORED table instead of
+    rescanning ``corpus`` — the shape a 100 TB pipeline actually runs
+    (append each admitted batch's hashes/shingles; per-batch cost is one
+    scan of the small artifact tables, never a corpus re-read). When BOTH
+    are given ``corpus`` may be None. Doc-frequency caps are applied over
+    the stored shingle table at serve time, so store-served ≡ rescan
+    exactly (appending per-batch shingle rows then capping equals capping
+    the union — set semantics). ``incoming_shingles`` optionally shares
+    one batch shingle pass across consumers (e.g. a bloom probe). Same
+    caveat as :func:`cross_corpus_contamination`: a supplied table's side
+    ignores ``n``/``text_col`` for that tier — the caller owns the
+    guarantee that the store was built with the intended canonicalization.
+    """
     inc_ids = incoming.select(F.col(id_col).alias("inc_id"))
+    corpus_h = (
+        corpus_hashes
+        if corpus_hashes is not None
+        else normalized_hashes(corpus, text_col)
+    )
     exact = (
         incoming.select(
             F.col(id_col).alias("inc_id"),
             F.md5(_normalized(F.col(text_col))).alias("h"),
         )
-        .join(
-            corpus.select(
-                F.md5(_normalized(F.col(text_col))).alias("h")
-            ).distinct(),
-            "h",
-        )
+        .join(corpus_h.select("h").distinct(), "h")
         .select("inc_id")
         .distinct()
         .withColumn("is_exact", F.lit(True))
@@ -650,6 +681,8 @@ def incremental_dedup_verdicts(
             n=n,
             min_shared=min_shared,
             max_doc_freq=max_doc_freq,
+            train_shingles=corpus_shingles,
+            eval_shingles=incoming_shingles,
         )
         .groupBy(F.col("eval_id").alias("inc_id"))
         .agg(
@@ -898,14 +931,31 @@ def _span_coverage(
     )
 
 
+def span_windows(
+    df: DataFrame, text_col: str, id_col: str, *, w: int = 10
+) -> DataFrame:
+    """DISTINCT w-token window hashes — the span-tier ARTIFACT an
+    incremental pipeline stores (append each admitted batch's windows;
+    serve :func:`incremental_duplicated_spans` from the store via
+    ``corpus_windows`` instead of re-shingling the corpus). One column
+    ``gh``; same tokenization/window hash as :func:`duplicated_spans`.
+    Append-then-distinct equals rescan-distinct (set union)."""
+    return (
+        _span_grams(_span_toks(df, text_col, id_col), id_col, w)
+        .select("gh")
+        .distinct()
+    )
+
+
 def incremental_duplicated_spans(
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     incoming: DataFrame,
     text_col: str,
     id_col: str,
     *,
     w: int = 10,
     broadcast_batch: bool = True,
+    corpus_windows: DataFrame | None = None,
 ) -> DataFrame:
     """Batch-vs-corpus substring dedup — the crawl-shaped form of
     :func:`duplicated_spans`, completing the incremental family at span
@@ -933,14 +983,19 @@ def incremental_duplicated_spans(
     backfill-sized "batch" whose distinct windows exceed executor memory
     should pass False and let the planner shuffle both joins instead —
     results identical, exchanges instead of broadcasts.
+
+    ``corpus_windows`` serves the corpus side from a STORED
+    :func:`span_windows` artifact (append each admitted batch's windows)
+    instead of re-shingling ``corpus`` — which may then be None. The
+    caller owns the guarantee the store was built with the same ``w``.
     """
     inc_toks = _span_toks(incoming, text_col, id_col)
     inc_grams = _span_grams(inc_toks, id_col, w)
     hint = F.broadcast if broadcast_batch else (lambda df: df)
     corpus_gh = (
-        _span_grams(_span_toks(corpus, text_col, id_col), id_col, w)
-        .select("gh")
-        .distinct()
+        corpus_windows.select("gh").distinct()
+        if corpus_windows is not None
+        else span_windows(corpus, text_col, id_col, w=w)
     )
     matched = corpus_gh.join(
         hint(inc_grams.select("gh").distinct()), "gh", "left_semi"

@@ -44,8 +44,10 @@ from .operators.dedup import (
     incremental_dedup_verdicts,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
+    normalized_hashes,
     shingle_table,
     simhash_fingerprints,
+    span_windows,
 )
 from .operators.components import connected_components
 from .operators.sketches import (
@@ -58,11 +60,14 @@ from .operators.sketches import (
     sampled_group_quantiles,
 )
 from .operators.clustering import (
+    assign_with_state,
     incremental_semantic_verdicts,
     ivf_topk_trained,
     kmeans_int8,
     quantized_vectors,
     semantic_dedup_pairs,
+    semantic_state_from_table,
+    semantic_state_table,
     train_ivf_codebook,
 )
 from .operators.sampling import (
@@ -6177,6 +6182,672 @@ FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# The STORED incremental corpus store — the artifact lifecycle end-to-end.
+# --------------------------------------------------------------------------
+
+#: planted payload/phrase families, shared verbatim by the Spark fixture and
+#: the DuckDB oracle so neither can drift. "base" families pair batch-2 docs
+#: with the ORIGINAL corpus; "crawl" families pair them with BATCH 1 — the
+#: discriminating plant: a crawl-family duplicate is only caught if batch 1's
+#: artifacts were actually APPENDED to the store (a base-only store calls it
+#: 'new'), so the hash gate proves the append, not just the initial build.
+_ST_PA = "store exact base payload variant "
+_ST_PB = "store exact crawl payload variant "
+_ST_RN = "store near base refresh phrase alpha variant "
+_ST_RB = "store near crawl refresh phrase bravo variant "
+_ST_Q1 = (
+    "store quoted base passage alpha bravo charlie delta echo foxtrot "
+    "golf hotel india variant "
+)
+_ST_Q2 = (
+    "store quoted crawl passage juliett kilo lima mike november oscar "
+    "papa quebec romeo variant "
+)
+#: store knobs (shared with the oracle)
+_ST_N = 3
+_ST_MIN_SHARED = 2
+_ST_MAX_DF = 200
+_ST_W = 10
+_ST_KMV_K = 128
+_ST_BLOOM_M = 1 << 22
+_ST_BLOOM_H = 4
+
+
+def _store_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents with the store-suite plants applied: (doc_id, stext).
+
+    Batches by doc_id % 10 — base corpus (0-5), batch 1 (6,7), batch 2
+    (8,9). Variant keys ride on (doc_id DIV 20) % 3 so every family pairs
+    up even at the 500-doc fixture (mod-constant keys like doc_id % 4
+    degenerate under the 20/40 residue selectors). Exact families REPLACE
+    the text; near/span families APPEND to it, so the tiers stay disjoint
+    per doc."""
+    d = _docs(spark, sf_dir)
+    k3 = (F.expr("doc_id DIV 20") % 3).cast("string")
+    m20 = F.col("doc_id") % 20
+    m40 = F.col("doc_id") % 40
+    app = lambda p: F.concat_ws(" ", F.col("text"), F.concat(F.lit(p), k3))
+    stext = (
+        F.when((m20 == 0) | (m40 == 8), F.concat(F.lit(_ST_PA), k3))
+        .when((m20 == 6) | (m40 == 28), F.concat(F.lit(_ST_PB), k3))
+        .when((m20 == 2) | (m40 == 18), app(_ST_RN))
+        .when((m20 == 16) | (m40 == 38), app(_ST_RB))
+        .when((m20 == 4) | (m40 == 9), app(_ST_Q1))
+        .when((m20 == 7) | (m40 == 29), app(_ST_Q2))
+        .otherwise(F.col("text"))
+    )
+    return d.select("doc_id", stext.alias("stext"))
+
+
+def _store_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings with the store-suite semantic plants: base vectors ≡0
+    (mod 20) and batch-1 vectors ≡6 (mod 20) become deterministic lattice
+    vectors (families keyed by vec_id DIV 20 with different coordinate
+    multipliers); batch-2 vectors ≡8 / ≡28 (mod 40) are the SAME lattice
+    point +0.25 at coordinate 0 — a cos≈0.999 near-copy of a base /
+    batch-1 vector respectively. Same integer-lattice construction as
+    :func:`_sem_embeddings` (bit-identical doubles on every engine)."""
+    e = _spread(spark, sf_dir, "embeddings", "vec_id")
+    g = F.expr("vec_id DIV 20")
+    m20 = F.col("vec_id") % 20
+    m40 = F.col("vec_id") % 40
+
+    def lattice(mult: int, perturb: bool):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(_SEM_DIM - 1)),
+            lambda i: ((g * mult + i * 17) % 13 - 6).cast("double")
+            + (
+                F.when(i == 0, F.lit(0.25)).otherwise(F.lit(0.0))
+                if perturb
+                else F.lit(0.0)
+            ),
+        )
+
+    natural = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    emb = (
+        F.when(m20 == 0, lattice(31, False))
+        .when(m20 == 6, lattice(37, False))
+        .when(m40 == 8, lattice(31, True))
+        .when(m40 == 28, lattice(37, True))
+        .otherwise(natural)
+    )
+    return e.select("vec_id", emb.alias("embedding"))
+
+
+def corpus_store_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STORED-ARTIFACT lifecycle, end-to-end — every incremental
+    operator served from PERSISTED parquet artifacts instead of a corpus
+    rescan, with the store APPENDED between batches. Build (once per
+    session+corpus, at the write action like every catalog entry): derive
+    the base corpus's artifacts — normalized-text hashes, the shingle
+    table, the span-window set, a KMV token sketch, a Bloom shingle
+    bitset, and a frozen k-means codebook + its inverted file — and write
+    each to a parquet store table tagged batch_id=0; then admit batch 1 by
+    computing ITS artifacts (assignment against the FROZEN codebook — no
+    retrain) and appending them as batch_id=1. The returned plan only
+    READS the store:
+
+    - doc_b1: incremental doc-tier verdicts for batch 1 served from the
+      batch_id=0 slice (exact tier = stored hash join; near tier = stored
+      shingle postings, df-capped at serve time) — proves the initial
+      store.
+    - doc_b2: the same for batch 2 against the FULL store — proves the
+      append (crawl-family plants are duplicates of batch-1 docs only).
+    - span_b2: batch-2 substring coverage vs the stored window set.
+    - bloom_b2: batch-2 docs probed against the MERGE of the two stored
+      per-batch Bloom word tables (≥3 hits ⇒ candidate).
+    - kmv: distinct-token estimates from each stored per-batch sketch
+      (id 0/1) and from their merge (id 2) — the oracle computes id 2
+      DIRECTLY over the union, so hash equality is the mergeability proof.
+    - sem_b2: batch-2 semantic verdicts from the stored codebook and
+      stored inverted file (one Arrow assignment pass over the batch; the
+      corpus is touched only through the stored (id, qv, cluster_id) rows).
+    - codebook: the stored centroid state itself (component sum, count,
+      sum of squares per centroid) — a lossy store/serve round trip cannot
+      hide behind agreeing verdicts.
+
+    The oracle recomputes every leg by RESCAN over the same planted
+    fixture, so the driver hash gate IS the store-served ≡ rescan proof.
+    Scale shape: per-batch admission cost is one scan of the batch plus
+    reads of artifact tables that are tiny relative to the corpus (hashes/
+    shingles/windows grow with corpus text, but partition-prune by
+    batch_id and never re-derive; sketches/bloom/codebook are KB-class
+    regardless of corpus size); the 100 TB corpus itself is never re-read.
+    """
+    d = _store_text(spark, sf_dir)
+    grp = F.col("doc_id") % 10
+    b1 = d.filter(grp.isin(6, 7))
+    b2 = d.filter(grp.isin(8, 9))
+    ev = _store_embeddings(spark, sf_dir)
+    vgrp = F.col("vec_id") % 10
+    vb2 = ev.filter(vgrp.isin(8, 9))
+
+    per = _CATALOG.setdefault(spark, {})
+    ckey = (os.path.abspath(sf_dir), "__corpus_store__")
+    if ckey not in per or not os.path.exists(per[ckey]):
+        root = _scratch_dir("cstore_")
+        base = d.filter(grp <= 5)
+        vbase = ev.filter(vgrp <= 5)
+        vb1 = ev.filter(vgrp.isin(6, 7))
+
+        def _write(df, name, mode):
+            df.write.mode(mode).parquet(os.path.join(root, name))
+
+        for mode, bdf, bid in (("overwrite", base, 0), ("append", b1, 1)):
+            tag = F.lit(bid).cast("long").alias("batch_id")
+            # ONE shingle pass per admitted batch feeds both the shingle
+            # store and the Bloom build (same sharing as dedup_cross_corpus)
+            sh = shingle_table(bdf, "stext", "doc_id", n=_ST_N).localCheckpoint()
+            _write(normalized_hashes(bdf, "stext").select("h", tag), "hashes", mode)
+            _write(sh.select("doc_id", "shingle", tag), "shingles", mode)
+            _write(
+                span_windows(bdf, "stext", "doc_id", w=_ST_W).select("gh", tag),
+                "windows",
+                mode,
+            )
+            _write(
+                kmv_sketch(
+                    bdf.select(
+                        F.lit("tok").alias("g"),
+                        F.explode(_norm_tokens("stext")).alias("token"),
+                    ),
+                    "g",
+                    "token",
+                    k=_ST_KMV_K,
+                ).select("g", "kmv_h", tag),
+                "kmv",
+                mode,
+            )
+            _write(
+                bloom_bitset(
+                    sh.select("shingle"),
+                    "shingle",
+                    m_bits=_ST_BLOOM_M,
+                    n_hashes=_ST_BLOOM_H,
+                ).select("word_idx", "bits", tag),
+                "bloom",
+                mode,
+            )
+        # codebook: train ONCE on the base corpus (corpus-proportional k,
+        # the same scaling rule as the semdedup suite), freeze, store the
+        # exact Lloyd state; batch 1 is assigned against the FROZEN state
+        # and appended to the stored inverted file.
+        n_base = vbase.count()
+        kk = _SEM_K * math.ceil(n_base / _SEM_SEED_UNIT)
+        qb = quantized_vectors(vbase, "embedding", "vec_id")
+        st: list = []
+        assign_base = kmeans_int8(
+            None,
+            "embedding",
+            "vec_id",
+            k=kk,
+            n_iter=_SEM_ITER,
+            qdf=qb,
+            state_out=st,
+        )
+        _write(semantic_state_table(spark, st), "sem_state", "overwrite")
+        tag0 = F.lit(0).cast("long").alias("batch_id")
+        _write(
+            assign_base.join(qb, "vec_id").select(
+                "vec_id", "qv", "cluster_id", tag0
+            ),
+            "sem_assigned",
+            "overwrite",
+        )
+        tag1 = F.lit(1).cast("long").alias("batch_id")
+        _write(
+            assign_with_state(vb1, "embedding", "vec_id", st).select(
+                "vec_id", "qv", "cluster_id", tag1
+            ),
+            "sem_assigned",
+            "append",
+        )
+        per[ckey] = root
+
+    rd = lambda name: spark.read.parquet(os.path.join(per[ckey], name))
+    hashes, shingles, windows = rd("hashes"), rd("shingles"), rd("windows")
+    kmvs, blooms = rd("kmv"), rd("bloom")
+    state = semantic_state_from_table(rd("sem_state"))
+    assigned = rd("sem_assigned")
+
+    def doc_leg(part: str, batch_df: DataFrame, upto: int) -> DataFrame:
+        return incremental_dedup_verdicts(
+            None,
+            batch_df,
+            "stext",
+            "doc_id",
+            n=_ST_N,
+            min_shared=_ST_MIN_SHARED,
+            max_doc_freq=_ST_MAX_DF,
+            corpus_hashes=hashes.filter(F.col("batch_id") <= upto).select("h"),
+            corpus_shingles=shingles.filter(F.col("batch_id") <= upto).select(
+                "doc_id", "shingle"
+            ),
+        ).select(
+            F.lit(part).alias("part"),
+            F.col("doc_id").alias("id"),
+            "verdict",
+            F.col("n_corpus_matches").alias("n_a"),
+            F.col("max_shared").alias("n_b"),
+            F.col("max_jaccard").alias("x"),
+        )
+
+    legs = [doc_leg("doc_b1", b1, 0), doc_leg("doc_b2", b2, 1)]
+
+    legs.append(
+        incremental_duplicated_spans(
+            None,
+            b2,
+            "stext",
+            "doc_id",
+            w=_ST_W,
+            corpus_windows=windows.select("gh"),
+        ).select(
+            F.lit("span_b2").alias("part"),
+            F.col("doc_id").alias("id"),
+            F.when(F.col("n_dup_tokens") > 0, F.lit("span_dup"))
+            .otherwise(F.lit("new"))
+            .alias("verdict"),
+            F.col("n_dup_tokens").alias("n_a"),
+            F.col("n_spans").alias("n_b"),
+            F.lit(None).cast("double").alias("x"),
+        )
+    )
+
+    merged_bloom = bloom_merge(
+        blooms.filter(F.col("batch_id") == 0).select("word_idx", "bits"),
+        blooms.filter(F.col("batch_id") == 1).select("word_idx", "bits"),
+    )
+    legs.append(
+        bloom_probe_count(
+            shingle_table(b2, "stext", "doc_id", n=_ST_N),
+            "shingle",
+            "doc_id",
+            merged_bloom,
+            m_bits=_ST_BLOOM_M,
+            n_hashes=_ST_BLOOM_H,
+        )
+        .filter(F.col("n_hits") >= 3)
+        .select(
+            F.lit("bloom_b2").alias("part"),
+            F.col("doc_id").alias("id"),
+            F.lit("bloom_candidate").alias("verdict"),
+            F.col("n_hits").alias("n_a"),
+            F.col("n_probed").alias("n_b"),
+            F.lit(None).cast("double").alias("x"),
+        )
+    )
+
+    sk = [
+        kmvs.filter(F.col("batch_id") == i).select("g", "kmv_h") for i in (0, 1)
+    ]
+    for i, est in enumerate(
+        [kmv_estimate_from_sketch(s, "g", k=_ST_KMV_K) for s in sk]
+        + [
+            kmv_estimate_from_sketch(
+                kmv_merge(sk, "g", k=_ST_KMV_K), "g", k=_ST_KMV_K
+            )
+        ]
+    ):
+        legs.append(
+            est.select(
+                F.lit("kmv").alias("part"),
+                F.lit(i).cast("long").alias("id"),
+                F.lit(None).cast("string").alias("verdict"),
+                F.col("est_distinct").alias("n_a"),
+                F.col("sketch_size").alias("n_b"),
+                F.lit(None).cast("double").alias("x"),
+            )
+        )
+
+    legs.append(
+        incremental_semantic_verdicts(
+            None,
+            vb2,
+            "embedding",
+            "vec_id",
+            threshold=_SEM_THRESHOLD,
+            state=state,
+            corpus_assigned=assigned.select("vec_id", "qv", "cluster_id"),
+        ).select(
+            F.lit("sem_b2").alias("part"),
+            F.col("vec_id").alias("id"),
+            "verdict",
+            F.col("n_corpus_matches").alias("n_a"),
+            F.col("max_cos_micro").alias("n_b"),
+            F.col("cluster_id").cast("double").alias("x"),
+        )
+    )
+
+    legs.append(
+        rd("sem_state").select(
+            F.lit("codebook").alias("part"),
+            F.col("cid").alias("id"),
+            F.lit(None).cast("string").alias("verdict"),
+            F.aggregate("s", F.lit(0).cast("long"), lambda a, v: a + v).alias(
+                "n_a"
+            ),
+            F.col("c").alias("n_b"),
+            F.aggregate("s", F.lit(0).cast("long"), lambda a, v: a + v * v)
+            .cast("double")
+            .alias("x"),
+        )
+    )
+
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
+def _store_stext_sql() -> str:
+    """The planted stext fixture in SQL — same CASE order as
+    :func:`_store_text` (exact replacement wins over appends)."""
+    k3 = "CAST((doc_id // 20) % 3 AS VARCHAR)"
+    return f"""
+  SELECT doc_id,
+         CASE
+           WHEN doc_id % 20 = 0 OR doc_id % 40 = 8 THEN '{_ST_PA}' || {k3}
+           WHEN doc_id % 20 = 6 OR doc_id % 40 = 28 THEN '{_ST_PB}' || {k3}
+           WHEN doc_id % 20 = 2 OR doc_id % 40 = 18 THEN text || ' {_ST_RN}' || {k3}
+           WHEN doc_id % 20 = 16 OR doc_id % 40 = 38 THEN text || ' {_ST_RB}' || {k3}
+           WHEN doc_id % 20 = 4 OR doc_id % 40 = 9 THEN text || ' {_ST_Q1}' || {k3}
+           WHEN doc_id % 20 = 7 OR doc_id % 40 = 29 THEN text || ' {_ST_Q2}' || {k3}
+           ELSE text END AS stext
+  FROM documents"""
+
+
+def _store_doc_leg_sql(part: str, p: str, inc: str, corp: str) -> str:
+    """One doc-tier verdict leg: exact tier = normalized-text equi-join,
+    near tier = df-capped shingle join — the rescan form of what the Spark
+    side serves from the stored hash/shingle tables."""
+    return f"""
+SELECT '{part}' AS part, inc.doc_id AS id,
+       CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
+            WHEN nr.n_corpus_matches >= 1 THEN 'near_dup'
+            ELSE 'new' END AS verdict,
+       CAST(COALESCE(nr.n_corpus_matches, 0) AS BIGINT) AS n_a,
+       nr.max_shared AS n_b, nr.max_jaccard AS x
+FROM (SELECT doc_id FROM sbase WHERE {inc}) inc
+LEFT JOIN (
+  SELECT DISTINCT i.doc_id
+  FROM (SELECT doc_id, ntext FROM sbase WHERE {inc}) i
+  JOIN (SELECT DISTINCT ntext FROM sbase WHERE {corp}) c USING (ntext)
+) ex ON ex.doc_id = inc.doc_id
+LEFT JOIN (
+  WITH {p}c AS (
+    SELECT doc_id, shingle FROM (
+      SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df
+      FROM ssh WHERE {corp}) WHERE df <= {_ST_MAX_DF}
+  ), {p}i AS (
+    SELECT doc_id, shingle FROM (
+      SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df
+      FROM ssh WHERE {inc}) WHERE df <= {_ST_MAX_DF}
+  ), {p}cz AS (SELECT doc_id, COUNT(*) AS n_c FROM {p}c GROUP BY doc_id
+  ), {p}iz AS (SELECT doc_id, COUNT(*) AS n_i FROM {p}i GROUP BY doc_id
+  ), {p}sh AS (
+    SELECT {p}c.doc_id AS corp_id, {p}i.doc_id AS inc_id, COUNT(*) AS shr
+    FROM {p}c JOIN {p}i USING (shingle)
+    GROUP BY 1, 2 HAVING COUNT(*) >= {_ST_MIN_SHARED}
+  )
+  SELECT inc_id, CAST(COUNT(*) AS BIGINT) AS n_corpus_matches,
+         CAST(MAX(shr) AS BIGINT) AS max_shared,
+         MAX(ROUND(shr / (n_c + n_i - shr), 6)) AS max_jaccard
+  FROM {p}sh
+  JOIN {p}cz ON {p}cz.doc_id = corp_id
+  JOIN {p}iz ON {p}iz.doc_id = inc_id
+  GROUP BY inc_id
+) nr ON nr.inc_id = inc.doc_id"""
+
+
+def _store_span_leg_sql() -> str:
+    """Batch-2 substring coverage vs the base∪batch-1 window set — the
+    rescan form of the stored span_windows artifact serve."""
+    w = _ST_W
+    return f"""
+SELECT 'span_b2' AS part, doc_id AS id,
+       CASE WHEN n_dup > 0 THEN 'span_dup' ELSE 'new' END AS verdict,
+       CAST(n_dup AS BIGINT) AS n_a, CAST(n_sp AS BIGINT) AS n_b,
+       CAST(NULL AS DOUBLE) AS x
+FROM (
+  WITH sptoks AS (
+    SELECT doc_id, grp, list_filter(string_split(ntext, ' '), x -> x <> '') AS t
+    FROM sbase
+  ), spwin AS (
+    SELECT doc_id, grp, i - 1 AS pos0, array_to_string(t[i:i+{w - 1}], ' ') AS gram
+    FROM sptoks, UNNEST(range(1, len(t) - {w - 2})) u(i)
+    WHERE len(t) >= {w}
+  ), cgr AS (
+    SELECT DISTINCT gram FROM spwin WHERE grp <= 7
+  ), ist AS (
+    SELECT w2.doc_id, list_sort(list(DISTINCT w2.pos0)) AS st
+    FROM spwin w2 JOIN cgr USING (gram)
+    WHERE w2.grp IN (8, 9)
+    GROUP BY w2.doc_id
+  )
+  SELECT s.doc_id,
+         CAST(len(list_filter(range(0, len(s.t)),
+               p -> len(list_filter(COALESCE(i.st, []), x -> x <= p AND p < x + {w}))
+                    > 0)) AS BIGINT) AS n_dup,
+         CAST(len(list_filter(range(0, len(s.t)),
+               p -> len(list_filter(COALESCE(i.st, []), x -> x <= p AND p < x + {w})) > 0
+                    AND (p = 0 OR len(list_filter(COALESCE(i.st, []),
+                          x -> x <= p - 1 AND p - 1 < x + {w})) = 0)))
+              AS BIGINT) AS n_sp
+  FROM sptoks s LEFT JOIN ist i USING (doc_id)
+  WHERE s.grp IN (8, 9)
+)"""
+
+
+def _store_bloom_leg_sql() -> str:
+    """Bit-exact replay of the MERGED per-batch Bloom word tables: the OR
+    of two bitsets equals the bitset of the shingle union, so the direct
+    build over grp<=7 IS the merge's rescan form (false positives
+    included — the bit math is deterministic)."""
+    m = _ST_BLOOM_M
+    return f"""
+SELECT 'bloom_b2' AS part, doc_id AS id,
+       CAST('bloom_candidate' AS VARCHAR) AS verdict,
+       CAST(n_hits AS BIGINT) AS n_a, CAST(n_probed AS BIGINT) AS n_b,
+       CAST(NULL AS DOUBLE) AS x
+FROM (
+  WITH bevs AS (
+    SELECT DISTINCT shingle FROM ssh WHERE grp <= 7
+  ), bbits AS (
+    SELECT pos // 32 AS word_idx,
+           bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bits FROM (
+      SELECT DISTINCT
+             ('0x' || substring(md5('bf' || CAST(j AS VARCHAR) || ':' || shingle), 1, 13))::BIGINT
+               % {m} AS pos
+      FROM bevs, range(0, {_ST_BLOOM_H}) h(j))
+    GROUP BY 1
+  ), btr AS (
+    SELECT DISTINCT doc_id, shingle FROM ssh WHERE grp IN (8, 9)
+  ), bpr AS (
+    SELECT doc_id, shingle,
+           ('0x' || substring(md5('bf' || CAST(j AS VARCHAR) || ':' || shingle), 1, 13))::BIGINT
+             % {m} AS pos
+    FROM btr, range(0, {_ST_BLOOM_H}) h(j)
+  ), bhit AS (
+    SELECT doc_id, shingle,
+           MIN(CASE WHEN b.bits IS NOT NULL
+                     AND (b.bits & (1::BIGINT << CAST(pos % 32 AS INT))) != 0
+                    THEN 1 ELSE 0 END) AS hit
+    FROM bpr LEFT JOIN bbits b ON b.word_idx = pos // 32
+    GROUP BY doc_id, shingle
+  )
+  SELECT doc_id, COUNT(*) AS n_probed, SUM(hit) AS n_hits
+  FROM bhit GROUP BY doc_id HAVING SUM(hit) >= 3
+)"""
+
+
+def _store_kmv_leg_sql(bid: int, cond: str) -> str:
+    """One KMV arm: the direct k-min estimate over ``cond``'s distinct
+    tokens (bid 2 = the union — the merge's rescan form; min-k of a union
+    equals min-k of the union of min-k's)."""
+    k = _ST_KMV_K
+    dom = 1 << 52
+    return f"""
+SELECT 'kmv' AS part, CAST({bid} AS BIGINT) AS id, CAST(NULL AS VARCHAR) AS verdict,
+       CASE WHEN m < {k} THEN m
+            ELSE CAST({k - 1} AS BIGINT) * {dom} // hk END AS n_a,
+       CAST(m AS BIGINT) AS n_b, CAST(NULL AS DOUBLE) AS x
+FROM (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m, MAX(h) AS hk FROM (
+    SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM (
+      SELECT DISTINCT
+             CAST(concat('0x', substring(md5('v:' || token), 1, 13)) AS BIGINT) AS h
+      FROM (SELECT DISTINCT unnest(t) AS token FROM stoks WHERE {cond}) tk
+      WHERE token IS NOT NULL))
+  WHERE rn <= {k})"""
+
+
+def _corpus_store_text_oracle_body() -> str:
+    """The text-tier legs (doc/span/bloom/kmv) as one WITH query — split
+    out from the semantic body so tools/drive_at_sf.py can run this part
+    in DuckDB and replay the semantic part in numpy at sf ≥ 1 (the
+    unrolled-Lloyd SQL is sf0.01-tractable only, same as the semdedup
+    oracle)."""
+    return f"""
+WITH sbase AS (
+  SELECT doc_id, doc_id % 10 AS grp, stext,
+         trim(regexp_replace(lower(stext), '\\s+', ' ', 'g')) AS ntext
+  FROM ({_store_stext_sql()})
+), stoks AS (
+  SELECT doc_id, grp, string_split(ntext, ' ') AS t FROM sbase
+), ssh AS (
+  SELECT DISTINCT doc_id, grp, array_to_string(t[i:i+{_ST_N - 1}], ' ') AS shingle
+  FROM stoks, UNNEST(range(1, len(t) - {_ST_N - 2})) u(i)
+  WHERE len(t) >= {_ST_N}
+)
+{_store_doc_leg_sql('doc_b1', 'd1', 'grp IN (6, 7)', 'grp <= 5')}
+UNION ALL
+{_store_doc_leg_sql('doc_b2', 'd2', 'grp IN (8, 9)', 'grp <= 7')}
+UNION ALL
+{_store_span_leg_sql()}
+UNION ALL
+{_store_bloom_leg_sql()}
+UNION ALL
+{_store_kmv_leg_sql(0, 'grp <= 5')}
+UNION ALL
+{_store_kmv_leg_sql(1, 'grp IN (6, 7)')}
+UNION ALL
+{_store_kmv_leg_sql(2, 'grp <= 7')}
+"""
+
+
+def _corpus_store_sem_oracle_body() -> str:
+    """The semantic legs: train the unrolled Lloyd chain on the BASE
+    vectors only, assign batch 1 AND batch 2 against the FROZEN final
+    state, score batch 2 against base∪batch1 within shared clusters, and
+    emit the frozen state itself as the codebook arm — the rescan form of
+    the stored sem_state/sem_assigned artifacts."""
+    d = _SEM_DIM
+    t_sq = int(_SEM_THRESHOLD * _SEM_THRESHOLD * 10_000)
+    lat = (
+        "list_transform(range(0, {d}), i -> "
+        "CAST(((vec_id // 20) * {mult} + i * 17) % 13 - 6 AS DOUBLE){pert})"
+    )
+    pert = " + CASE WHEN i = 0 THEN 0.25 ELSE 0.0 END"
+    emb = (
+        f"CASE WHEN vec_id % 20 = 0 THEN {lat.format(d=d, mult=31, pert='')} "
+        f"WHEN vec_id % 20 = 6 THEN {lat.format(d=d, mult=37, pert='')} "
+        f"WHEN vec_id % 40 = 8 THEN {lat.format(d=d, mult=31, pert=pert)} "
+        f"WHEN vec_id % 40 = 28 THEN {lat.format(d=d, mult=37, pert=pert)} "
+        f"ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END"
+    )
+    chain, final_a = _kmeans_iter_sql(d, _SEM_ITER, prev_q="qc")
+    a_b1 = _kmeans_assign_cte("x1", f"c{_SEM_ITER}", d, prev_q="qb1")
+    a_b2 = _kmeans_assign_cte("x2", f"c{_SEM_ITER}", d, prev_q="qb2")
+    return f"""
+WITH vsrc AS (
+  SELECT vec_id, {emb} AS emb FROM embeddings
+), vq AS (
+  SELECT vec_id, {_Q8_EMB_SQL.replace('emb', 'emb')} AS qv FROM vsrc
+), qc AS (SELECT * FROM vq WHERE vec_id % 10 <= 5
+), qb1 AS (SELECT * FROM vq WHERE vec_id % 10 IN (6, 7)
+), qb2 AS (SELECT * FROM vq WHERE vec_id % 10 IN (8, 9)
+), c0 AS (
+  SELECT cid, s, c FROM (
+    SELECT vec_id AS cid, qv AS s, CAST(1 AS BIGINT) AS c,
+           ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+    FROM qc)
+  WHERE rn <= (
+    SELECT {_SEM_K} * CAST(CEIL(COUNT(*) / {_SEM_SEED_UNIT}.0) AS BIGINT)
+    FROM qc)
+), {chain}, {a_b1}, {a_b2}, corp AS (
+  SELECT vec_id, qv, cluster_id FROM {final_a}
+  UNION ALL
+  SELECT vec_id, qv, cluster_id FROM ax1
+), n2corp AS (
+  SELECT cluster_id, vec_id, qv,
+         CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2
+  FROM corp
+), n2b2 AS (
+  SELECT cluster_id, vec_id, qv,
+         CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2
+  FROM ax2
+), rawp AS (
+  SELECT i.vec_id AS inc_id, i.cluster_id,
+         CAST(list_sum(list_transform(range(1, {d + 1}),
+           t -> i.qv[t] * c.qv[t])) AS BIGINT) AS dot,
+         i.n2 AS na, c.n2 AS nb
+  FROM n2b2 i JOIN n2corp c ON i.cluster_id = c.cluster_id
+), m AS (
+  SELECT inc_id, CAST(COUNT(*) AS BIGINT) AS nm,
+         MAX(CAST(floor(dot / sqrt(CAST(na * nb AS DOUBLE)) * 1e6 + 0.5)
+             AS BIGINT)) AS mc
+  FROM rawp
+  WHERE dot > 0 AND 10000 * dot * dot >= {t_sq} * na * nb
+  GROUP BY inc_id
+)
+SELECT 'sem_b2' AS part, i.vec_id AS id,
+       CASE WHEN m.nm >= 1 THEN 'semantic_dup' ELSE 'new' END AS verdict,
+       COALESCE(m.nm, CAST(0 AS BIGINT)) AS n_a, m.mc AS n_b,
+       CAST(i.cluster_id AS DOUBLE) AS x
+FROM ax2 i LEFT JOIN m ON m.inc_id = i.vec_id
+UNION ALL
+SELECT 'codebook', cid, CAST(NULL AS VARCHAR),
+       CAST(list_sum(s) AS BIGINT), c,
+       CAST(list_sum(list_transform(s, x -> x * x)) AS DOUBLE)
+FROM c{_SEM_ITER}
+"""
+
+
+CORPUS_STORE_ORACLE = (
+    f"SELECT * FROM ({_corpus_store_text_oracle_body()})\n"
+    "UNION ALL\n"
+    f"SELECT * FROM ({_corpus_store_sem_oracle_body()})"
+)
+
+
+def ann_exact_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-scoring ANN suite, tagged by `part`: `brute` (float cosine)
+    and `quantized` (int8 scale-cancelling cosine) top-10 against the
+    vec_id=0 query — the two standalone queries folded into one registry
+    entry to stay under the driver's 50-entry cap (both keep their own
+    oracle arms, and the component queries remain importable)."""
+    brute = ann_cosine_topk(spark, sf_dir).select(
+        F.lit("brute").alias("part"),
+        "vec_id",
+        F.col("cosine").alias("score"),
+    )
+    quant = ann_quantized_topk(spark, sf_dir).select(
+        F.lit("quantized").alias("part"),
+        "vec_id",
+        F.col("q_cosine").alias("score"),
+    )
+    return brute.unionByName(quant)
+
+
+ANN_EXACT_SUITE_ORACLE = f"""
+SELECT 'brute' AS part, vec_id, cosine AS score FROM ({ANN_COSINE_ORACLE})
+UNION ALL
+SELECT 'quantized' AS part, vec_id, q_cosine AS score FROM ({ANN_QUANTIZED_ORACLE})
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     # --- round-2 signal gap first: the entries the r2 driver never reached.
     "kafka_frame_roundtrip": QuerySpec(kafka_frame_roundtrip, KAFKA_FRAME_ORACLE, "S6/S8: Kafka frame codec round trip"),
@@ -6215,16 +6886,16 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_minhash_lsh_docs": QuerySpec(dedup_minhash_lsh_docs, DEDUP_MINHASH_ORACLE, "dedup: MinHash+LSH candidates"),
     "dedup_simhash_docs": QuerySpec(dedup_simhash_docs, DEDUP_SIMHASH_ORACLE, "dedup: SimHash fingerprints"),
     "dedup_corpus_lines": QuerySpec(dedup_corpus_lines, DEDUP_CORPUS_LINES_ORACLE, "dedup: corpus-level line boilerplate removal (C4-style)"),
-    "ann_cosine_topk": QuerySpec(ann_cosine_topk, ANN_COSINE_ORACLE, "similarity: brute-force cosine top-k"),
+    "ann_exact_suite": QuerySpec(ann_exact_suite, ANN_EXACT_SUITE_ORACLE, "similarity: brute-force + int8-quantized cosine top-k (exact-scoring legs)"),
     "ann_lsh_suite": QuerySpec(ann_lsh_suite, ANN_LSH_SUITE_ORACLE, "similarity: LSH-bucketed cosine top-k, in-plan + partition-pruned layout legs"),
     "ann_ivf_topk": QuerySpec(ann_ivf_topk, _ann_ivf_oracle(), "similarity: IVF cosine top-k, first-ids + trained-codebook (hash-verified integer k-means) legs"),
-    "ann_quantized_topk": QuerySpec(ann_quantized_topk, ANN_QUANTIZED_ORACLE, "similarity: int8-quantized cosine top-k (scale-cancelling)"),
     "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, _dedup_embedding_oracle(), "dedup: embedding near-dup pairs (LSH-bucketed) + integer k-means semantic-dedup legs"),
     "text_profile_docs": QuerySpec(text_profile_docs, _text_profile_oracle(), "text: quality scoring + language ID + fingerprint + BPE-ish token accounting"),
     "text_repetition_docs": QuerySpec(text_repetition_docs, TEXT_REPETITION_ORACLE, "text: repetition quality filters (dup lines, top bigram)"),
     "sampling_split_suite": QuerySpec(sampling_split_suite, SAMPLING_SPLIT_ORACLE, "sampling: deterministic md5-bucket split + exact stratified sample"),
     "dedup_cluster_canonical": QuerySpec(dedup_cluster_canonical, DEDUP_CLUSTER_ORACLE, "dedup: connected-component clusters + canonical doc per cluster"),
     "dedup_cross_corpus": QuerySpec(dedup_cross_corpus, DEDUP_CROSS_CORPUS_ORACLE, "dedup: cross-corpus decontamination vs a held-out eval benchmark"),
+    "corpus_store_suite": QuerySpec(corpus_store_suite, CORPUS_STORE_ORACLE, "store: persisted incremental artifacts (hashes/shingles/windows/KMV/Bloom/codebook) appended per batch; store-served verdicts == rescan"),
     "corpus_pipeline_e2e": QuerySpec(corpus_pipeline_e2e, CORPUS_PIPELINE_ORACLE, "e2e: decontaminate -> exact+near dedup -> quality/quantile gate -> leakage-safe split -> temperature mix -> chunk+pack, one composed plan"),
     "text_pii_redaction": QuerySpec(text_pii_redaction, TEXT_PII_ORACLE, "text: PII detection counts + sequential redaction"),
     "sessionization": QuerySpec(sessionization, SESSIONIZATION_ORACLE, "sessionization: gap-based"),

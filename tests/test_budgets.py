@@ -32,16 +32,16 @@ SF_DIR = os.environ.get(
 
 #: seconds; regenerate with `python tools/derive_time_budgets.py`
 TIME_BUDGET = {
-    "ann_cosine_topk": 3.0,
+    "ann_exact_suite": 4.0,  # round 7: brute + quantized legs folded into one entry
     "ann_ivf_topk": 9.0,  # round 7: trained leg serves a STORED codebook cached per (session, corpus) — the budget covers the worst case where THIS process pays the one-time train+write (steady-state serve is ~1.3s at sf0.1; the first pass ~6.6s)
     "ann_lsh_suite": 3.0,
-    "ann_quantized_topk": 3.0,
     "cdc_suite": 3.0,
     "crawl_state_registry": 3.0,
     "dbt_dim_games_suite": 3.0,
     "dbt_fact_reviews": 3.0,
     "dbt_game_quality_metrics": 3.0,
     "dbt_quality_report": 3.0,
+    "corpus_store_suite": 80.0,  # round 7: the worst case where THIS process pays the one-time store build — two batches of artifact writes plus the frozen-codebook train (~50s at the 500-doc fixture, dominated by the same kmeans train ann_ivf_topk budgets for); steady-state serve is ~6s
     "corpus_pipeline_e2e": 20.0,  # round 6: end-to-end composition — roughly the SUM of its stage operators' own budgets, serialized by the eager checkpoint materialization; RETIGHTENED after the persist→localCheckpoint change (plan-string rendering was most of the old cost — sf0.1 runtime halved, 17.4s→9.8s)
     "dedup_cluster_canonical": 4.4,
     "dedup_corpus_lines": 7.0,  # round 6: gained the boilerplate heavy-hitter and substring-span legs (~2.1s steady at sf0.1; measured flaking past the old 3.0 under concurrent host load)

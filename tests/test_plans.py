@@ -28,10 +28,9 @@ SF_DIR = "/root/testdata/sf0.001"
 #: constant-size loop per row, not a data×data blowup.
 BNLJ_OK = {
     "time_filter_suite",  # scalar watermark row broadcast against events
-    "ann_cosine_topk",  # broadcast single query vector
+    "ann_exact_suite",  # broadcast single query vector (brute + quantized legs)
     "ann_lsh_suite",  # broadcast single query vector + bucket id
     "ann_ivf_topk",  # broadcast query against the tiny centroid codebook
-    "ann_quantized_topk",  # broadcast single quantized query vector
     "text_profile_docs",  # bm25 leg: single-row corpus-stats aggregate broadcast back into the scan
 }
 
@@ -327,10 +326,9 @@ def test_packing_costs_exactly_one_shuffle(spark):
 #: change when a query's semantics change (re-derive with the audit
 #: fixture and justify in the commit).
 EXCHANGE_BUDGET = {
-    "ann_cosine_topk": 2,
+    "ann_exact_suite": 4,  # round 7: the two standalone exact-scoring queries folded (2 + 2) to free a registry slot for corpus_store_suite
     "ann_ivf_topk": 5,  # round 7: trained leg now SERVES a stored parquet codebook — kmeans train + codebook build run once at the write action, so the audited plan is scan + broadcast joins + the integer-cosine assignment argmax agg (and the codebook leg reads the store with zero exchanges)
     "ann_lsh_suite": 2,
-    "ann_quantized_topk": 2,
     "cdc_suite": 3,
     "crawl_state_registry": 2,
     "dbt_dim_games_suite": 14,
@@ -338,6 +336,7 @@ EXCHANGE_BUDGET = {
     "dbt_game_quality_metrics": 6,
     "dbt_quality_report": 6,
     "corpus_pipeline_e2e": 8,  # round 6: 9-stage composition; stage materialization moved from persist to eager localCheckpoint (plan-tree flattening — see the query docstring), so the audited plan counts only the post-checkpoint arms (split/mix/pack windows, leakage join, funnel aggs); the stage-build exchanges run eagerly outside this plan, same accounting as the kmeans iterations
+    "corpus_store_suite": 41,  # round 7: the SERVED plan only — store build/append writes run once at construction (cached per session+corpus). Seven read-side jobs union here: 2 doc-tier verdict legs (each: stored-shingle postings + batch postings + pair agg + 2 size aggs + hash-tier distinct/join), span coverage (batch window distinct + stored semi-join + start-list agg), bloom probe (per-value all-hit agg + per-doc count; bitset joins broadcast), 3 KMV estimate arms (per-sketch window + agg), semantic verdicts (batch broadcast, stored inverted file never shuffles wide), codebook summary. Each arm matches its standalone operator's budget; the union adds none.
     "dedup_cluster_canonical": 2,
     "dedup_corpus_lines": 12,  # +3 boilerplate leg: distinct-doc line count agg + the sharded top-m window (WindowGroupLimit-pruned) + its re-shard; +4 substring leg (shared-window distinct + doc-count agg + per-doc start-list agg + the left join back onto the token table)
     "dedup_cross_corpus": 34,  # two corpus-vs-corpus jobs: contamination + incremental verdicts (each an inverted-index build per side + pair agg) + the exact-tier distinct/join; +4 bloom leg (bitset distinct + bit_or agg on ≤131k words, per-value all-hit agg, per-doc count — the probe join itself is broadcast, no train shuffle); +6 span leg (corpus + batch window distincts, the corpus-side semi-join, per-doc start-list agg, coverage join — the batch side broadcasts both ways); −4 after the contamination and bloom legs started sharing one checkpointed shingle pass per side

@@ -25,7 +25,10 @@ SF_DIR = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="module")
 def exact_top10(spark):
-    return [r.vec_id for r in QUERIES["ann_cosine_topk"].spark(spark, SF_DIR).collect()]
+    # brute leg of the folded exact-scoring suite (round 7: ann_cosine_topk
+    # and ann_quantized_topk share one registry entry)
+    df = QUERIES["ann_exact_suite"].spark(spark, SF_DIR)
+    return [r.vec_id for r in df.filter(df.part == "brute").collect()]
 
 
 def test_ann_lsh_recall_floor(spark, exact_top10):
@@ -91,9 +94,8 @@ def test_simhash_hamming_recall_floor(spark, truth_pairs):
 def test_ann_quantized_recall_floor(spark, exact_top10):
     """int8 symmetric quantization; measured recall@10 = 0.90 (one tail
     swap between near-tied neighbors). Floor: 0.80."""
-    got = [
-        r.vec_id for r in QUERIES["ann_quantized_topk"].spark(spark, SF_DIR).collect()
-    ]
+    df = QUERIES["ann_exact_suite"].spark(spark, SF_DIR)
+    got = [r.vec_id for r in df.filter(df.part == "quantized").collect()]
     recall = len(set(exact_top10) & set(got)) / len(exact_top10)
     assert recall >= 0.80, f"ann_quantized recall@10 fell to {recall}"
 

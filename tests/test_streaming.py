@@ -1022,3 +1022,211 @@ def test_streaming_kmv_sketches_accumulate_to_global(spark):
         # en saw 90 distinct values with overlap — estimator engaged
         assert est["de"] == (3, 3)
         assert est["en"][1] == k and 40 <= est["en"][0] <= 300
+
+
+def test_foreachbatch_composed_store_admission_three_tiers(spark):
+    """THE stored-artifact lifecycle, streamed: ONE foreachBatch consumer
+    admits three successive crawl batches through a persisted corpus store,
+    classifying each batch at ALL THREE incremental tiers (doc-level
+    hash+shingle verdicts, span-level substring coverage, embedding-level
+    semantic verdicts against the FROZEN base codebook) from the STORE
+    tables, then appending the batch's own artifacts (hashes, shingles,
+    windows, frozen-state assignments) before the next batch arrives.
+
+    The equivalence asserted: for every batch i, the store-served composed
+    verdicts equal a direct rescan classification against base ∪ batches
+    <i computed through the non-stored API — so the chained store is
+    byte-equivalent to re-reading the growing corpus, at any prefix depth.
+    Planted truth pins the chain: batch 2 carries a duplicate of a BATCH-1
+    doc and batch 3 of a BATCH-2 doc (text + embedding twins), each only
+    catchable if the previous batch's artifacts were actually appended."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from steam_data_engineer_project_spark.operators import (
+        assign_with_state,
+        incremental_dedup_verdicts,
+        incremental_duplicated_spans,
+        incremental_semantic_verdicts,
+        kmeans_int8,
+        normalized_hashes,
+        semantic_state_from_table,
+        semantic_state_table,
+        span_windows,
+    )
+    from steam_data_engineer_project_spark.operators.dedup import shingle_table
+
+    SCHEMA = "doc_id long, text string, embedding array<double>"
+    base_rows = [
+        (100, "alpha bravo charlie delta echo", [5.0, 0.0, 0.0, 0.0]),
+        (101, "foxtrot golf hotel india juliett kilo", [0.0, 5.0, 0.0, 0.0]),
+        (102, "lima mike november oscar papa", [0.0, 0.0, 5.0, 0.0]),
+    ]
+    batches = [
+        [  # vs base: exact+sem twin of 100; span dup of 101's window; novel
+            (1, "alpha bravo charlie delta echo", [5.0, 0.01, 0.0, 0.0]),
+            (2, "quebec romeo hotel india juliett zulu", [0.0, 0.0, 0.0, 7.0]),
+            (3, "sierra tango uniform victor whiskey", [3.0, 3.0, 3.0, 3.0]),
+        ],
+        [  # doc 4 duplicates BATCH-1 doc 3 (text + embedding twin)
+            (4, "sierra tango uniform victor whiskey", [3.0, 3.0, 3.0, 3.01]),
+            (5, "xray yankee zulu alpha2 beta2 gamma2", [-5.0, 0.0, 0.0, 0.0]),
+        ],
+        [  # doc 6 duplicates BATCH-2 doc 5; doc 7 shares doc 5's window
+            (6, "xray yankee zulu alpha2 beta2 gamma2", [-5.0, 0.01, 0.0, 0.0]),
+            (7, "delta2 echo2 yankee zulu alpha2 foxtrot2", [0.0, -7.0, 0.0, 0.0]),
+            (8, "hotel2 india2 juliett2 kilo2", [1.0, -1.0, 1.0, -1.0]),
+        ],
+    ]
+    kw = dict(n=2, min_shared=1)
+    W = 3
+    base = spark.createDataFrame(base_rows, SCHEMA)
+    # the frozen codebook: trained ONCE on the base corpus
+    st: list = []
+    kmeans_int8(base, "embedding", "doc_id", k=2, n_iter=2, state_out=st).collect()
+
+    with tempfile.TemporaryDirectory() as td:
+        in_dir = os.path.join(td, "incoming")
+        out_dir = os.path.join(td, "verdicts")
+        ckpt = os.path.join(td, "ckpt")
+        store = os.path.join(td, "store")
+        os.makedirs(in_dir)
+
+        def append_artifacts(df, mode):
+            normalized_hashes(df, "text").write.mode(mode).parquet(
+                os.path.join(store, "hashes")
+            )
+            shingle_table(df, "text", "doc_id", n=kw["n"]).write.mode(
+                mode
+            ).parquet(os.path.join(store, "shingles"))
+            span_windows(df, "text", "doc_id", w=W).write.mode(mode).parquet(
+                os.path.join(store, "windows")
+            )
+            assign_with_state(df, "embedding", "doc_id", st).select(
+                "doc_id", "qv", "cluster_id"
+            ).write.mode(mode).parquet(os.path.join(store, "sem_assigned"))
+
+        append_artifacts(base, "overwrite")
+        semantic_state_table(spark, st).write.mode("overwrite").parquet(
+            os.path.join(store, "sem_state")
+        )
+
+        def classify(batch_df, _bid):
+            if batch_df.isEmpty():
+                return
+            batch_df = batch_df.localCheckpoint()
+            rd = lambda n: spark.read.parquet(os.path.join(store, n))
+            frozen = semantic_state_from_table(rd("sem_state"))
+            docv = incremental_dedup_verdicts(
+                None,
+                batch_df,
+                "text",
+                "doc_id",
+                corpus_hashes=rd("hashes"),
+                corpus_shingles=rd("shingles"),
+                **kw,
+            )
+            spanv = incremental_duplicated_spans(
+                None, batch_df, "text", "doc_id", w=W,
+                corpus_windows=rd("windows"),
+            )
+            semv = incremental_semantic_verdicts(
+                None,
+                batch_df,
+                "embedding",
+                "doc_id",
+                state=frozen,
+                corpus_assigned=rd("sem_assigned"),
+            )
+            composed = (
+                docv.select("doc_id", F.col("verdict").alias("doc_verdict"))
+                .join(spanv.select("doc_id", "n_dup_tokens", "n_spans"), "doc_id")
+                .join(
+                    semv.select(
+                        "doc_id",
+                        F.col("verdict").alias("sem_verdict"),
+                        "n_corpus_matches",
+                    ),
+                    "doc_id",
+                )
+            )
+            composed.write.mode("append").parquet(out_dir)
+            # admit: the batch's artifacts join the store AFTER its verdicts
+            append_artifacts(batch_df, "append")
+
+        for i, rows in enumerate(batches):
+            _write_events(
+                in_dir,
+                f"b{i}.jsonl",
+                [
+                    {"doc_id": d, "text": t, "embedding": e}
+                    for d, t, e in rows
+                ],
+            )
+            (
+                spark.readStream.schema(SCHEMA)
+                .option("maxFilesPerTrigger", "1")
+                .json(in_dir)
+                .writeStream.foreachBatch(classify)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination(120)
+            )
+
+        streamed = {
+            r.doc_id: (
+                r.doc_verdict,
+                r.n_dup_tokens,
+                r.n_spans,
+                r.sem_verdict,
+                r.n_corpus_matches,
+            )
+            for r in spark.read.parquet(out_dir).collect()
+        }
+
+    # direct rescan replay, per batch prefix, through the NON-stored API
+    want = {}
+    for i, rows in enumerate(batches):
+        corpus_rows = base_rows + [r for b in batches[:i] for r in b]
+        corpus = spark.createDataFrame(corpus_rows, SCHEMA)
+        bdf = spark.createDataFrame(rows, SCHEMA)
+        docv = {
+            r.doc_id: r.verdict
+            for r in incremental_dedup_verdicts(
+                corpus, bdf, "text", "doc_id", **kw
+            ).collect()
+        }
+        spanv = {
+            r.doc_id: (r.n_dup_tokens, r.n_spans)
+            for r in incremental_duplicated_spans(
+                corpus, bdf, "text", "doc_id", w=W
+            ).collect()
+        }
+        semv = {
+            r.doc_id: (r.verdict, r.n_corpus_matches)
+            for r in incremental_semantic_verdicts(
+                None,
+                bdf,
+                "embedding",
+                "doc_id",
+                state=st,
+                corpus_assigned=assign_with_state(
+                    corpus, "embedding", "doc_id", st
+                ),
+            ).collect()
+        }
+        for d, _t, _e in rows:
+            want[d] = (docv[d], *spanv[d], *semv[d])
+
+    assert streamed == want, (streamed, want)
+    # the chained planted truth: each dup is only catchable via the APPEND
+    assert streamed[1][0] == "exact_dup" and streamed[1][3] == "semantic_dup"
+    assert streamed[2][1] > 0  # span dup vs the base corpus
+    assert streamed[4][0] == "exact_dup"  # duplicate of a BATCH-1 doc
+    assert streamed[4][3] == "semantic_dup"
+    assert streamed[6][0] == "exact_dup"  # duplicate of a BATCH-2 doc
+    assert streamed[6][3] == "semantic_dup"
+    assert streamed[7][1] > 0  # shares a BATCH-2 window
+    assert streamed[8] == ("new", 0, 0, "new", 0)
