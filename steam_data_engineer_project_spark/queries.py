@@ -6209,7 +6209,7 @@ _ST_N = 3
 _ST_MIN_SHARED = 2
 _ST_MAX_DF = 200
 _ST_W = 10
-_ST_KMV_K = 128
+_ST_KMV_K = 48  # < the corpus's ~63-token vocabulary, so the estimator path (not the exact-small fallback) is what the hash gate verifies
 _ST_BLOOM_M = 1 << 22
 _ST_BLOOM_H = 4
 

@@ -2697,3 +2697,197 @@ def test_incremental_spans_shuffle_path_matches_broadcast_path(spark):
         corpus, incoming, "text", "doc_id", w=10, broadcast_batch=False
     )
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_span_coverage_property_matches_python_replay(spark):
+    """Property test (round-7 ask): for ANY tiny corpus of token lists and
+    window width, duplicated_spans' coverage/maximal-run/removal algebra
+    equals an independent pure-Python replay of the documented rule — a
+    w-window is shared iff it appears in >= min_docs DISTINCT docs; a
+    token at position p is covered iff a shared window starts in
+    [p-w+1, p]; clean_text keeps uncovered tokens in order; n_spans counts
+    maximal covered runs. The tiny alphabet forces frequent window
+    collisions, including self-repeats (which must NOT count toward
+    n_docs) and overlapping/adjacent spans."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from steam_data_engineer_project_spark.operators.dedup import (
+        duplicated_spans,
+    )
+
+    words = st.sampled_from(["aa", "bb", "cc"])
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.lists(
+            st.lists(words, min_size=1, max_size=10), min_size=1, max_size=5
+        ),
+        st.integers(min_value=2, max_value=4),
+    )
+    def check(docs, w):
+        rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.clean_text, r.n_tokens, r.n_dup_tokens, r.n_spans)
+            for r in duplicated_spans(
+                df, "text", "doc_id", w=w, min_docs=2
+            ).collect()
+        }
+        win: dict = {}
+        for did, t in enumerate(docs):
+            for i in range(len(t) - w + 1):
+                win.setdefault(tuple(t[i : i + w]), set()).add(did)
+        shared = {g for g, ds in win.items() if len(ds) >= 2}
+        want = {}
+        for did, t in enumerate(docs):
+            starts = [
+                i
+                for i in range(len(t) - w + 1)
+                if tuple(t[i : i + w]) in shared
+            ]
+            cov = [
+                any(s <= p < s + w for s in starts) for p in range(len(t))
+            ]
+            clean = " ".join(tok for p, tok in enumerate(t) if not cov[p])
+            n_sp = sum(
+                1
+                for p in range(len(t))
+                if cov[p] and (p == 0 or not cov[p - 1])
+            )
+            want[did] = (clean, len(t), sum(cov), n_sp)
+        assert got == want, (docs, w, got, want)
+
+    check()
+
+
+def test_semantic_state_table_roundtrip_is_bit_lossless(spark):
+    """The stored codebook artifact: write the frozen k-means state to
+    parquet, reload it, and both the state list AND the assignments made
+    from it must be identical to the in-memory original."""
+    import os
+    import tempfile
+
+    from steam_data_engineer_project_spark.operators import (
+        assign_with_state,
+        kmeans_int8,
+        semantic_state_from_table,
+        semantic_state_table,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, [5.0, 0.0, 0.0]),
+            (1, [0.0, 5.0, 0.0]),
+            (2, [4.9, 0.3, 0.0]),
+            (3, [0.1, 4.8, 0.2]),
+            (4, [-3.0, -3.0, 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    st: list = []
+    kmeans_int8(df, "embedding", "vec_id", k=2, n_iter=2, state_out=st).collect()
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "state")
+        semantic_state_table(spark, st).write.parquet(p)
+        st2 = semantic_state_from_table(spark.read.parquet(p))
+    assert st2 == sorted((c, list(s), n) for c, s, n in st)
+    a1 = sorted(
+        map(tuple, assign_with_state(df, "embedding", "vec_id", st).collect())
+    )
+    a2 = sorted(
+        map(tuple, assign_with_state(df, "embedding", "vec_id", st2).collect())
+    )
+    assert a1 == a2
+
+
+def test_store_served_doc_verdicts_require_the_append(spark):
+    """The counterfactual that makes corpus_store_suite's hash gate
+    non-vacuous: a batch-2 doc duplicating a BATCH-1 doc is 'exact_dup'
+    when served from the appended store but 'new' against the base-only
+    slice — so the store APPEND is provably load-bearing, not decorative."""
+    from steam_data_engineer_project_spark.operators import (
+        incremental_dedup_verdicts,
+        normalized_hashes,
+    )
+    from steam_data_engineer_project_spark.operators.dedup import shingle_table
+
+    base = spark.createDataFrame(
+        [(100, "alpha bravo charlie delta")], "doc_id long, text string"
+    )
+    b1 = spark.createDataFrame(
+        [(200, "echo foxtrot golf hotel")], "doc_id long, text string"
+    )
+    b2 = spark.createDataFrame(
+        [(300, "echo foxtrot golf hotel")], "doc_id long, text string"
+    )
+
+    def store(*parts):
+        h = normalized_hashes(parts[0], "text")
+        sh = shingle_table(parts[0], "text", "doc_id", n=3)
+        for p in parts[1:]:
+            h = h.unionByName(normalized_hashes(p, "text"))
+            sh = sh.unionByName(shingle_table(p, "text", "doc_id", n=3))
+        return h, sh
+
+    for parts, want in (((base,), "new"), ((base, b1), "exact_dup")):
+        h, sh = store(*parts)
+        got = incremental_dedup_verdicts(
+            None,
+            b2,
+            "text",
+            "doc_id",
+            corpus_hashes=h,
+            corpus_shingles=sh,
+        ).collect()
+        assert got[0].verdict == want, (len(parts), got)
+
+
+def test_corpus_store_suite_planted_truth(spark):
+    """The registry suite's planted rows at the 500-doc fixture: batch-2
+    docs planted as duplicates of BASE docs and of BATCH-1 docs must carry
+    the right verdicts at every tier (the latter only exist if the store
+    append worked), untouched batch-2 residues prove the 'new' paths, and
+    the KMV merged arm must have filled its sketch (estimator path, not
+    the exact-small fallback)."""
+    from steam_data_engineer_project_spark.queries import QUERIES
+
+    rows = QUERIES["corpus_store_suite"].spark(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.part, {})[r.id] = r
+
+    # exact tier: %40==8 dup of base, %40==28 dup of batch 1 (append proof)
+    for i in (8, 48):
+        assert by["doc_b2"][i].verdict == "exact_dup", by["doc_b2"][i]
+    assert by["doc_b2"][28].verdict == "exact_dup", by["doc_b2"][28]
+    # near tier: %40==18 (vs base), %40==38 (vs batch 1) carry the planted
+    # refresh phrase (6 shared interior shingles at n=3)
+    assert by["doc_b2"][18].verdict in ("near_dup", "exact_dup")
+    assert by["doc_b2"][18].n_b >= 6
+    assert by["doc_b2"][38].verdict == "near_dup", by["doc_b2"][38]
+    # span tier: the 15-token quoted passages, base-backed and b1-backed
+    # >= 15: a boundary window (doc's final text token + the passage
+    # head) can coincide across planted docs in the 500-doc soup,
+    # extending coverage by a token or two — the floor is the passage
+    assert by["span_b2"][9].verdict == "span_dup"
+    assert by["span_b2"][9].n_a >= 15 and by["span_b2"][9].n_b >= 1
+    assert by["span_b2"][29].verdict == "span_dup"
+    assert by["span_b2"][29].n_a >= 15 and by["span_b2"][29].n_b >= 1
+    # semantic tier: lattice twins of a base vector and a batch-1 vector
+    assert by["sem_b2"][8].verdict == "semantic_dup", by["sem_b2"][8]
+    assert by["sem_b2"][28].verdict == "semantic_dup", by["sem_b2"][28]
+    # batch-1 verdicts served from the base-only slice: the PB payload
+    # (crawl family) has no base partner, so doc 26 must be 'new' there
+    assert by["doc_b1"][26].verdict == "new", by["doc_b1"][26]
+    # KMV lifecycle: all three arms present; merged sketch filled to k
+    assert set(by["kmv"]) == {0, 1, 2}
+    assert by["kmv"][2].n_b == 48
+    # codebook arm: one row per centroid, counts sum to the base corpus
+    assert sum(r.n_b for r in by["codebook"].values()) == 300

@@ -392,10 +392,316 @@ def semdedup_numpy_oracle(con):
     return pd.concat(legs, ignore_index=True)
 
 
+def corpus_store_hybrid_oracle(con):
+    """Scale-tractable oracle for ``corpus_store_suite``: the text-tier
+    legs (doc/span/bloom/kmv) run in DuckDB via the registry's own
+    ``_corpus_store_text_oracle_body`` (sf1-tractable — shingle joins and
+    bit math, no Lloyd unrolling), while the semantic legs are replayed
+    with int64 numpy — the IDENTICAL arithmetic as the registry SQL (same
+    lattice fixture, same quantization, same integer distance with
+    first-min/lowest-cid ties, same frozen-state assignment of batches 1
+    and 2, same exact-integer pair threshold), so values are bit-equal.
+    No engine-under-test code involved."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from steam_data_engineer_project_spark.queries import (
+        _SEM_ITER,
+        _SEM_K,
+        _SEM_SEED_UNIT,
+        _SEM_THRESHOLD,
+        _corpus_store_text_oracle_body,
+    )
+
+    text = con.execute(
+        _corpus_store_text_oracle_body()
+    ).fetch_arrow_table().to_pandas()
+
+    raw = con.execute(
+        "SELECT vec_id, embedding FROM embeddings ORDER BY vec_id"
+    ).fetch_arrow_table().to_pandas()
+    ids = raw["vec_id"].to_numpy().astype(np.int64)
+    E = np.stack([np.asarray(v, dtype=np.float64) for v in raw["embedding"]])
+    dim = E.shape[1]
+
+    # planted fixture (mirror of queries._store_embeddings)
+    g = ids // 20
+    i_idx = np.arange(dim)[None, :]
+    lat31 = ((g[:, None] * 31 + i_idx * 17) % 13 - 6).astype(np.float64)
+    lat37 = ((g[:, None] * 37 + i_idx * 17) % 13 - 6).astype(np.float64)
+    emb = E.copy()
+    m20, m40 = ids % 20, ids % 40
+    emb[m20 == 0] = lat31[m20 == 0]
+    emb[m20 == 6] = lat37[m20 == 6]
+    sel = m40 == 8
+    emb[sel] = lat31[sel]
+    emb[sel, 0] += 0.25
+    sel = m40 == 28
+    emb[sel] = lat37[sel]
+    emb[sel, 0] += 0.25
+
+    amax = np.maximum(np.abs(emb).max(axis=1), 1e-30)
+    qv = np.floor(emb * (127.0 / amax)[:, None] + 0.5).astype(np.int64)
+
+    bmask = ids % 10 <= 5
+    b1mask = np.isin(ids % 10, (6, 7))
+    b2mask = np.isin(ids % 10, (8, 9))
+    k = _SEM_K * math.ceil(int(bmask.sum()) / _SEM_SEED_UNIT)
+    seed_ids = np.sort(ids[bmask])[:k]
+    smask = np.isin(ids, seed_ids)
+    cids = ids[smask]
+    order = np.argsort(cids)
+    cids = cids[order]
+    S = qv[smask][order].copy()
+    C = np.ones(len(cids), dtype=np.int64)
+
+    def assign(X, S, C):
+        dots = X @ S.T
+        xx = np.einsum("nd,nd->n", X, X)
+        ss = np.einsum("kd,kd->k", S, S)
+        D = (C * C)[None, :] * xx[:, None] - 2 * C[None, :] * dots + ss[None, :]
+        dist = D.astype(np.float64) / (C * C).astype(np.float64)[None, :]
+        j = np.argmin(dist, axis=1)  # first min = smallest cid (cids sorted)
+        return j
+
+    X = qv[bmask]
+    for _ in range(_SEM_ITER):
+        j = assign(X, S, C)
+        newS = np.zeros_like(S)
+        newC = np.zeros_like(C)
+        np.add.at(newS, j, X)
+        np.add.at(newC, j, 1)
+        emptied = newC == 0  # emptied cluster keeps previous state
+        S = np.where(emptied[:, None], S, newS)
+        C = np.where(emptied, C, newC)
+    jb = assign(X, S, C)
+    j1 = assign(qv[b1mask], S, C)
+    j2 = assign(qv[b2mask], S, C)
+
+    corp_q = np.concatenate([qv[bmask], qv[b1mask]])
+    corp_cl = np.concatenate([cids[jb], cids[j1]])
+    inc_q, inc_cl, inc_ids = qv[b2mask], cids[j2], ids[b2mask]
+    n2c = np.einsum("nd,nd->n", corp_q, corp_q)
+    n2i = np.einsum("nd,nd->n", inc_q, inc_q)
+    t_sq = int(_SEM_THRESHOLD * _SEM_THRESHOLD * 10_000)
+    nm = np.zeros(len(inc_ids), dtype=np.int64)
+    mc = np.full(len(inc_ids), np.nan)
+    for c in np.unique(inc_cl):
+        im = np.flatnonzero(inc_cl == c)
+        cm = np.flatnonzero(corp_cl == c)
+        if len(cm) == 0:
+            continue
+        dmat = inc_q[im] @ corp_q[cm].T
+        keep = (dmat > 0) & (
+            10_000 * dmat * dmat >= t_sq * n2i[im][:, None] * n2c[cm][None, :]
+        )
+        cnt = keep.sum(axis=1)
+        nm[im] += cnt
+        if keep.any():
+            na = (n2i[im][:, None] * n2c[cm][None, :]).astype(np.float64)
+            cosm = np.floor(dmat.astype(np.float64) / np.sqrt(na) * 1e6 + 0.5)
+            cosm = np.where(keep, cosm, -np.inf)
+            has = cnt > 0
+            mc[im[has]] = cosm.max(axis=1)[has]
+
+    sem = pd.DataFrame(
+        {
+            "part": "sem_b2",
+            "id": inc_ids,
+            "verdict": np.where(nm > 0, "semantic_dup", "new"),
+            "n_a": nm,
+            "n_b": mc,
+            "x": inc_cl.astype(np.float64),
+        }
+    )
+    cb = pd.DataFrame(
+        {
+            "part": "codebook",
+            "id": cids,
+            "verdict": None,
+            "n_a": S.sum(axis=1),
+            "n_b": C.astype(np.float64),
+            "x": np.einsum("kd,kd->k", S, S).astype(np.float64),
+        }
+    )
+    return pd.concat([text, sem, cb], ignore_index=True)
+
+
+def ann_ivf_numpy_oracle(con):
+    """Scale-tractable oracle for ``ann_ivf_topk``: the registry SQL
+    unrolls the trained leg's Lloyd chain as k×N cross joins with
+    per-element list lambdas — fine at sf0.01, but hours at sf2's 40k
+    vectors. This replay keeps the IDENTICAL arithmetic in numpy:
+    double sums computed in strict LEFT-FOLD column order (matching
+    F.aggregate / DuckDB list_sum element order, so the 6-dp rounding
+    and micro-unit floors see bit-identical doubles), int64 quantized
+    distances exact by value, the same first-min/lowest-cid ties, the
+    same floor-mean codebook, the same (score DESC, id ASC) selections.
+    No engine-under-test code involved."""
+    import numpy as np
+    import pandas as pd
+
+    raw = con.execute(
+        "SELECT vec_id, embedding FROM embeddings ORDER BY vec_id"
+    ).fetch_arrow_table().to_pandas()
+    ids = raw["vec_id"].to_numpy().astype(np.int64)
+    E = np.stack([np.asarray(v, dtype=np.float64) for v in raw["embedding"]])
+    n, d = E.shape
+
+    def fold_dot(A, B):
+        """Left-fold Σ A[:,j]·B[:,j] — per-element addition order identical
+        to F.aggregate's sequential fold (numpy's pairwise dot is not)."""
+        s = np.zeros((A.shape[0], B.shape[0]))
+        for j in range(d):
+            s = s + A[:, j, None] * B[None, :, j]
+        return s
+
+    def fold_sq(A):
+        s = np.zeros(A.shape[0])
+        for j in range(d):
+            s = s + A[:, j] * A[:, j]
+        return s
+
+    legs = []
+    # ---- firstids leg: centroids = embeddings of ids < 16
+    cmask = ids < 16
+    cids = ids[cmask]
+    CV = E[cmask]
+    normE = np.sqrt(fold_sq(E))
+    normC = np.sqrt(fold_sq(CV))
+    cos = np.round(fold_dot(E, CV) / (normE[:, None] * normC[None, :]), 6)
+    # argmax of (rounded cos, -cid): ties on the ROUNDED value -> smallest cid
+    best = np.zeros(n, dtype=np.int64)
+    for r in range(n):
+        row = cos[r]
+        m = row.max()
+        best[r] = cids[np.flatnonzero(row == m).min()]
+    q = E[ids == 0][0]
+    qcos = np.round(
+        fold_dot(CV, q[None, :])[:, 0] / (normC * np.sqrt(fold_sq(q[None, :]))[0]),
+        6,
+    )
+    probe = cids[
+        sorted(range(len(cids)), key=lambda i: (-qcos[i], cids[i]))[:4]
+    ]
+    cand = np.isin(best, probe)
+    ccos = np.round(
+        fold_dot(E[cand], q[None, :])[:, 0]
+        / (normE[cand] * np.sqrt(fold_sq(q[None, :]))[0]),
+        6,
+    )
+    cid_arr, ccid = ids[cand], best[cand]
+    order = sorted(range(len(cid_arr)), key=lambda i: (-ccos[i], cid_arr[i]))[:10]
+    legs.append(
+        pd.DataFrame(
+            {
+                "part": "firstids",
+                "vec_id": cid_arr[order],
+                "centroid_id": ccid[order],
+                "cosine": ccos[order],
+                "cos_micro": np.nan,
+            }
+        )
+    )
+
+    # ---- trained leg: int8 quantize -> 3 Lloyd iters -> floor-mean codebook
+    amax = np.maximum(np.abs(E).max(axis=1), 1e-30)
+    qv = np.floor(E * (127.0 / amax)[:, None] + 0.5).astype(np.int64)
+    S = qv[cmask].copy()
+    C = np.ones(len(cids), dtype=np.int64)
+
+    def assign_int(X, S, C):
+        dots = X @ S.T
+        xx = np.einsum("nd,nd->n", X, X)
+        ss = np.einsum("kd,kd->k", S, S)
+        D = (C * C)[None, :] * xx[:, None] - 2 * C[None, :] * dots + ss[None, :]
+        dist = D.astype(np.float64) / (C * C).astype(np.float64)[None, :]
+        return np.argmin(dist, axis=1)  # first min = smallest cid
+
+    for _ in range(3):
+        j = assign_int(qv, S, C)
+        newS = np.zeros_like(S)
+        newC = np.zeros_like(C)
+        np.add.at(newS, j, qv)
+        np.add.at(newC, j, 1)
+        emptied = newC == 0
+        S = np.where(emptied[:, None], S, newS)
+        C = np.where(emptied, C, newC)
+    fin = cids[assign_int(qv, S, C)]
+
+    # micro-unit normalized vectors (left-fold norms), floor-mean codebook
+    nrm = np.maximum(np.sqrt(fold_sq(E)), 1e-30)
+    M = np.floor(E / nrm[:, None] * 1e6 + 0.5).astype(np.int64)
+    cb = {}
+    for k_i, cid in enumerate(cids):
+        mem = fin == cid
+        if mem.sum():
+            cb[cid] = np.floor(
+                M[mem].sum(axis=0).astype(np.float64) / mem.sum()
+            ).astype(np.int64)
+    cb_ids = np.array(sorted(cb), dtype=np.int64)
+    CB = np.stack([cb[c] for c in cb_ids])
+    nc = np.einsum("kd,kd->k", CB, CB)
+    nx = np.einsum("nd,nd->n", qv, qv)
+    # all-integer cosine assignment -> probe 4 -> top 10 micro-cosines
+    sc = (qv @ CB.T) / (np.sqrt(nx.astype(np.float64))[:, None] * np.sqrt(nc.astype(np.float64))[None, :])
+    assigned = np.zeros(n, dtype=np.int64)
+    for r in range(n):
+        row = sc[r]
+        m = row.max()
+        assigned[r] = cb_ids[np.flatnonzero(row == m).min()]
+    q0 = qv[ids == 0][0]
+    nq = int(q0 @ q0)
+    qsc = (CB @ q0) / (np.sqrt(nc.astype(np.float64)) * np.sqrt(float(nq)))
+    tprobe = cb_ids[
+        sorted(range(len(cb_ids)), key=lambda i: (-qsc[i], cb_ids[i]))[:4]
+    ]
+    tc = np.isin(assigned, tprobe)
+    dots = qv[tc] @ q0
+    micro = np.floor(
+        dots.astype(np.float64)
+        / (np.sqrt(nx[tc].astype(np.float64)) * np.sqrt(float(nq)))
+        * 1e6
+        + 0.5
+    ).astype(np.int64)
+    tid, tcid = ids[tc], assigned[tc]
+    order = sorted(range(len(tid)), key=lambda i: (-micro[i], tid[i]))[:10]
+    legs.append(
+        pd.DataFrame(
+            {
+                "part": "trained",
+                "vec_id": tid[order],
+                "centroid_id": tcid[order],
+                "cosine": np.nan,
+                "cos_micro": micro[order].astype(np.float64),
+            }
+        )
+    )
+    legs.append(
+        pd.DataFrame(
+            {
+                "part": "codebook",
+                "vec_id": np.nan,
+                "centroid_id": cb_ids,
+                "cosine": CB.sum(axis=1).astype(np.float64),
+                "cos_micro": nc.astype(np.float64),
+            }
+        )
+    )
+    return pd.concat(legs, ignore_index=True)
+
+
 SPECIAL_ORACLES = {
     "dedup_cluster_canonical": cc_unionfind_oracle,
     "dedup_embedding_cosine": semdedup_numpy_oracle,
+    "corpus_store_suite": corpus_store_hybrid_oracle,
 }
+
+#: the registry SQL stays the sf0.01 driver-gate oracle; the numpy replay
+#: serves the sf>=1 notches where the unrolled-Lloyd SQL is intractable.
+SPECIAL_ORACLES["ann_ivf_topk"] = ann_ivf_numpy_oracle
 
 
 def main() -> int:

@@ -32,6 +32,11 @@ GATE_QUERIES = [
     "dedup_embedding_cosine",
     "dedup_cross_corpus",
     "corpus_pipeline_e2e",
+    # round 7 additions: the stored-codebook ANN serve path (3rd-heaviest
+    # at sf1 before the store landed — the gate now tracks the fix) and
+    # the stored-artifact lifecycle suite
+    "ann_ivf_topk",
+    "corpus_store_suite",
 ]
 
 
