@@ -1,0 +1,236 @@
+"""Measure the corpus store's economics: store-served batch admission vs
+corpus rescan, at a chosen scale notch.
+
+`corpus_store_suite` (queries.py) hash-gates that store-served verdicts
+EQUAL rescan-computed ones; SCALE.md's round-7 section claims the served
+path is also the one you can AFFORD at 100 TB ("the corpus itself is
+never re-read"). This tool turns that claim into a measured ratio on the
+same planted fixture and the same operator parameters:
+
+- BUILD  — one-time: derive the base corpus's artifacts (hashes,
+  shingles, span windows, frozen codebook + inverted file) and write
+  them to parquet. This is the cost a pipeline pays once per corpus
+  release, amortized over every subsequent batch.
+- SERVED — admit a batch at all three tiers (doc, span, embedding) by
+  reading the store; the corpus text/vectors never appear in the plan.
+- RESCAN — the same three verdict computations with the corpus
+  DataFrame passed directly, so every artifact is re-derived in-plan
+  (what a store-less pipeline pays PER BATCH, forever).
+
+The split is crawl-shaped: the batch is 2 % of docs (doc_id % 50 == 49),
+the corpus the other 98 % — a daily crawl increment against a standing
+corpus, which is the ratio the store exists for. (At a 20/80 split the
+two paths cost the same wall time at local scale: deriving shingles
+over a corpus only 4× the batch is no more work than scanning the
+stored tables, and scheduling overhead dominates both. The store's
+advantage is proportional to corpus/batch.)
+
+Usage:
+    python tools/store_economics.py [sf_dir] [out_json]
+
+Defaults: /root/repo/.sf1data, printed JSON only. Each phase is the min
+over $SPARK_GRAFT_BENCH_REPEATS (default 2) passes through the noop
+sink after an sf0.001 warmup pass, mirroring bench.py's methodology.
+The served/rescan row counts are asserted equal per tier (the driver
+oracle proves value equality; this guards the harness itself).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from steam_data_engineer_project_spark import queries as Q  # noqa: E402
+from steam_data_engineer_project_spark.operators import (  # noqa: E402
+    incremental_dedup_verdicts,
+    incremental_duplicated_spans,
+    incremental_semantic_verdicts,
+    kmeans_int8,
+    normalized_hashes,
+    semantic_state_from_table,
+    semantic_state_table,
+    span_windows,
+)
+from steam_data_engineer_project_spark.operators.clustering import (  # noqa: E402
+    quantized_vectors,
+)
+from steam_data_engineer_project_spark.operators.dedup import (  # noqa: E402
+    shingle_table,
+)
+from steam_data_engineer_project_spark.session import get_spark  # noqa: E402
+
+
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _build(spark, sf_dir: str, root: str) -> None:
+    """Derive + persist the base-corpus artifacts (batch_id 0 = base+b1
+    here: the whole pre-batch-2 corpus in one slice, since this tool
+    times serve-vs-rescan for ONE admitted batch)."""
+    d = Q._store_text(spark, sf_dir)
+    corpus = d.filter(F.col("doc_id") % 50 != 49)
+    ev = Q._store_embeddings(spark, sf_dir)
+    vcorpus = ev.filter(F.col("vec_id") % 50 != 49)
+
+    normalized_hashes(corpus, "stext").write.mode("overwrite").parquet(
+        os.path.join(root, "hashes")
+    )
+    shingle_table(corpus, "stext", "doc_id", n=Q._ST_N).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(root, "shingles"))
+    span_windows(corpus, "stext", "doc_id", w=Q._ST_W).select("gh").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(root, "windows"))
+
+    import math
+
+    kk = Q._SEM_K * math.ceil(vcorpus.count() / Q._SEM_SEED_UNIT)
+    qv = quantized_vectors(vcorpus, "embedding", "vec_id")
+    st: list = []
+    assigned = kmeans_int8(
+        None, "embedding", "vec_id", k=kk, n_iter=Q._SEM_ITER, qdf=qv, state_out=st
+    )
+    semantic_state_table(spark, st).write.mode("overwrite").parquet(
+        os.path.join(root, "sem_state")
+    )
+    assigned.join(qv, "vec_id").select("vec_id", "qv", "cluster_id").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(root, "sem_assigned"))
+
+
+def _served(spark, sf_dir: str, root: str):
+    d = Q._store_text(spark, sf_dir)
+    b2 = d.filter(F.col("doc_id") % 50 == 49)
+    vb2 = Q._store_embeddings(spark, sf_dir).filter(
+        F.col("vec_id") % 50 == 49
+    )
+    rd = lambda n: spark.read.parquet(os.path.join(root, n))
+    doc = incremental_dedup_verdicts(
+        None, b2, "stext", "doc_id", n=Q._ST_N, min_shared=Q._ST_MIN_SHARED,
+        max_doc_freq=Q._ST_MAX_DF,
+        corpus_hashes=rd("hashes").select("h"),
+        corpus_shingles=rd("shingles").select("doc_id", "shingle"),
+    )
+    span = incremental_duplicated_spans(
+        None, b2, "stext", "doc_id", w=Q._ST_W,
+        corpus_windows=rd("windows").select("gh"),
+    )
+    sem = incremental_semantic_verdicts(
+        None, vb2, "embedding", "vec_id", threshold=Q._SEM_THRESHOLD,
+        state=semantic_state_from_table(rd("sem_state")),
+        corpus_assigned=rd("sem_assigned"),
+    )
+    return doc, span, sem
+
+
+def _rescan(spark, sf_dir: str):
+    d = Q._store_text(spark, sf_dir)
+    corpus = d.filter(F.col("doc_id") % 50 != 49)
+    b2 = d.filter(F.col("doc_id") % 50 == 49)
+    ev = Q._store_embeddings(spark, sf_dir)
+    vcorpus = ev.filter(F.col("vec_id") % 50 != 49)
+    vb2 = ev.filter(F.col("vec_id") % 50 == 49)
+    doc = incremental_dedup_verdicts(
+        corpus, b2, "stext", "doc_id", n=Q._ST_N,
+        min_shared=Q._ST_MIN_SHARED, max_doc_freq=Q._ST_MAX_DF,
+    )
+    span = incremental_duplicated_spans(corpus, b2, "stext", "doc_id", w=Q._ST_W)
+    sem = incremental_semantic_verdicts(
+        vcorpus, vb2, "embedding", "vec_id", threshold=Q._SEM_THRESHOLD
+    )
+    return doc, span, sem
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.sf1data"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else None
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
+
+    spark = get_spark(
+        "store-economics",
+        master=f"local[{int(os.environ.get('SPARK_GRAFT_CPUS', '32'))}]",
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+    )
+
+    # Plan warmup at the smallest SF (JIT/codegen, Arrow init).
+    warm_root = tempfile.mkdtemp(prefix="stecon_warm_")
+    try:
+        _build(spark, warm_dir, warm_root)
+        for df in _served(spark, warm_dir, warm_root) + _rescan(spark, warm_dir):
+            _noop(df)
+    finally:
+        shutil.rmtree(warm_root, ignore_errors=True)
+
+    root = tempfile.mkdtemp(prefix="stecon_")
+    try:
+        t_build = None
+        for _ in range(repeats):
+            t0 = time.time()
+            _build(spark, sf_dir, root)
+            dt = time.time() - t0
+            t_build = dt if t_build is None else min(t_build, dt)
+
+        t_served = None
+        for _ in range(repeats):
+            t0 = time.time()
+            for df in _served(spark, sf_dir, root):
+                _noop(df)
+            dt = time.time() - t0
+            t_served = dt if t_served is None else min(t_served, dt)
+
+        t_rescan = None
+        for _ in range(repeats):
+            t0 = time.time()
+            for df in _rescan(spark, sf_dir):
+                _noop(df)
+            dt = time.time() - t0
+            t_rescan = dt if t_rescan is None else min(t_rescan, dt)
+
+        # Sanity: served ≡ rescan at the row level per tier (values are
+        # driver-oracle territory; this guards the harness wiring).
+        counts = {}
+        for tier, s_df, r_df in zip(
+            ("doc", "span", "sem"),
+            _served(spark, sf_dir, root),
+            _rescan(spark, sf_dir),
+        ):
+            cs, cr = s_df.count(), r_df.count()
+            assert cs == cr, f"{tier}: served {cs} != rescan {cr}"
+            counts[tier] = cs
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    payload = {
+        "metric": "store_serve_vs_rescan",
+        "sf_dir": sf_dir,
+        "unit": "sec",
+        "build_once_s": round(t_build, 3),
+        "served_batch_s": round(t_served, 3),
+        "rescan_batch_s": round(t_rescan, 3),
+        "rescan_over_served": round(t_rescan / t_served, 2),
+        "breakeven_batches": round(t_build / max(t_rescan - t_served, 1e-9), 2),
+        "rows": counts,
+        "note": (
+            "min over %d passes after sf0.001 warmup; served reads parquet "
+            "artifacts, rescan re-derives them in-plan" % repeats
+        ),
+    }
+    line = json.dumps(payload)
+    if out_path:
+        with open(out_path, "w") as f:
+            f.write(line)
+    print(line)
+
+
+if __name__ == "__main__":
+    main()
