@@ -1,0 +1,486 @@
+"""Crash-safe multi-table corpus artifact store.
+
+The incremental operator family (operators/dedup, operators/clustering,
+operators/sketches, operators/bloom) serves batch admission from PERSISTED
+parquet artifacts — hashes, shingles, span windows, KMV sketches, Bloom
+bitsets, and the semantic inverted file — instead of re-reading the corpus
+(queries.corpus_store_suite hash-gates served ≡ rescan). Round 7 proved the
+lifecycle; what it lacked was the failure-and-aging story a store that
+lives for months actually needs:
+
+- **Torn writes.** Admitting one batch appends SIX artifact tables. A crash
+  between the hashes write and the shingles write leaves a store whose
+  exact tier sees batch N but whose near tier doesn't — and every later
+  serve silently under-detects. This module applies the same move as
+  streaming/state_store (replay markers written last; reference analog:
+  the ProcessedTracker checkpoint protocol, utils/common.py:52-125): every
+  batch slice lands under ``<table>__g<gen>/batch_id=<N>/`` first, and a
+  per-batch COMMIT MARKER is written LAST via atomic rename. Readers list
+  only committed slices, so a torn admission is invisible until its marker
+  exists — the next serve consistently sees batch N−1 at every tier.
+- **Idempotent retry.** Each slice is written with ``mode("overwrite")``
+  into its own ``batch_id=<N>`` directory, so re-running a torn admission
+  overwrites the partial slice instead of double-appending rows.
+- **Compaction.** After B admitted batches every serve merges B bloom word
+  tables and B KMV sketches and unions B row-table slices — linear
+  degradation in batch count. :meth:`CorpusStore.compact` rewrites each
+  table's committed slices into ONE consolidated slice in a NEW generation
+  directory (sketch tables get a real merge — KMV re-min, Bloom bit-or —
+  via caller-supplied combiners), then flips the manifest atomically.
+  Compacted-serve ≡ uncompacted-serve is hash-gated in tests.
+- **Aging artifacts.** The Bloom bitset has fixed m_bits, so its fill
+  ratio — and with it the false-positive rate ≈ fill^h — climbs as batches
+  append: the one artifact that AGES rather than just grows.
+  :meth:`CorpusStore.rebuild_bloom` re-derives a right-sized filter from
+  the STORED shingle table (never the corpus) and swaps it in with the new
+  (m, h) recorded in the manifest so probes can't use a stale modulus.
+  The sizing rule lives in :func:`bloom_required_bits`.
+- **Codebook staleness.** The semantic tier assigns every future batch
+  against a codebook trained at batch 0; under distribution drift its
+  recall decays silently. :func:`codebook_drift_stat` is the cheap probe
+  (assignment-distance ratio, batch vs the stored inverted file — no
+  corpus read), and :meth:`CorpusStore.swap_codebook` retrains from the
+  STORED quantized vectors and swaps codebook + reassigned inverted file
+  in ONE atomic manifest flip.
+
+All commit points are single ``os.replace`` calls on a JSON manifest or a
+marker file — the same local-filesystem transaction primitive Delta Lake's
+``_delta_log`` uses (public design), scaled down to what a benchmark store
+needs. Driver-side file ops touch only KB-class metadata; all data moves
+stay in Spark jobs.
+
+Engine-original (SURVEY.md §2.12): the reference's only store is MySQL
+upserts + a JSON processed-tracker (utils/common.py:52-125); the artifact
+lifecycle itself has no reference counterpart.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import tempfile
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: manifest file name — the store's single source of truth for table
+#: generations and codebook version; every structural change is one atomic
+#: replace of this file.
+MANIFEST = "_manifest.json"
+
+#: directory of per-batch commit markers (empty files named <batch_id>).
+COMMITS = "_commits"
+
+
+def _atomic_write(path: str, content: str) -> None:
+    """Write ``content`` to ``path`` atomically (tmp file + os.replace —
+    rename is atomic on a POSIX filesystem, so readers see the old file or
+    the new one, never a torn write)."""
+    d = os.path.dirname(path)
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, prefix=".tmp_")
+    try:
+        with os.fdopen(fd, "w") as f:
+            f.write(content)
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+
+
+class StoreTornError(RuntimeError):
+    """Raised by the crash-injection hook in :meth:`CorpusStore.admit`."""
+
+
+class CorpusStore:
+    """A multi-table artifact store with per-batch atomic commit.
+
+    ``tables`` declares the artifact families this store carries (fixed at
+    creation, persisted in the manifest; later opens validate the caller
+    against it — a batch that silently omits a table must not commit).
+    """
+
+    def __init__(self, root: str, tables: tuple[str, ...] | None = None):
+        self.root = root
+        mpath = os.path.join(root, MANIFEST)
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                self._m = json.load(f)
+            if tables is not None and tuple(self._m["tables"]) != tuple(
+                tables
+            ):
+                raise ValueError(
+                    f"store at {root} carries tables "
+                    f"{tuple(self._m['tables'])}, caller declared {tables}"
+                )
+        else:
+            if tables is None:
+                raise ValueError(
+                    f"no store at {root}: creating one requires `tables`"
+                )
+            self._m = {
+                "tables": {name: 0 for name in tables},
+                "next_gen": 1,
+                "codebook_version": None,
+                "bloom": None,
+            }
+            self._flush()
+
+    # ------------------------------------------------------------------ #
+    # manifest plumbing
+    # ------------------------------------------------------------------ #
+    def _flush(self) -> None:
+        _atomic_write(
+            os.path.join(self.root, MANIFEST),
+            json.dumps(self._m, indent=1) + "\n",
+        )
+
+    def _tdir(self, name: str, gen: int | None = None) -> str:
+        g = self._m["tables"][name] if gen is None else gen
+        return os.path.join(self.root, f"{name}__g{g}")
+
+    @property
+    def table_names(self) -> tuple[str, ...]:
+        return tuple(self._m["tables"])
+
+    def bloom_params(self) -> dict | None:
+        """The (m_bits, n_hashes, salt) the CURRENT bloom artifact was
+        built with — probes must use these, not the caller's constants,
+        or a post-resize store answers garbage."""
+        return self._m.get("bloom")
+
+    def set_bloom_params(
+        self, m_bits: int, n_hashes: int, salt: str = "bf"
+    ) -> None:
+        self._m["bloom"] = {
+            "m_bits": m_bits,
+            "n_hashes": n_hashes,
+            "salt": salt,
+        }
+        self._flush()
+
+    # ------------------------------------------------------------------ #
+    # admission: write slices, commit LAST
+    # ------------------------------------------------------------------ #
+    def admit(
+        self,
+        tables: dict[str, DataFrame],
+        batch_id: int,
+        fail_after: str | None = None,
+    ) -> None:
+        """Admit one batch: write every artifact table's slice, then the
+        commit marker LAST. A crash anywhere before the marker leaves the
+        batch invisible to every reader (consistent at batch N−1); a retry
+        overwrites the partial slices (idempotent) and commits.
+
+        ``fail_after`` is the crash-injection hook for the torn-write
+        tests: raise :class:`StoreTornError` immediately after the named
+        table's slice is written.
+        """
+        missing = set(self._m["tables"]) - set(tables)
+        if missing:
+            raise ValueError(
+                f"admit(batch {batch_id}) missing tables {sorted(missing)}: "
+                "a partial batch must not commit"
+            )
+        extra = set(tables) - set(self._m["tables"])
+        if extra:
+            raise ValueError(f"unknown tables {sorted(extra)}")
+        for name in self._m["tables"]:
+            slice_dir = os.path.join(self._tdir(name), f"batch_id={batch_id}")
+            tables[name].write.mode("overwrite").parquet(slice_dir)
+            if fail_after == name:
+                raise StoreTornError(
+                    f"injected crash after writing {name} "
+                    f"(batch {batch_id} NOT committed)"
+                )
+        _atomic_write(
+            os.path.join(self.root, COMMITS, str(batch_id)), str(batch_id)
+        )
+
+    def committed_ids(self) -> list[int]:
+        cdir = os.path.join(self.root, COMMITS)
+        if not os.path.isdir(cdir):
+            return []
+        return sorted(
+            int(n) for n in os.listdir(cdir) if not n.startswith(".")
+        )
+
+    # ------------------------------------------------------------------ #
+    # serve-side reads: committed slices only
+    # ------------------------------------------------------------------ #
+    def read(self, spark: SparkSession, name: str) -> DataFrame:
+        """The table's COMMITTED rows, with ``batch_id`` as a partition
+        column (filters on it prune directories at scan time). Uncommitted
+        slices are excluded at the listing level, so a torn admission's
+        partial files are never even opened. After compaction the listing
+        naturally collapses to the consolidated slice (the only committed
+        directory that still exists in the table's current generation)."""
+        tdir = self._tdir(name)
+        committed = set(self.committed_ids())
+        dirs = []
+        if os.path.isdir(tdir):
+            for d in os.listdir(tdir):
+                if d.startswith("batch_id="):
+                    try:
+                        bid = int(d.split("=", 1)[1])
+                    except ValueError:
+                        continue
+                    if bid in committed:
+                        dirs.append(os.path.join(tdir, d))
+        if not dirs:
+            raise ValueError(
+                f"store table {name} has no committed slices at {tdir}"
+            )
+        return spark.read.option("basePath", tdir).parquet(*sorted(dirs))
+
+    # ------------------------------------------------------------------ #
+    # codebook: versioned artifact with atomic swap
+    # ------------------------------------------------------------------ #
+    def _cb_dir(self, version: int) -> str:
+        return os.path.join(self.root, f"sem_state_v{version}")
+
+    def write_codebook(self, state_df: DataFrame) -> int:
+        """Persist the initial codebook (version 0). For replacing a live
+        one use :meth:`swap_codebook` — the inverted file must swap WITH
+        it or assignments and centroids disagree."""
+        if self._m["codebook_version"] is not None:
+            raise ValueError(
+                "codebook already exists — use swap_codebook to replace it"
+            )
+        state_df.write.mode("overwrite").parquet(self._cb_dir(0))
+        self._m["codebook_version"] = 0
+        self._flush()
+        return 0
+
+    def read_codebook(self, spark: SparkSession) -> DataFrame:
+        v = self._m["codebook_version"]
+        if v is None:
+            raise ValueError("store has no codebook")
+        return spark.read.parquet(self._cb_dir(v))
+
+    def swap_codebook(
+        self,
+        state_df: DataFrame,
+        reassigned: DataFrame,
+        assigned_table: str = "sem_assigned",
+    ) -> int:
+        """Retrain-and-swap: write the new codebook version AND the
+        inverted file reassigned under it (one consolidated slice in a new
+        generation), then flip both in ONE manifest replace — a reader
+        never sees a new codebook with old assignments or vice versa.
+        ``reassigned`` must cover every stored vector (build it from the
+        STORED qv rows — the corpus is never re-read; see
+        queries.corpus_store_suite / tools/codebook_drift.py)."""
+        committed = self.committed_ids()
+        if not committed:
+            raise ValueError("nothing admitted yet")
+        if self._m["codebook_version"] is None:
+            raise ValueError("no codebook to swap — write_codebook first")
+        new_v = self._m["codebook_version"] + 1
+        new_gen = self._m["next_gen"]
+        state_df.write.mode("overwrite").parquet(self._cb_dir(new_v))
+        hi = max(committed)
+        reassigned.write.mode("overwrite").parquet(
+            os.path.join(
+                self._tdir(assigned_table, new_gen), f"batch_id={hi}"
+            )
+        )
+        old_gen = self._m["tables"][assigned_table]
+        self._m["codebook_version"] = new_v
+        self._m["tables"][assigned_table] = new_gen
+        self._m["next_gen"] = new_gen + 1
+        self._flush()
+        shutil.rmtree(self._tdir(assigned_table, old_gen), ignore_errors=True)
+        return new_v
+
+    # ------------------------------------------------------------------ #
+    # compaction: N committed slices -> 1 consolidated slice per table
+    # ------------------------------------------------------------------ #
+    def compact(
+        self,
+        spark: SparkSession,
+        combiners: dict[str, Callable[[DataFrame], DataFrame]] | None = None,
+        target_partitions: int = 1,
+        fail_after: str | None = None,
+    ) -> None:
+        """Rewrite every table's committed slices into ONE slice (labeled
+        with the highest committed batch_id) in a fresh generation, then
+        flip the manifest atomically. ``combiners`` maps table name to a
+        function from the batch-tagged union to the consolidated rows —
+        the hook where sketch tables get a REAL merge (KMV re-min, Bloom
+        per-word bit-or) instead of a row rewrite; the default combiner
+        just drops the batch tag (row tables union losslessly: doc ids are
+        disjoint across batches and window/hash tables are set-semantic).
+
+        Crash-safe: a crash before the flip leaves the old manifest — and
+        therefore the old generations — authoritative; a retry reuses the
+        same generation numbers and overwrites the partial output.
+        Commit markers are untouched (the consolidated slice carries the
+        highest id; lower ids simply have no directory anymore)."""
+        committed = self.committed_ids()
+        if not committed:
+            raise ValueError("nothing to compact")
+        hi = max(committed)
+        combiners = combiners or {}
+        base_gen = self._m["next_gen"]
+        new_gens = {}
+        for i, name in enumerate(self._m["tables"]):
+            gen = base_gen + i
+            df = self.read(spark, name)
+            combined = combiners.get(
+                name, lambda d: d.drop("batch_id")
+            )(df)
+            if target_partitions:
+                combined = combined.coalesce(target_partitions)
+            combined.write.mode("overwrite").parquet(
+                os.path.join(self._tdir(name, gen), f"batch_id={hi}")
+            )
+            new_gens[name] = gen
+            if fail_after == name:
+                raise StoreTornError(
+                    f"injected crash after compacting {name} "
+                    "(manifest NOT flipped)"
+                )
+        old_gens = dict(self._m["tables"])
+        self._m["tables"] = new_gens
+        self._m["next_gen"] = base_gen + len(new_gens)
+        self._flush()
+        for name, g in old_gens.items():
+            shutil.rmtree(self._tdir(name, g), ignore_errors=True)
+
+    # ------------------------------------------------------------------ #
+    # bloom aging: fill measurement + rebuild from the stored shingles
+    # ------------------------------------------------------------------ #
+    def bloom_fill_ratio(
+        self, spark: SparkSession, bloom_table: str = "bloom"
+    ) -> float:
+        """Fraction of set bits in the MERGED stored filter (per-word
+        bit-or across batch slices, exactly what probes see). The filter's
+        false-positive rate is ≈ fill^h, so this is the aging gauge: at
+        fill 0.5 (the classic optimum) an h=4 filter sits at ~6 % FP;
+        past it FP climbs steeply toward 1."""
+        params = self._m.get("bloom")
+        if not params:
+            raise ValueError("store has no bloom params recorded")
+        merged = (
+            self.read(spark, bloom_table)
+            .groupBy("word_idx")
+            .agg(F.bit_or("bits").alias("bits"))
+        )
+        set_bits = merged.agg(
+            F.sum(F.bit_count("bits")).cast("long").alias("n")
+        ).collect()[0]["n"]
+        return (set_bits or 0) / params["m_bits"]
+
+    def rebuild_bloom(
+        self,
+        spark: SparkSession,
+        m_bits: int,
+        n_hashes: int,
+        *,
+        shingle_table_name: str = "shingles",
+        bloom_table: str = "bloom",
+        value_col: str = "shingle",
+        salt: str = "bf",
+    ) -> None:
+        """Re-derive the filter at a new size from the STORED shingle
+        table — the corpus itself is never read — and swap it in as one
+        consolidated slice with the new (m, h, salt) recorded in the same
+        manifest flip, so a reader can never probe the new bits with the
+        old modulus. Run when :meth:`bloom_fill_ratio` crosses the
+        caller's threshold (0.5 is the classic knee; see
+        :func:`bloom_required_bits` for sizing the new m)."""
+        from .operators.bloom import bloom_bitset
+
+        committed = self.committed_ids()
+        hi = max(committed)
+        gen = self._m["next_gen"]
+        fresh = bloom_bitset(
+            self.read(spark, shingle_table_name).select(value_col),
+            value_col,
+            m_bits=m_bits,
+            n_hashes=n_hashes,
+            salt=salt,
+        ).coalesce(1)
+        fresh.write.mode("overwrite").parquet(
+            os.path.join(self._tdir(bloom_table, gen), f"batch_id={hi}")
+        )
+        old_gen = self._m["tables"][bloom_table]
+        self._m["tables"][bloom_table] = gen
+        self._m["next_gen"] = gen + 1
+        self._m["bloom"] = {
+            "m_bits": m_bits,
+            "n_hashes": n_hashes,
+            "salt": salt,
+        }
+        self._flush()
+        shutil.rmtree(self._tdir(bloom_table, old_gen), ignore_errors=True)
+
+
+def bloom_required_bits(
+    n_keys: int, fp_target: float, n_hashes: int
+) -> int:
+    """Bits needed so an h-hash filter over n keys stays at or under the
+    FP target: from p = (1 − e^{−hn/m})^h, m = h·n / −ln(1 − p^{1/h})
+    (Bloom 1970). At the OPTIMAL h = (m/n)·ln2 this reduces to the classic
+    m = n·ln(1/p)/ln²2 ≈ 1.44·n·log2(1/p) — the n·ln2 rule of thumb is
+    'each key needs h/ln2 bits at 50 % fill'. Rounded up to a multiple of
+    32 (the word width operators/bloom stores)."""
+    if not 0 < fp_target < 1:
+        raise ValueError("fp_target must be in (0, 1)")
+    m = n_hashes * n_keys / -math.log(1.0 - fp_target ** (1.0 / n_hashes))
+    return int(math.ceil(m / 32.0)) * 32
+
+
+def codebook_drift_stat(
+    incoming_qdf: DataFrame,
+    stored_assigned: DataFrame,
+    state: list,
+) -> DataFrame:
+    """The cheap staleness probe for a frozen codebook: the incoming
+    batch's mean nearest-centroid distance vs the STORED inverted file's
+    (both distances computed against the same frozen state; the stored
+    side re-derives dist from its persisted qv rows — ~k·|store| integer
+    ops on KB-class artifacts, the corpus is never read). Returns ONE row
+    (batch_mean_dist, store_mean_dist, drift_ratio): a batch drawn from
+    the training distribution sits near ratio 1; drifted batches sit far
+    from every centroid and push the ratio up. Gate retraining on a
+    threshold (tools/codebook_drift.py measures the recall decay that
+    makes ~1.5 a sane default — by then planted-twin recall has already
+    slipped), then :meth:`CorpusStore.swap_codebook` from stored vectors.
+
+    Why distance and not recall: recall needs labeled twins, which
+    production doesn't have; assignment distance is label-free, computed
+    in the same pass admission already runs, and decays monotonically
+    with the same drift that kills recall."""
+    from .operators.clustering import _assign_to_centroids
+
+    def mean_dist(qdf, alias):
+        assigned = _assign_to_centroids(
+            qdf.select(F.col(qdf.columns[0]).alias("__drift_id"), "qv"),
+            "__drift_id",
+            state,
+        )
+        return assigned.agg(
+            F.avg(F.col("dist").cast("double")).alias(alias)
+        )
+
+    inc_d = mean_dist(incoming_qdf, "batch_mean_dist")
+    st_d = mean_dist(stored_assigned, "store_mean_dist")
+    return (
+        inc_d.crossJoin(F.broadcast(st_d))  # 1×1 rows: broadcast is free
+        .select(
+            "batch_mean_dist",
+            "store_mean_dist",
+            (F.col("batch_mean_dist") / F.col("store_mean_dist")).alias(
+                "drift_ratio"
+            ),
+        )
+    )

@@ -613,6 +613,8 @@ def assign_with_state(
     inverted file (see :func:`semantic_state_table`). Returns
     (id, qv, cluster_id, dist)."""
     if qdf is None:
+        if df is None:
+            raise ValueError("df may be None only when qdf is supplied")
         qdf = quantized_vectors(df, vec_col, id_col)
     return _assign_to_centroids(qdf, id_col, state, broadcast_state=broadcast_state)
 
@@ -699,6 +701,18 @@ def incremental_semantic_verdicts(
     Arrow assignment pass over the batch; ``k``/``n_iter`` are ignored
     (they were fixed when the stored codebook was trained).
     """
+    if corpus is None and corpus_qdf is None:
+        if state is None:
+            raise ValueError(
+                "corpus may be None only when a frozen state (plus either "
+                "corpus_assigned or corpus_qdf) is supplied — training "
+                "needs corpus or corpus_qdf"
+            )
+        if corpus_assigned is None:
+            raise ValueError(
+                "state without corpus_assigned requires corpus or "
+                "corpus_qdf (the corpus side must come from somewhere)"
+            )
     if incoming_qdf is None:
         incoming_qdf = quantized_vectors(incoming, vec_col, id_col)
     if state is None:

@@ -656,6 +656,11 @@ def incremental_dedup_verdicts(
     ignores ``n``/``text_col`` for that tier — the caller owns the
     guarantee that the store was built with the intended canonicalization.
     """
+    if corpus is None and (corpus_hashes is None or corpus_shingles is None):
+        raise ValueError(
+            "corpus may be None only when corpus_hashes AND corpus_shingles "
+            "are supplied (a store-served tier needs its stored artifact)"
+        )
     inc_ids = incoming.select(F.col(id_col).alias("inc_id"))
     corpus_h = (
         corpus_hashes
@@ -989,6 +994,10 @@ def incremental_duplicated_spans(
     instead of re-shingling ``corpus`` — which may then be None. The
     caller owns the guarantee the store was built with the same ``w``.
     """
+    if corpus is None and corpus_windows is None:
+        raise ValueError(
+            "corpus may be None only when corpus_windows is supplied"
+        )
     inc_toks = _span_toks(incoming, text_col, id_col)
     inc_grams = _span_grams(inc_toks, id_col, w)
     hint = F.broadcast if broadcast_batch else (lambda df: df)

@@ -169,6 +169,8 @@ def kmv_row_sample(
     group_col: str,
     key_col: str,
     k: int = 256,
+    *,
+    check_unique: bool = False,
 ) -> DataFrame:
     """Per-group deterministic uniform row sample: the rows whose 52-bit
     ``md5('r:' || key)`` hash is among the group's k smallest. The same
@@ -191,6 +193,15 @@ def kmv_row_sample(
     partition-order-dependent, and the tied rows inflate the sample past
     one-per-key — so deduplicate on the key upstream (or pick a truly
     unique key) before sampling.
+
+    ``check_unique=True`` turns that silent wrong-sample into a LOUD
+    error: a plan-embedded ``assert_true`` compares each row's key to its
+    window predecessor (duplicates within a group are adjacent under the
+    (hash, key) order, and cross-group duplicates never tie), raising at
+    execution time on the first violation. The check rides the window
+    the sampler already shuffles on, but the unbounded ``lag`` disables
+    the WindowGroupLimit pre-shuffle prune — a debug/validation flag,
+    not the steady-state default.
     """
     rh = F.conv(
         F.substring(
@@ -200,12 +211,33 @@ def kmv_row_sample(
         10,
     ).cast("long")
     w = Window.partitionBy(group_col).orderBy("__kmv_rh", key_col)
-    return (
-        df.withColumn("__kmv_rh", rh)
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .drop("__rn")
+    out = df.withColumn("__kmv_rh", rh).withColumn(
+        "__rn", F.row_number().over(w)
     )
+    if check_unique:
+        # assert_true returns NULL on pass ⇒ the isNull filter keeps every
+        # valid row, so the assert is load-bearing (column pruning can't
+        # drop it); projected first because window exprs can't sit in a
+        # WHERE clause directly.
+        dup = F.lag(F.col(key_col)).over(w) == F.col(key_col)
+        out = (
+            out.withColumn(
+                "__kmv_chk",
+                F.assert_true(
+                    ~F.coalesce(dup, F.lit(False)),
+                    F.concat(
+                        F.lit(
+                            "kmv_row_sample: duplicate key in group — "
+                            f"{key_col}="
+                        ),
+                        F.col(key_col).cast("string"),
+                    ),
+                ),
+            )
+            .filter(F.col("__kmv_chk").isNull())
+            .drop("__kmv_chk")
+        )
+    return out.filter(F.col("__rn") <= k).drop("__rn")
 
 
 def sampled_group_quantiles(

@@ -1,0 +1,431 @@
+"""Crash-walk and lifecycle tests for corpus_store.CorpusStore.
+
+The store's whole point is that a crash ANYWHERE inside a multi-table
+admission or compaction leaves every reader consistent (batch N−1 at every
+tier, old generation at every table) and that the retry is idempotent —
+these tests kill the writer at every possible position and check exactly
+that. The artifact content itself is built with the REAL operators
+(normalized_hashes / shingle_table / span_windows / kmv_sketch /
+bloom_bitset) on a small synthetic corpus, so the equivalences exercised
+here are the ones queries.corpus_store_suite serves.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from steam_data_engineer_project_spark.corpus_store import (
+    CorpusStore,
+    StoreTornError,
+    bloom_required_bits,
+    codebook_drift_stat,
+)
+from steam_data_engineer_project_spark.operators import (
+    bloom_bitset,
+    bloom_probe_count,
+    incremental_dedup_verdicts,
+    kmv_estimate_from_sketch,
+    kmv_merge,
+    kmv_sketch,
+    normalized_hashes,
+    span_windows,
+)
+from steam_data_engineer_project_spark.operators.dedup import shingle_table
+
+TABLES = ("hashes", "shingles", "windows", "kmv", "bloom", "sem_assigned")
+M_BITS = 1 << 14
+N_HASHES = 4
+
+
+def _docs(spark, ids, salt=""):
+    """Small synthetic docs: ~8 distinct tokens each, distinct per id."""
+    rows = [
+        (
+            i,
+            " ".join(f"tok{salt}{i}x{j}" for j in range(8)),
+        )
+        for i in ids
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _batch_tables(spark, docs):
+    """One admission's six artifact slices, from the real builders."""
+    sh = shingle_table(docs, "text", "doc_id", n=3)
+    return {
+        "hashes": normalized_hashes(docs, "text").select("h"),
+        "shingles": sh.select("doc_id", "shingle"),
+        "windows": span_windows(docs, "text", "doc_id", w=4).select("gh"),
+        "kmv": kmv_sketch(
+            docs.select(
+                F.lit("tok").alias("g"),
+                F.explode(F.split("text", " ")).alias("token"),
+            ),
+            "g",
+            "token",
+            k=16,
+        ).select("g", "kmv_h"),
+        "bloom": bloom_bitset(
+            sh.select("shingle"), "shingle", m_bits=M_BITS, n_hashes=N_HASHES
+        ).select("word_idx", "bits"),
+        "sem_assigned": spark.createDataFrame(
+            [(int(i), [int(i) % 5, 1], int(i) % 3) for i in docs_ids(docs)],
+            "vec_id long, qv array<long>, cluster_id int",
+        ),
+    }
+
+
+def docs_ids(docs):
+    return [r.doc_id for r in docs.select("doc_id").collect()]
+
+
+def _table_rows(spark, store, name):
+    return sorted(map(tuple, store.read(spark, name).collect()))
+
+
+def test_torn_admission_walk_and_idempotent_retry(spark, tmp_path):
+    """Kill the admission after EVERY one of the six table writes: the
+    reader must see exactly batch 0 at every tier (never a mix), and the
+    retried admission must land the store bit-identical to one that never
+    crashed."""
+    b0 = _docs(spark, range(10))
+    b1 = _docs(spark, range(10, 16))
+
+    # the never-crashed reference store
+    ref = CorpusStore(str(tmp_path / "ref"), tables=TABLES)
+    ref.admit(_batch_tables(spark, b0), 0)
+    ref.admit(_batch_tables(spark, b1), 1)
+    ref_rows = {n: _table_rows(spark, ref, n) for n in TABLES}
+
+    for crash_at in TABLES:
+        root = str(tmp_path / f"crash_{crash_at}")
+        st = CorpusStore(root, tables=TABLES)
+        st.admit(_batch_tables(spark, b0), 0)
+        base_rows = {n: _table_rows(spark, st, n) for n in TABLES}
+        with pytest.raises(StoreTornError):
+            st.admit(_batch_tables(spark, b1), 1, fail_after=crash_at)
+        # consistent N−1 view: batch 1 invisible at EVERY tier, including
+        # the ones whose slice hit disk before the crash
+        assert st.committed_ids() == [0]
+        for n in TABLES:
+            assert _table_rows(spark, st, n) == base_rows[n], (
+                f"torn batch leaked into {n} after crash at {crash_at}"
+            )
+        # fresh-open reader (another process) sees the same
+        st2 = CorpusStore(root)
+        assert st2.committed_ids() == [0]
+        # idempotent retry: overwrites partial slices, commits, and the
+        # result equals the never-crashed store
+        st2.admit(_batch_tables(spark, b1), 1)
+        assert st2.committed_ids() == [0, 1]
+        for n in TABLES:
+            assert _table_rows(spark, st2, n) == ref_rows[n]
+
+
+def test_admit_refuses_partial_batches(spark, tmp_path):
+    st = CorpusStore(str(tmp_path / "s"), tables=TABLES)
+    tabs = _batch_tables(spark, _docs(spark, range(5)))
+    missing = dict(tabs)
+    missing.pop("windows")
+    with pytest.raises(ValueError, match="missing tables.*windows"):
+        st.admit(missing, 0)
+    assert st.committed_ids() == []
+    extra = dict(tabs)
+    extra["bogus"] = tabs["hashes"]
+    with pytest.raises(ValueError, match="unknown tables.*bogus"):
+        st.admit(extra, 0)
+    # table-set declaration is persisted and validated on reopen
+    st.admit(tabs, 0)
+    with pytest.raises(ValueError, match="carries tables"):
+        CorpusStore(str(tmp_path / "s"), tables=("hashes",))
+
+
+def test_batch_id_partition_column_and_pruned_reads(spark, tmp_path):
+    """read() exposes batch_id as a PARTITION column (filters on it prune
+    directories at scan) and never lists uncommitted slices."""
+    st = CorpusStore(str(tmp_path / "s"), tables=("hashes",))
+    st.admit({"hashes": _docs(spark, range(4)).select(F.col("doc_id").alias("h"))}, 0)
+    st.admit({"hashes": _docs(spark, range(4, 9)).select(F.col("doc_id").alias("h"))}, 1)
+    df = st.read(spark, "hashes")
+    assert set(df.columns) == {"h", "batch_id"}
+    assert df.filter(F.col("batch_id") <= 0).count() == 4
+    plan = (
+        df.filter(F.col("batch_id") <= 0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "batch_id" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0], "batch_id filter did not prune at the scan"
+
+
+def test_compaction_serve_equivalence_and_crash_safety(spark, tmp_path):
+    """Five admitted batches; serve-side answers (doc-tier verdicts, KMV
+    estimate via merge, Bloom probe) are IDENTICAL before and after
+    compaction — and a crash mid-compaction leaves the old generations
+    authoritative, with the retry completing idempotently."""
+    batches = [
+        _docs(spark, range(i * 10, i * 10 + 10)) for i in range(5)
+    ]
+    # probe batch: exact copies of docs from batch 0 and batch 4 + fresh
+    probe = (
+        batches[0]
+        .filter("doc_id < 3")
+        .unionByName(batches[4].filter("doc_id >= 47"))
+        .unionByName(_docs(spark, range(900, 905), salt="new"))
+    )
+
+    st = CorpusStore(str(tmp_path / "s"), tables=TABLES)
+    st.set_bloom_params(M_BITS, N_HASHES)
+    for i, b in enumerate(batches):
+        st.admit(_batch_tables(spark, b), i)
+
+    def serve():
+        doc = incremental_dedup_verdicts(
+            None,
+            probe,
+            "text",
+            "doc_id",
+            n=3,
+            min_shared=2,
+            corpus_hashes=st.read(spark, "hashes").select("h"),
+            corpus_shingles=st.read(spark, "shingles").select(
+                "doc_id", "shingle"
+            ),
+        )
+        est = kmv_estimate_from_sketch(
+            kmv_merge(
+                [st.read(spark, "kmv").select("g", "kmv_h")], "g", k=16
+            ),
+            "g",
+            k=16,
+        )
+        merged_bloom = (
+            st.read(spark, "bloom")
+            .groupBy("word_idx")
+            .agg(F.bit_or("bits").alias("bits"))
+        )
+        bp = st.bloom_params()
+        probe_hits = bloom_probe_count(
+            shingle_table(probe, "text", "doc_id", n=3),
+            "shingle",
+            "doc_id",
+            merged_bloom,
+            m_bits=bp["m_bits"],
+            n_hashes=bp["n_hashes"],
+        )
+        return (
+            sorted(map(tuple, doc.collect())),
+            sorted(map(tuple, est.collect())),
+            sorted(map(tuple, probe_hits.collect())),
+        )
+
+    before = serve()
+    # sanity: the planted copies actually register
+    assert sum(1 for r in before[0] if r[1] == "exact_dup") == 6
+
+    combiners = {
+        "kmv": lambda d: kmv_merge([d.select("g", "kmv_h")], "g", k=16),
+        "bloom": lambda d: d.groupBy("word_idx").agg(
+            F.bit_or("bits").alias("bits")
+        ),
+    }
+
+    # crash mid-compaction: old generations stay authoritative
+    with pytest.raises(StoreTornError):
+        st.compact(spark, combiners, fail_after="windows")
+    st_reopen = CorpusStore(str(tmp_path / "s"))
+    assert serve() == before
+
+    # retry completes; one slice per table; answers unchanged
+    st_reopen.compact(spark, combiners)
+    st = st_reopen
+    after = serve()
+    assert after == before
+    for n in TABLES:
+        tdir = st._tdir(n)
+        slices = [d for d in os.listdir(tdir) if d.startswith("batch_id=")]
+        assert slices == ["batch_id=4"], f"{n} not consolidated: {slices}"
+    # sketch tables really merged: one sketch row set / word set remains
+    assert st.read(spark, "kmv").select("batch_id").distinct().count() == 1
+
+    # the store still accepts post-compaction batches
+    st.admit(_batch_tables(spark, _docs(spark, range(50, 55))), 5)
+    assert st.committed_ids() == [0, 1, 2, 3, 4, 5]
+    assert st.read(spark, "hashes").count() > 0
+
+
+def test_bloom_aging_fill_and_rebuild_from_stored_shingles(spark, tmp_path):
+    """The bloom bitset is the one artifact that AGES: fill ratio rises
+    monotonically as batches append. rebuild_bloom re-derives a larger
+    filter from the STORED shingle table (no corpus), drops the fill back,
+    keeps zero false negatives, and records the new (m, h) in the manifest
+    so probes can't use a stale modulus."""
+    st = CorpusStore(str(tmp_path / "s"), tables=("shingles", "bloom"))
+    small_m = 1 << 10  # deliberately undersized so saturation shows fast
+    st.set_bloom_params(small_m, N_HASHES)
+    fills = []
+    for i in range(4):
+        docs = _docs(spark, range(i * 40, i * 40 + 40))
+        sh = shingle_table(docs, "text", "doc_id", n=3)
+        st.admit(
+            {
+                "shingles": sh.select("doc_id", "shingle"),
+                "bloom": bloom_bitset(
+                    sh.select("shingle"),
+                    "shingle",
+                    m_bits=small_m,
+                    n_hashes=N_HASHES,
+                ).select("word_idx", "bits"),
+            },
+            i,
+        )
+        fills.append(st.bloom_fill_ratio(spark))
+    assert all(b > a for a, b in zip(fills, fills[1:])), fills
+    assert fills[-1] > 0.5  # saturated past the classic knee
+
+    n_keys = st.read(spark, "shingles").select("shingle").distinct().count()
+    fp_target = 0.01
+    new_m = bloom_required_bits(n_keys, fp_target, N_HASHES)
+    st.rebuild_bloom(spark, new_m, N_HASHES)
+    assert st.bloom_params()["m_bits"] == new_m
+    # the sizing rule lands the rebuilt filter at its design fill,
+    # p^(1/h) — i.e. FP back at the target, not merely 'lower'
+    assert abs(st.bloom_fill_ratio(spark) - fp_target ** (1 / N_HASHES)) < 0.05
+    # zero false negatives: every stored shingle still hits all h positions
+    bits = st.read(spark, "bloom").select("word_idx", "bits")
+    hits = bloom_probe_count(
+        st.read(spark, "shingles"),
+        "shingle",
+        "doc_id",
+        bits,
+        m_bits=new_m,
+        n_hashes=N_HASHES,
+    )
+    assert hits.filter(F.col("n_hits") != F.col("n_probed")).count() == 0
+
+
+def test_bloom_required_bits_formula():
+    import math
+
+    # inverse relationship: computed m reproduces the target FP
+    for n, p, h in ((10_000, 0.01, 4), (500, 0.1, 3), (1_000_000, 0.001, 6)):
+        m = bloom_required_bits(n, p, h)
+        fp = (1 - math.exp(-h * n / m)) ** h
+        assert fp <= p * 1.001
+        # not wildly oversized either (within the 32-bit rounding + 5%)
+        assert fp >= p * 0.8 or m <= 64
+    assert bloom_required_bits(100, 0.01, 4) % 32 == 0
+    with pytest.raises(ValueError):
+        bloom_required_bits(100, 1.5, 4)
+
+
+def test_codebook_swap_atomicity_and_drift_stat(spark, tmp_path):
+    """swap_codebook flips codebook + reassigned inverted file in ONE
+    manifest replace; a staged-but-unflipped new version is invisible.
+    codebook_drift_stat reads ≈1 for in-distribution batches and >>1 for
+    drifted ones."""
+    from steam_data_engineer_project_spark.operators import (
+        assign_with_state,
+        kmeans_int8,
+        semantic_state_from_table,
+        semantic_state_table,
+    )
+    from steam_data_engineer_project_spark.operators.clustering import (
+        quantized_vectors,
+    )
+
+    # two tight families on axis 0; the FROZEN state is constructed (one
+    # centroid per family, exact Lloyd sums/counts) so the probe's
+    # geometry is deterministic — what's under test is the serve path,
+    # not k-means initialization luck
+    base = spark.createDataFrame(
+        [
+            (i, [100.0 + (i % 3), 0.0, float(i % 2), 0.0])
+            for i in range(20)
+        ]
+        + [
+            (100 + i, [-100.0 - (i % 3), 0.0, float(i % 2), 0.0])
+            for i in range(20)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    qb = quantized_vectors(base, "embedding", "vec_id")
+    st_state = [(0, [127, 0, 0, 0], 1), (1, [-127, 0, 0, 0], 1)]
+    assigned = assign_with_state(None, "embedding", "vec_id", st_state, qdf=qb)
+
+    store = CorpusStore(str(tmp_path / "s"), tables=("sem_assigned",))
+    store.admit(
+        {"sem_assigned": assigned.select("vec_id", "qv", "cluster_id")},
+        0,
+    )
+    store.write_codebook(semantic_state_table(spark, st_state))
+    assert store._m["codebook_version"] == 0
+
+    state = semantic_state_from_table(store.read_codebook(spark))
+    stored = store.read(spark, "sem_assigned").select("vec_id", "qv")
+
+    # in-distribution batch: drift ratio ~1
+    indist = spark.createDataFrame(
+        [(500 + i, [100.0 + (i % 3), 0.0, float(i % 2), 0.0]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    r_in = codebook_drift_stat(
+        quantized_vectors(indist, "embedding", "vec_id"), stored, state
+    ).collect()[0]
+    # drifted batch: a family orthogonal to every centroid
+    drifted = spark.createDataFrame(
+        [(600 + i, [0.0, 100.0 + (i % 3), float(i % 2), 0.0]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    r_dr = codebook_drift_stat(
+        quantized_vectors(drifted, "embedding", "vec_id"), stored, state
+    ).collect()[0]
+    assert r_in["drift_ratio"] < 1.5
+    assert r_dr["drift_ratio"] > 3.0, r_dr
+
+    # staged new codebook without manifest flip is invisible
+    v1_dir = store._cb_dir(1)
+    semantic_state_table(spark, st_state).write.mode("overwrite").parquet(
+        v1_dir
+    )
+    assert store._m["codebook_version"] == 0
+    fresh = CorpusStore(str(tmp_path / "s"))
+    assert fresh._m["codebook_version"] == 0
+
+    # admit the drifted batch under the FROZEN state (production order:
+    # the ratio fires AT admission, the batch still lands in the store)
+    dq = quantized_vectors(drifted, "embedding", "vec_id")
+    store.admit(
+        {
+            "sem_assigned": assign_with_state(
+                None, "embedding", "vec_id", state, qdf=dq
+            ).select("vec_id", "qv", "cluster_id")
+        },
+        1,
+    )
+
+    # real swap: retrain FROM STORED VECTORS (corpus never re-read),
+    # reassign the inverted file, one atomic flip
+    all_q = store.read(spark, "sem_assigned").select("vec_id", "qv")
+    st2: list = []
+    kmeans_int8(
+        None, "embedding", "vec_id", k=3, n_iter=4, qdf=all_q, state_out=st2
+    )
+    reassigned = assign_with_state(
+        None, "embedding", "vec_id", st2, qdf=all_q
+    ).select("vec_id", "qv", "cluster_id")
+    v = store.swap_codebook(semantic_state_table(spark, st2), reassigned)
+    assert v == 1  # overwrites the orphaned stage, which never committed
+    reloaded = CorpusStore(str(tmp_path / "s"))
+    assert reloaded._m["codebook_version"] == 1
+    got_state = semantic_state_from_table(reloaded.read_codebook(spark))
+    assert got_state == sorted(
+        (int(c), [int(x) for x in s], int(n)) for c, s, n in st2
+    )
+    # the inverted file now covers the drifted family under the NEW state
+    assert reloaded.read(spark, "sem_assigned").count() == 50

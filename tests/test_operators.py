@@ -2430,6 +2430,74 @@ def test_kmv_row_sample_merge_equals_direct_and_quantiles_bounded(spark):
     assert rows[("tiny", 900_000)].q_value == 17
 
 
+def test_kmv_row_sample_check_unique_guard(spark):
+    """check_unique=True turns the documented unique-key PRECONDITION into
+    a loud execution-time error (duplicate keys tie on the row hash and
+    silently inflate/destabilize the sample otherwise), while clean input
+    passes through bit-identical to the unchecked path."""
+    import pytest
+
+    from steam_data_engineer_project_spark.operators.sketches import (
+        kmv_row_sample,
+    )
+
+    clean = spark.createDataFrame(
+        [("g", i, i * 10) for i in range(50)], "g string, id long, v long"
+    )
+    checked = kmv_row_sample(clean, "g", "id", k=8, check_unique=True)
+    plain = kmv_row_sample(clean, "g", "id", k=8)
+    assert sorted(map(tuple, checked.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+    dup = clean.unionByName(
+        spark.createDataFrame([("g", 7, 999)], "g string, id long, v long")
+    )
+    # unchecked: silently samples (precondition violated, garbage-in)
+    kmv_row_sample(dup, "g", "id", k=8).collect()
+    with pytest.raises(Exception, match="duplicate key"):
+        kmv_row_sample(dup, "g", "id", k=8, check_unique=True).collect()
+
+
+def test_store_served_entry_guards(spark):
+    """The store-served incremental entries raise an explicit ValueError —
+    not a deep AttributeError — when corpus=None is passed without the
+    stored artifact(s) that replace it (round-7 ADVICE)."""
+    import pytest
+
+    from steam_data_engineer_project_spark.operators import (
+        assign_with_state,
+        incremental_dedup_verdicts,
+        incremental_duplicated_spans,
+        incremental_semantic_verdicts,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e")], "doc_id long, text string"
+    )
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    st = [(0, [100, 0], 1)]
+
+    with pytest.raises(ValueError, match="corpus_hashes AND corpus_shingles"):
+        incremental_dedup_verdicts(None, docs, "text", "doc_id")
+    with pytest.raises(ValueError, match="corpus_hashes AND corpus_shingles"):
+        incremental_dedup_verdicts(
+            None, docs, "text", "doc_id", corpus_hashes=docs.select("doc_id")
+        )
+    with pytest.raises(ValueError, match="corpus_windows"):
+        incremental_duplicated_spans(None, docs, "text", "doc_id")
+    with pytest.raises(ValueError, match="corpus or"):
+        incremental_semantic_verdicts(None, vecs, "embedding", "vec_id")
+    with pytest.raises(ValueError, match="corpus_assigned"):
+        incremental_semantic_verdicts(
+            None, vecs, "embedding", "vec_id", state=st
+        )
+    with pytest.raises(ValueError, match="qdf"):
+        assign_with_state(None, "embedding", "vec_id", st)
+
+
 def test_duplicated_spans_cuts_cross_doc_passages_only(spark):
     """Substring-level dedup (the Lee-et-al-2022 shape): a 25-token passage
     quoted by two docs is cut from both as ONE maximal span with its

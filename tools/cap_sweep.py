@@ -13,13 +13,15 @@ monotonically with the cap — which is exactly the knob a 100 TB
 deployment turns (cap ∝ tolerated duplication, not corpus size).
 
 Usage:
-    python tools/cap_sweep.py [sf_dir] [cap1,cap2,...]
+    python tools/cap_sweep.py [sf_dir] [cap1,cap2,...] [out_json]
 
 Defaults: /root/repo/.sf2data and caps 50,100,200,400,800. Prints one
 JSON line per cap: candidate pairs surviving, docs with a near match,
 and the wall time of the store-served verdict plan (min over
 $SPARK_GRAFT_BENCH_REPEATS passes, noop sink, after a first untimed
-pass that warms the store build).
+pass that warms the store build). With out_json, also writes the full
+sweep as one committed artifact (a JSON object with a "sweep" list) so
+SCALE.md's cap-knee numbers are reproducible files, not prose.
 """
 
 from __future__ import annotations
@@ -52,6 +54,7 @@ def main() -> None:
         if len(sys.argv) > 2
         else [50, 100, 200, 400, 800]
     )
+    out_path = sys.argv[3] if len(sys.argv) > 3 else None
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
     spark = get_spark(
         "cap-sweep",
@@ -76,6 +79,7 @@ def main() -> None:
     stored_h = spark.read.parquet(os.path.join(root, "hashes"))
     stored_sh = spark.read.parquet(os.path.join(root, "shingles"))
 
+    records = []
     for cap in caps:
         verdicts = incremental_dedup_verdicts(
             None,
@@ -100,19 +104,36 @@ def main() -> None:
             F.sum("n_corpus_matches").alias("pairs"),
             F.sum((F.col("verdict") == "near_dup").cast("long")).alias("near"),
         ).collect()[0]
-        print(
-            json.dumps(
+        rec = {
+            "metric": "cap_sweep_doc_tier",
+            "sf_dir": sf_dir,
+            "max_doc_freq": cap,
+            "candidate_pairs": int(agg["pairs"] or 0),
+            "near_dup_docs": int(agg["near"] or 0),
+            "serve_sec": round(best, 3),
+        }
+        records.append(rec)
+        print(json.dumps(rec), flush=True)
+    if out_path:
+        base = max(records, key=lambda r: r["max_doc_freq"])
+        with open(out_path, "w") as f:
+            json.dump(
                 {
                     "metric": "cap_sweep_doc_tier",
                     "sf_dir": sf_dir,
-                    "max_doc_freq": cap,
-                    "candidate_pairs": int(agg["pairs"] or 0),
-                    "near_dup_docs": int(agg["near"] or 0),
-                    "serve_sec": round(best, 3),
-                }
-            ),
-            flush=True,
-        )
+                    "repeats": repeats,
+                    "sweep": records,
+                    "note": (
+                        "store-served doc-tier verdicts, min over "
+                        f"{repeats} timed passes after a warm pass; "
+                        "recall/cost vs the largest swept cap "
+                        f"(max_doc_freq={base['max_doc_freq']})"
+                    ),
+                },
+                f,
+                indent=1,
+            )
+            f.write("\n")
 
 
 if __name__ == "__main__":

@@ -133,6 +133,8 @@ def _served(spark, sf_dir: str, root: str):
 
 
 def _rescan(spark, sf_dir: str):
+    import math
+
     d = Q._store_text(spark, sf_dir)
     corpus = d.filter(F.col("doc_id") % 50 != 49)
     b2 = d.filter(F.col("doc_id") % 50 == 49)
@@ -144,8 +146,15 @@ def _rescan(spark, sf_dir: str):
         min_shared=Q._ST_MIN_SHARED, max_doc_freq=Q._ST_MAX_DF,
     )
     span = incremental_duplicated_spans(corpus, b2, "stext", "doc_id", w=Q._ST_W)
+    # Same corpus-proportional k and iteration count as _build's stored
+    # codebook, so SERVED and RESCAN time the SAME semantic computation
+    # (round-7 ADVICE: the old default k=8 made the ratio non-comparable).
+    # The count is part of the rescan cost by design — a store-less
+    # pipeline re-pays it every batch, exactly like the retraining itself.
+    kk = Q._SEM_K * math.ceil(vcorpus.count() / Q._SEM_SEED_UNIT)
     sem = incremental_semantic_verdicts(
-        vcorpus, vb2, "embedding", "vec_id", threshold=Q._SEM_THRESHOLD
+        vcorpus, vb2, "embedding", "vec_id", threshold=Q._SEM_THRESHOLD,
+        k=kk, n_iter=Q._SEM_ITER,
     )
     return doc, span, sem
 
