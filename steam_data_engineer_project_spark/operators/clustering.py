@@ -63,6 +63,7 @@ def _assign_to_centroids(
     cur: list[tuple[int, list[int], int]],
     *,
     broadcast_state: bool = False,
+    n_probe: int = 1,
 ) -> DataFrame:
     """One narrow assignment pass: (id, qv, cluster_id, dist) for the
     centroid state ``cur`` (sorted by cid). The exact squared distance
@@ -71,6 +72,15 @@ def _assign_to_centroids(
     once by c² — one IEEE division, identical on every engine. np.argmin
     returns the FIRST minimum and ``cur`` is cid-ascending, so ties break
     to the smallest cid, mirroring the oracle's ORDER BY (dist, cid).
+
+    ``n_probe > 1`` emits the top-``n_probe`` NEAREST centroids per input
+    row instead of just the argmin — min(n_probe, k) rows per vector with
+    an extra ``probe_rank`` column (0 = nearest; stable sort, so rank
+    ties break to the smallest cid). This is IVF-style multi-probe
+    (similarity.ivf_topk's n_probe, applied to the semantic tier): a
+    vector near a Voronoi boundary also searches its runner-up cluster(s),
+    which is what makes cluster-scoped dedup robust to boundary splits —
+    the measured recall knee in tools/codebook_drift.py.
 
     Arrow-batched mapInPandas: the N×k distance matrix is int64 numpy
     matrix algebra — the vectorized-linear-algebra case Pandas UDFs exist
@@ -113,6 +123,8 @@ def _assign_to_centroids(
     else:
         bstate = None
 
+    p = max(1, min(int(n_probe), len(cur)))
+
     def fn(batches):
         import pandas as pd
 
@@ -126,19 +138,42 @@ def _assign_to_centroids(
             xx = np.einsum("nd,nd->n", X, X)
             D = b_c2i[None, :] * xx[:, None] - 2 * b_C[None, :] * dots + b_ss[None, :]
             dist = D.astype(np.float64) / b_c2f[None, :]
-            j = np.argmin(dist, axis=1)
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "qv": pdf["qv"],
-                    "cluster_id": b_cids[j],
-                    "dist": dist[np.arange(len(j)), j],
-                }
-            )
+            if p == 1:
+                j = np.argmin(dist, axis=1)
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col],
+                        "qv": pdf["qv"],
+                        "cluster_id": b_cids[j],
+                        "dist": dist[np.arange(len(j)), j],
+                    }
+                )
+            else:
+                # stable sort keeps the cid-ascending input order on ties
+                # (same tie rule as the argmin path's first-minimum)
+                J = np.argsort(dist, axis=1, kind="stable")[:, :p]
+                n = len(pdf)
+                rows = np.arange(n)[:, None]
+                yield pd.DataFrame(
+                    {
+                        id_col: np.repeat(
+                            pdf[id_col].to_numpy(), p
+                        ),
+                        "qv": [
+                            v for v in pdf["qv"] for _ in range(p)
+                        ],
+                        "cluster_id": b_cids[J].ravel(),
+                        "dist": dist[rows, J].ravel(),
+                        "probe_rank": np.tile(
+                            np.arange(p, dtype=np.int64), n
+                        ),
+                    }
+                )
 
-    return base.mapInPandas(
-        fn, schema=f"{id_col} long, qv array<long>, cluster_id long, dist double"
-    )
+    schema = f"{id_col} long, qv array<long>, cluster_id long, dist double"
+    if p > 1:
+        schema += ", probe_rank long"
+    return base.mapInPandas(fn, schema=schema)
 
 
 def quantized_vectors(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
@@ -667,6 +702,7 @@ def incremental_semantic_verdicts(
     broadcast_state: bool = False,
     state: list | None = None,
     corpus_assigned: DataFrame | None = None,
+    n_probe: int = 1,
 ) -> DataFrame:
     """Incremental SemDeDup — the crawl-shaped variant: cluster the CORPUS
     once, FREEZE the centroid state, then classify an incoming batch by
@@ -700,6 +736,17 @@ def incremental_semantic_verdicts(
     This is the per-batch production shape: one stored-table read + one
     Arrow assignment pass over the batch; ``k``/``n_iter`` are ignored
     (they were fixed when the stored codebook was trained).
+
+    ``n_probe > 1`` compares each incoming vector against its top-p
+    NEAREST clusters instead of only the argmin (IVF multi-probe, the
+    same knob as similarity.ivf_topk): a twin that lands just across a
+    Voronoi boundary from its stored source — the dominant recall-loss
+    mode under codebook staleness, measured in tools/codebook_drift.py —
+    is still compared against it. Pair space grows to
+    |batch|·n_probe·E[cluster] (each corpus member belongs to ONE
+    cluster, so no pair is counted twice); the reported ``cluster_id``
+    stays the primary (rank-0) assignment. Results at n_probe=1 are
+    bit-identical to before the knob existed.
     """
     if corpus is None and corpus_qdf is None:
         if state is None:
@@ -731,12 +778,21 @@ def incremental_semantic_verdicts(
         )
     else:
         corpus_assign = None
-    inc_assign = _assign_to_centroids(
-        incoming_qdf, id_col, state, broadcast_state=broadcast_state
+    inc_probe = _assign_to_centroids(
+        incoming_qdf,
+        id_col,
+        state,
+        broadcast_state=broadcast_state,
+        n_probe=n_probe,
+    )
+    inc_assign = (
+        inc_probe.filter(F.col("probe_rank") == 0).drop("probe_rank")
+        if n_probe > 1
+        else inc_probe
     )
 
     n2 = F.aggregate("qv", F.lit(0).cast("long"), lambda a, v: a + v * v)
-    inc_side = inc_assign.select(
+    inc_side = (inc_probe if n_probe > 1 else inc_assign).select(
         F.col(id_col).alias("inc_id"),
         F.col("qv").alias("qa"),
         n2.alias("na"),

@@ -324,6 +324,50 @@ def test_bloom_required_bits_formula():
         bloom_required_bits(100, 1.5, 4)
 
 
+def test_semantic_multiprobe_recovers_boundary_split(spark):
+    """A twin that lands just across the Voronoi boundary from its stored
+    source is invisible at n_probe=1 (different cluster, never compared)
+    and found at n_probe=2 — the IVF-style mitigation the drift tool
+    measures. The reported cluster_id stays the primary assignment, and
+    the n_probe=1 result is schema-identical to the pre-knob operator."""
+    from steam_data_engineer_project_spark.operators import (
+        incremental_semantic_verdicts,
+    )
+
+    # centroids on the x and y axes; boundary is the x=y plane
+    state = [(0, [127, 0, 0, 0], 1), (1, [0, 127, 0, 0], 1)]
+    # source just on the c0 side, twin just on the c1 side, cos ~0.9999
+    stored = spark.createDataFrame(
+        [(1, [127, 125, 0, 0], 0)],
+        "vec_id long, qv array<long>, cluster_id long",
+    )
+    twin = spark.createDataFrame(
+        [(2, [125.0, 127.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+
+    def run(n_probe):
+        return incremental_semantic_verdicts(
+            None,
+            twin,
+            "embedding",
+            "vec_id",
+            threshold=0.95,
+            state=state,
+            corpus_assigned=stored,
+            n_probe=n_probe,
+        ).collect()
+
+    (r1,) = run(1)
+    assert r1["verdict"] == "new" and r1["cluster_id"] == 1
+    (r2,) = run(2)
+    assert r2["verdict"] == "semantic_dup" and r2["n_corpus_matches"] == 1
+    assert r2["cluster_id"] == 1  # primary assignment reported
+    # over-probing beyond k clamps (no duplicate pairs, same answer)
+    (r9,) = run(9)
+    assert r9["verdict"] == "semantic_dup" and r9["n_corpus_matches"] == 1
+
+
 def test_codebook_swap_atomicity_and_drift_stat(spark, tmp_path):
     """swap_codebook flips codebook + reassigned inverted file in ONE
     manifest replace; a staged-but-unflipped new version is invisible.

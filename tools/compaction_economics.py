@@ -1,0 +1,241 @@
+"""Measure what CorpusStore.compact buys: serve-side cost of batch
+admission BEFORE vs AFTER compacting a store that has accumulated many
+appended batches.
+
+After B admitted batches the serve path unions B slices of every row
+table, merges B bloom word tables, and re-mins B KMV sketches — linear
+degradation in batch count (the aging mode the round-7 verdict flagged).
+Compaction rewrites each table's committed slices into ONE consolidated
+slice (sketches get a REAL merge: per-word bit-or, min-k re-take), so the
+steady-state serve reads one segment per table regardless of how many
+batches ever landed. tests/test_corpus_store.py hash-gates that the
+compacted serve answers are IDENTICAL; this tool measures the cost side.
+
+The store carries the five text-tier artifact families (hashes, shingles,
+windows, kmv, bloom — the semantic inverted file is a row table like
+shingles, so its compaction economics are the shingles column of this
+measurement; training a codebook here would only add noise).
+
+Usage:
+    python tools/compaction_economics.py [sf_dir] [n_batches] [out_json]
+
+Defaults: /root/testdata/sf0.1, 6 batches, print-only. Serve timing is
+the min over $SPARK_GRAFT_BENCH_REPEATS passes through the noop sink
+after one warm pass, mirroring bench.py's methodology.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from steam_data_engineer_project_spark import queries as Q  # noqa: E402
+from steam_data_engineer_project_spark.corpus_store import (  # noqa: E402
+    CorpusStore,
+)
+from steam_data_engineer_project_spark.operators import (  # noqa: E402
+    bloom_bitset,
+    bloom_probe_count,
+    incremental_dedup_verdicts,
+    incremental_duplicated_spans,
+    kmv_estimate_from_sketch,
+    kmv_merge,
+    kmv_sketch,
+    normalized_hashes,
+    span_windows,
+)
+from steam_data_engineer_project_spark.operators.dedup import (  # noqa: E402
+    shingle_table,
+)
+from steam_data_engineer_project_spark.queries import _norm_tokens  # noqa: E402
+from steam_data_engineer_project_spark.session import get_spark  # noqa: E402
+
+TABLES = ("hashes", "shingles", "windows", "kmv", "bloom")
+
+
+def _batch_tables(bdf):
+    sh = shingle_table(bdf, "stext", "doc_id", n=Q._ST_N).localCheckpoint()
+    return {
+        "hashes": normalized_hashes(bdf, "stext").select("h"),
+        "shingles": sh.select("doc_id", "shingle"),
+        "windows": span_windows(bdf, "stext", "doc_id", w=Q._ST_W).select(
+            "gh"
+        ),
+        "kmv": kmv_sketch(
+            bdf.select(
+                F.lit("tok").alias("g"),
+                F.explode(_norm_tokens("stext")).alias("token"),
+            ),
+            "g",
+            "token",
+            k=Q._ST_KMV_K,
+        ).select("g", "kmv_h"),
+        "bloom": bloom_bitset(
+            sh.select("shingle"),
+            "shingle",
+            m_bits=Q._ST_BLOOM_M,
+            n_hashes=Q._ST_BLOOM_H,
+        ).select("word_idx", "bits"),
+    }
+
+
+def _serve_plans(spark, store, probe):
+    doc = incremental_dedup_verdicts(
+        None,
+        probe,
+        "stext",
+        "doc_id",
+        n=Q._ST_N,
+        min_shared=Q._ST_MIN_SHARED,
+        max_doc_freq=Q._ST_MAX_DF,
+        corpus_hashes=store.read(spark, "hashes").select("h"),
+        corpus_shingles=store.read(spark, "shingles").select(
+            "doc_id", "shingle"
+        ),
+    )
+    span = incremental_duplicated_spans(
+        None,
+        probe,
+        "stext",
+        "doc_id",
+        w=Q._ST_W,
+        corpus_windows=store.read(spark, "windows").select("gh"),
+    )
+    merged_bloom = (
+        store.read(spark, "bloom")
+        .groupBy("word_idx")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+    bloom = bloom_probe_count(
+        shingle_table(probe, "stext", "doc_id", n=Q._ST_N),
+        "shingle",
+        "doc_id",
+        merged_bloom,
+        m_bits=Q._ST_BLOOM_M,
+        n_hashes=Q._ST_BLOOM_H,
+    )
+    kmv = kmv_estimate_from_sketch(
+        kmv_merge(
+            [store.read(spark, "kmv").select("g", "kmv_h")],
+            "g",
+            k=Q._ST_KMV_K,
+        ),
+        "g",
+        k=Q._ST_KMV_K,
+    )
+    return doc, span, bloom, kmv
+
+
+def _time_serve(spark, store, probe, repeats):
+    for df in _serve_plans(spark, store, probe):  # warm pass
+        df.write.format("noop").mode("overwrite").save()
+    best = None
+    for _ in range(repeats):
+        t0 = time.time()
+        for df in _serve_plans(spark, store, probe):
+            df.write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return best
+
+
+def _n_files(root):
+    n = 0
+    for _d, _s, files in os.walk(root):
+        n += sum(1 for f in files if f.endswith(".parquet"))
+    return n
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 6
+    out_path = sys.argv[3] if len(sys.argv) > 3 else None
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
+
+    spark = get_spark(
+        "compaction-economics",
+        master=f"local[{int(os.environ.get('SPARK_GRAFT_CPUS', '32'))}]",
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+    )
+
+    d = Q._store_text(spark, sf_dir)
+    mod = n_batches + 1
+    probe = d.filter(F.col("doc_id") % mod == n_batches)
+
+    root = tempfile.mkdtemp(prefix="compact_econ_")
+    try:
+        store = CorpusStore(root, tables=TABLES)
+        store.set_bloom_params(Q._ST_BLOOM_M, Q._ST_BLOOM_H)
+        t0 = time.time()
+        for b in range(n_batches):
+            store.admit(
+                _batch_tables(d.filter(F.col("doc_id") % mod == b)), b
+            )
+        t_admit = time.time() - t0
+
+        t_before = _time_serve(spark, store, probe, repeats)
+        files_before = _n_files(root)
+        counts_before = [
+            df.count() for df in _serve_plans(spark, store, probe)
+        ]
+
+        combiners = {
+            "kmv": lambda df: kmv_merge(
+                [df.select("g", "kmv_h")], "g", k=Q._ST_KMV_K
+            ),
+            "bloom": lambda df: df.groupBy("word_idx").agg(
+                F.bit_or("bits").alias("bits")
+            ),
+        }
+        t0 = time.time()
+        store.compact(spark, combiners, target_partitions=4)
+        t_compact = time.time() - t0
+
+        t_after = _time_serve(spark, store, probe, repeats)
+        files_after = _n_files(root)
+        counts_after = [
+            df.count() for df in _serve_plans(spark, store, probe)
+        ]
+        assert counts_before == counts_after, (
+            counts_before,
+            counts_after,
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    payload = {
+        "metric": "store_compaction_economics",
+        "sf_dir": sf_dir,
+        "unit": "sec",
+        "n_batches": n_batches,
+        "admit_total_s": round(t_admit, 3),
+        "compact_once_s": round(t_compact, 3),
+        "serve_before_s": round(t_before, 3),
+        "serve_after_s": round(t_after, 3),
+        "before_over_after": round(t_before / t_after, 2),
+        "parquet_files_before": files_before,
+        "parquet_files_after": files_after,
+        "serve_rows": counts_before,
+        "note": (
+            f"min over {repeats} serve passes (doc+span+bloom+kmv) after a "
+            "warm pass; serve answers asserted row-identical pre/post "
+            "(value equality is hash-gated in tests/test_corpus_store.py)"
+        ),
+    }
+    line = json.dumps(payload)
+    if out_path:
+        with open(out_path, "w") as f:
+            f.write(line + "\n")
+    print(line)
+
+
+if __name__ == "__main__":
+    main()
