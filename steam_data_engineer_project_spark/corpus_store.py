@@ -307,7 +307,7 @@ class CorpusStore:
         self,
         spark: SparkSession,
         combiners: dict[str, Callable[[DataFrame], DataFrame]] | None = None,
-        target_partitions: int = 1,
+        target_partitions: int | None = None,
         fail_after: str | None = None,
     ) -> None:
         """Rewrite every table's committed slices into ONE slice (labeled
@@ -323,7 +323,14 @@ class CorpusStore:
         therefore the old generations — authoritative; a retry reuses the
         same generation numbers and overwrites the partial output.
         Commit markers are untouched (the consolidated slice carries the
-        highest id; lower ids simply have no directory anymore)."""
+        highest id; lower ids simply have no directory anymore).
+
+        ``target_partitions`` sizes the consolidated slices. Pick ~one
+        file per core (cluster analog: HDFS-block-sized files) — fewer
+        caps downstream SCAN parallelism and can give the listing savings
+        straight back (measured in tools/compaction_economics.py:
+        target=4 made the post-compaction serve 5 % SLOWER on 32 cores).
+        None (default) keeps the combiner output's partitioning."""
         committed = self.committed_ids()
         if not committed:
             raise ValueError("nothing to compact")

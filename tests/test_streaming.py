@@ -1230,3 +1230,115 @@ def test_foreachbatch_composed_store_admission_three_tiers(spark):
     assert streamed[6][3] == "semantic_dup"
     assert streamed[7][1] > 0  # shares a BATCH-2 window
     assert streamed[8] == ("new", 0, 0, "new", 0)
+
+
+def test_store_admission_replay_and_torn_write_safe(spark, tmp_path):
+    """foreachBatch is AT-LEAST-ONCE: after a crash the engine redelivers
+    the in-flight batch. The round-7 composed chain (previous test)
+    admits artifacts with mode('append'), so a redelivered batch would
+    DOUBLE-APPEND its shingle and inverted-file rows — shared-shingle
+    counts and n_corpus_matches silently double. On CorpusStore the
+    admission is keyed by the stream's batch id (per-slice overwrite +
+    commit marker), and the serve filters to batch_id < current, so the
+    three failure schedules an engine can actually produce — clean,
+    redelivery after a TORN admission, redelivery after a COMMITTED
+    admission (crash between admit and checkpoint commit) — all converge
+    to the identical store and identical per-batch verdicts."""
+    from pyspark.sql import functions as F
+
+    from steam_data_engineer_project_spark.corpus_store import (
+        CorpusStore,
+        StoreTornError,
+    )
+    from steam_data_engineer_project_spark.operators import (
+        assign_with_state,
+        incremental_dedup_verdicts,
+        kmeans_int8,
+        normalized_hashes,
+    )
+    from steam_data_engineer_project_spark.operators.dedup import shingle_table
+
+    SCHEMA = "doc_id long, text string, embedding array<double>"
+    base_rows = [
+        (100, "alpha bravo charlie delta echo", [5.0, 0.0, 0.0, 0.0]),
+        (101, "foxtrot golf hotel india juliett", [0.0, 5.0, 0.0, 0.0]),
+    ]
+    batches = [
+        [(1, "alpha bravo charlie delta echo", [5.0, 0.01, 0.0, 0.0]),
+         (2, "sierra tango uniform victor whiskey", [3.0, 3.0, 3.0, 3.0])],
+        [(3, "sierra tango uniform victor whiskey", [3.0, 3.0, 3.0, 3.01]),
+         (4, "xray yankee zulu alpha2 beta2", [-5.0, 0.0, 0.0, 0.0])],
+        [(5, "xray yankee zulu alpha2 beta2", [-5.0, 0.01, 0.0, 0.0])],
+    ]
+    kw = dict(n=2, min_shared=1)
+    base = spark.createDataFrame(base_rows, SCHEMA)
+    st: list = []
+    kmeans_int8(base, "embedding", "doc_id", k=2, n_iter=2, state_out=st)
+
+    TABLES = ("hashes", "shingles", "sem_assigned")
+
+    def artifacts(df):
+        return {
+            "hashes": normalized_hashes(df, "text").select("h"),
+            "shingles": shingle_table(df, "text", "doc_id", n=kw["n"]).select(
+                "doc_id", "shingle"
+            ),
+            "sem_assigned": assign_with_state(
+                df, "embedding", "doc_id", st
+            ).select("doc_id", "qv", "cluster_id"),
+        }
+
+    def run_chain(root, schedule):
+        """schedule: list of (epoch, fail_after|None) deliveries — the
+        engine's actual delivery sequence including redeliveries."""
+        store = CorpusStore(str(root), tables=TABLES)
+        store.admit(artifacts(base), 0)
+        verdicts = {}
+        for epoch, fail_after in schedule:
+            bid = epoch + 1
+            bdf = spark.createDataFrame(batches[epoch], SCHEMA).localCheckpoint()
+            older = lambda name: store.read(spark, name).filter(
+                F.col("batch_id") < bid
+            )
+            v = incremental_dedup_verdicts(
+                None,
+                bdf,
+                "text",
+                "doc_id",
+                corpus_hashes=older("hashes").select("h"),
+                corpus_shingles=older("shingles").select("doc_id", "shingle"),
+                **kw,
+            )
+            # per-batch OVERWRITE sink mirrors the admission's idempotency
+            # (a replayed epoch rewrites its own slice, never appends)
+            rows = {
+                r.doc_id: (r.verdict, r.n_corpus_matches, r.max_shared)
+                for r in v.collect()
+            }
+            try:
+                store.admit(artifacts(bdf), bid, fail_after=fail_after)
+            except StoreTornError:
+                continue  # the crash; the engine will redeliver this epoch
+            verdicts[bid] = rows
+        return verdicts, {
+            n: sorted(map(tuple, store.read(spark, n).collect()))
+            for n in TABLES
+        }
+
+    clean_v, clean_store = run_chain(tmp_path / "clean", [(0, None), (1, None), (2, None)])
+    # doc 3 dups a BATCH-1 doc; doc 5 dups a BATCH-2 doc — append truth
+    assert clean_v[2][3][0] == "exact_dup"
+    assert clean_v[3][5][0] == "exact_dup"
+
+    messy_v, messy_store = run_chain(
+        tmp_path / "messy",
+        [
+            (0, "shingles"),  # torn mid-admission -> redelivered
+            (0, None),
+            (1, None),
+            (1, None),  # crash AFTER commit, BEFORE checkpoint -> redelivered
+            (2, None),
+        ],
+    )
+    assert messy_v == clean_v
+    assert messy_store == clean_store

@@ -174,14 +174,33 @@ def main() -> None:
     try:
         store = CorpusStore(root, tables=TABLES)
         store.set_bloom_params(Q._ST_BLOOM_M, Q._ST_BLOOM_H)
-        t0 = time.time()
+        # degradation curve: serve cost re-measured as batches accumulate
+        # (this is the aging claim — the per-batch slope is what a year of
+        # daily admissions multiplies; compaction resets it)
+        checkpoints = sorted(
+            {max(1, n_batches // 4), n_batches // 2, n_batches}
+        )
+        curve = []
+        t_admit = 0.0
         for b in range(n_batches):
+            t0 = time.time()
             store.admit(
                 _batch_tables(d.filter(F.col("doc_id") % mod == b)), b
             )
-        t_admit = time.time() - t0
+            t_admit += time.time() - t0
+            if b + 1 in checkpoints:
+                curve.append(
+                    {
+                        "batches": b + 1,
+                        "serve_s": round(
+                            _time_serve(spark, store, probe, repeats), 3
+                        ),
+                        "parquet_files": _n_files(root),
+                    }
+                )
+                print(json.dumps(curve[-1]), flush=True)
 
-        t_before = _time_serve(spark, store, probe, repeats)
+        t_before = curve[-1]["serve_s"]
         files_before = _n_files(root)
         counts_before = [
             df.count() for df in _serve_plans(spark, store, probe)
@@ -195,8 +214,17 @@ def main() -> None:
                 F.bit_or("bits").alias("bits")
             ),
         }
+        # compact to one file per core, not fewer: a consolidated slice
+        # that under-splits the table caps SCAN parallelism and gives back
+        # the listing savings (measured: target=4 made serve 5% SLOWER at
+        # sf1/local[32]). On a cluster the analog is HDFS-block-sized
+        # files, never "as few as possible".
         t0 = time.time()
-        store.compact(spark, combiners, target_partitions=4)
+        store.compact(
+            spark,
+            combiners,
+            target_partitions=spark.sparkContext.defaultParallelism,
+        )
         t_compact = time.time() - t0
 
         t_after = _time_serve(spark, store, probe, repeats)
@@ -216,6 +244,7 @@ def main() -> None:
         "sf_dir": sf_dir,
         "unit": "sec",
         "n_batches": n_batches,
+        "degradation_curve": curve,
         "admit_total_s": round(t_admit, 3),
         "compact_once_s": round(t_compact, 3),
         "serve_before_s": round(t_before, 3),
