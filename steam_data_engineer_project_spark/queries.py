@@ -6472,14 +6472,18 @@ def corpus_store_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         blooms.filter(F.col("batch_id") == 0).select("word_idx", "bits"),
         blooms.filter(F.col("batch_id") == 1).select("word_idx", "bits"),
     )
+    # probe with the MANIFEST's (m, h), not the build constants: after a
+    # bloom rebuild (CorpusStore.rebuild_bloom) the stored params are the
+    # only truth — a probe with a stale modulus answers garbage.
+    bp = store.bloom_params()
     legs.append(
         bloom_probe_count(
             shingle_table(b2, "stext", "doc_id", n=_ST_N),
             "shingle",
             "doc_id",
             merged_bloom,
-            m_bits=_ST_BLOOM_M,
-            n_hashes=_ST_BLOOM_H,
+            m_bits=bp["m_bits"],
+            n_hashes=bp["n_hashes"],
         )
         .filter(F.col("n_hits") >= 3)
         .select(
