@@ -330,7 +330,15 @@ class CorpusStore:
         caps downstream SCAN parallelism and can give the listing savings
         straight back (measured in tools/compaction_economics.py:
         target=4 made the post-compaction serve 5 % SLOWER on 32 cores).
-        None (default) keeps the combiner output's partitioning."""
+        None (default) keeps the combiner output's partitioning.
+
+        Run at a QUIESCENT point — no serve plan in flight (the same
+        contract as streaming/state_store.reshard): old generations are
+        deleted right after the manifest flip, so a plan built against
+        pre-compaction paths would lose its files mid-read. Admissions
+        need not pause planning-wise, but an admit that lands between
+        slice rewrite and flip would write into a generation about to be
+        orphaned — quiesce writers too."""
         committed = self.committed_ids()
         if not committed:
             raise ValueError("nothing to compact")

@@ -217,6 +217,20 @@ def test_pruned_ann_registry_query_prunes_partitions(spark):
     assert m.group(1).count(",") < 255, m.group(1)
 
 
+def test_corpus_store_suite_prunes_store_reads_by_batch(spark):
+    """The suite's doc_b1 leg serves from batch 0 ONLY; with the store
+    laid out as batch_id=<N> partition directories (round 8), that
+    filter must reach the scan as a PartitionFilter — at 100 TB this is
+    the difference between reading one batch slice and re-listing every
+    admitted batch's files."""
+    from steam_data_engineer_project_spark.queries import corpus_store_suite
+
+    df = corpus_store_suite(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("batch_id" in f for f in pf), plan[:3000]
+
+
 def test_incremental_refresh_equals_full_rebuild(spark):
     """plans/incremental.py: three incremental refreshes over a time-split
     source == one full rebuild (the dbt materialized='incremental'
