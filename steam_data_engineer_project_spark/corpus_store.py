@@ -129,6 +129,7 @@ class CorpusStore:
                 "next_gen": 1,
                 "codebook_version": None,
                 "bloom": None,
+                "retired_below": 0,
             }
             self._flush()
 
@@ -183,6 +184,11 @@ class CorpusStore:
         tests: raise :class:`StoreTornError` immediately after the named
         table's slice is written.
         """
+        if batch_id < self._m.get("retired_below", 0):
+            raise ValueError(
+                f"batch {batch_id} is below the retention watermark "
+                f"{self._m['retired_below']} — retired ids never come back"
+            )
         missing = set(self._m["tables"]) - set(tables)
         if missing:
             raise ValueError(
@@ -224,6 +230,7 @@ class CorpusStore:
         directory that still exists in the table's current generation)."""
         tdir = self._tdir(name)
         committed = set(self.committed_ids())
+        floor = self._m.get("retired_below", 0)
         dirs = []
         if os.path.isdir(tdir):
             for d in os.listdir(tdir):
@@ -232,13 +239,68 @@ class CorpusStore:
                         bid = int(d.split("=", 1)[1])
                     except ValueError:
                         continue
-                    if bid in committed:
+                    if bid in committed and bid >= floor:
                         dirs.append(os.path.join(tdir, d))
         if not dirs:
             raise ValueError(
                 f"store table {name} has no committed slices at {tdir}"
             )
         return spark.read.option("basePath", tdir).parquet(*sorted(dirs))
+
+    # ------------------------------------------------------------------ #
+    # retention: atomic watermark flip, lazy physical deletion
+    # ------------------------------------------------------------------ #
+    def retire(self, before_batch_id: int) -> None:
+        """Retire every batch below ``before_batch_id`` from the store —
+        the aging-out path (expired crawl data, licensing takedowns,
+        rolling retention windows).
+
+        Per-batch artifacts make retention a METADATA operation: the
+        manifest's ``retired_below`` watermark flips in one atomic
+        rename, reads filter to retained slices from that instant, and
+        the physical slice directories are deleted lazily afterwards — a
+        crash between flip and deletion leaves orphan directories that
+        readers already ignore (cleaned on the retried retire), never an
+        inconsistent tier. The sketch tiers are retention-correct by the
+        same mergeability that makes them appendable: serve-side KMV and
+        Bloom merges combine only the RETAINED batches' sketches, so a
+        retired batch's keys vanish from estimates and probes without
+        any subtraction (which neither sketch supports).
+
+        Granularity is the batch slice: compaction collapses batches
+        into one consolidated slice, whose rows can no longer be retired
+        individually — align retention boundaries with compaction
+        segments (retire first, or compact only batches that will age
+        out together), the same segment discipline log-structured stores
+        use."""
+        committed = self.committed_ids()
+        if committed and before_batch_id > max(committed) + 1:
+            raise ValueError(
+                f"cannot retire past the last committed batch "
+                f"({max(committed)})"
+            )
+        cur = self._m.get("retired_below", 0)
+        if before_batch_id > cur:
+            self._m["retired_below"] = before_batch_id
+            self._flush()
+        # the sweep runs even when the watermark is already at or past the
+        # request: that IS the crash-retry (flip landed, deletion didn't).
+        # The watermark itself never moves backwards.
+        before_batch_id = self._m["retired_below"]
+        for name in self._m["tables"]:
+            tdir = self._tdir(name)
+            if not os.path.isdir(tdir):
+                continue
+            for d in os.listdir(tdir):
+                if d.startswith("batch_id="):
+                    try:
+                        bid = int(d.split("=", 1)[1])
+                    except ValueError:
+                        continue
+                    if bid < before_batch_id:
+                        shutil.rmtree(
+                            os.path.join(tdir, d), ignore_errors=True
+                        )
 
     # ------------------------------------------------------------------ #
     # codebook: versioned artifact with atomic swap

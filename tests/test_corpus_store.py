@@ -259,6 +259,75 @@ def test_compaction_serve_equivalence_and_crash_safety(spark, tmp_path):
     assert st.read(spark, "hashes").count() > 0
 
 
+def test_retention_watermark_atomic_and_sketch_correct(spark, tmp_path):
+    """retire() is a metadata flip: reads exclude retired batches the
+    instant the watermark lands — even while their directories still
+    exist (the crash window between flip and lazy deletion) — and the
+    mergeable sketch tiers are retention-correct without subtraction
+    (the merged KMV estimate over retained batches equals a direct
+    sketch over only their keys)."""
+    st = CorpusStore(str(tmp_path / "s"), tables=TABLES)
+    st.set_bloom_params(M_BITS, N_HASHES)
+    batches = [_docs(spark, range(i * 10, i * 10 + 10)) for i in range(4)]
+    for i, b in enumerate(batches):
+        st.admit(_batch_tables(spark, b), i)
+
+    # the crash window: flip the watermark but leave directories on disk
+    st._m["retired_below"] = 2
+    st._flush()
+    for n in TABLES:
+        got = st.read(spark, n).select("batch_id").distinct()
+        assert sorted(r.batch_id for r in got.collect()) == [2, 3], n
+    # a fresh open (another process) agrees
+    assert sorted(
+        r.batch_id
+        for r in CorpusStore(str(tmp_path / "s"))
+        .read(spark, "hashes")
+        .select("batch_id")
+        .distinct()
+        .collect()
+    ) == [2, 3]
+
+    # retried retire completes the physical deletion, idempotently
+    st2 = CorpusStore(str(tmp_path / "s"))
+    st2.retire(2)
+    for n in TABLES:
+        tdir = st2._tdir(n)
+        left = sorted(d for d in os.listdir(tdir) if d.startswith("batch_id="))
+        assert left == ["batch_id=2", "batch_id=3"], (n, left)
+
+    # sketch correctness: merged KMV over the retained slices equals a
+    # direct sketch over ONLY the retained batches' tokens
+    direct = kmv_sketch(
+        batches[2]
+        .unionByName(batches[3])
+        .select(
+            F.lit("tok").alias("g"),
+            F.explode(F.split("text", " ")).alias("token"),
+        ),
+        "g",
+        "token",
+        k=16,
+    )
+    merged = kmv_merge(
+        [st2.read(spark, "kmv").select("g", "kmv_h")], "g", k=16
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.select("g", "kmv_h").collect())
+    )
+
+    # retired ids never come back; watermark never moves backwards
+    with pytest.raises(ValueError, match="retention watermark"):
+        st2.admit(_batch_tables(spark, batches[0]), 1)
+    st2.retire(1)  # no-op, not an error
+    assert st2._m["retired_below"] == 2
+    with pytest.raises(ValueError, match="past the last committed"):
+        st2.retire(99)
+    # post-retention admissions continue normally
+    st2.admit(_batch_tables(spark, _docs(spark, range(100, 105))), 4)
+    assert st2.read(spark, "hashes").filter("batch_id = 4").count() > 0
+
+
 def test_bloom_aging_fill_and_rebuild_from_stored_shingles(spark, tmp_path):
     """The bloom bitset is the one artifact that AGES: fill ratio rises
     monotonically as batches append. rebuild_bloom re-derives a larger
