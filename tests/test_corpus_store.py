@@ -437,6 +437,104 @@ def test_semantic_multiprobe_recovers_boundary_split(spark):
     assert r9["verdict"] == "semantic_dup" and r9["n_corpus_matches"] == 1
 
 
+def test_store_lifecycle_model_property(spark, tmp_path):
+    """Model-based lifecycle check: arbitrary interleavings of admit,
+    torn admit, retire, compact, torn compact, and process reopen are
+    replayed against a pure-Python model of the visible row set (rows of
+    committed, unretired batches — batch labels excluded, since
+    compaction relabels them). Every crash schedule must leave the
+    visible rows exactly where the model says; no interleaving may leak
+    a torn write or lose a committed one."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    op = st.one_of(
+        st.tuples(st.just("admit"), st.integers(1, 3)),
+        st.tuples(st.just("admit_crash"), st.integers(1, 3)),
+        st.tuples(st.just("retire"), st.integers(0, 4)),
+        st.tuples(st.just("compact"), st.just(0)),
+        st.tuples(st.just("compact_crash"), st.just(0)),
+        st.tuples(st.just("reopen"), st.just(0)),
+    )
+
+    counter = [0]
+
+    def rows_df(values):
+        return spark.createDataFrame([(v,) for v in values], "v long")
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(st.lists(op, min_size=1, max_size=7))
+    def check(ops):
+        counter[0] += 1
+        root = str(tmp_path / f"m{counter[0]}")
+        store = CorpusStore(root, tables=("t",))
+        model: dict[int, set] = {}  # visible batch -> row values
+        watermark = 0
+        next_bid = 0
+        next_val = 0
+
+        for kind, arg in ops:
+            if kind == "admit":
+                bid = max(next_bid, watermark)  # never below the watermark
+                vals = set(range(next_val, next_val + arg))
+                next_val += arg
+                store.admit({"t": rows_df(vals)}, bid)
+                model[bid] = vals
+                next_bid = bid + 1
+            elif kind == "admit_crash":
+                bid = max(next_bid, watermark)
+                vals = set(range(next_val, next_val + arg))
+                next_val += arg
+                with pytest.raises(StoreTornError):
+                    store.admit({"t": rows_df(vals)}, bid, fail_after="t")
+                # not committed: invisible; the bid is burned (a real
+                # engine would redeliver, covered by the replay test)
+                next_bid = bid + 1
+            elif kind == "retire":
+                if model or watermark:
+                    hi = max(list(model) + [watermark - 1])
+                    if arg > hi + 1:
+                        with pytest.raises(ValueError):
+                            store.retire(arg)
+                        continue
+                store.retire(arg)
+                watermark = max(watermark, arg)
+                model = {b: v for b, v in model.items() if b >= watermark}
+            elif kind in ("compact", "compact_crash"):
+                fail = "t" if kind == "compact_crash" else None
+                if not model:
+                    with pytest.raises(ValueError):
+                        store.compact(spark, fail_after=fail)
+                    continue
+                if fail:
+                    with pytest.raises(StoreTornError):
+                        store.compact(spark, fail_after=fail)
+                    # manifest not flipped: visibility unchanged
+                else:
+                    store.compact(spark)
+                    hi = max(model)
+                    merged = set().union(*model.values())
+                    model = {hi: merged}
+            elif kind == "reopen":
+                store = CorpusStore(root)
+
+            expect = sorted(set().union(*model.values())) if model else []
+            if expect:
+                got = sorted(
+                    r.v for r in store.read(spark, "t").select("v").collect()
+                )
+                assert got == expect, (ops, kind, got, expect)
+            else:
+                with pytest.raises(ValueError, match="no committed"):
+                    store.read(spark, "t")
+
+    check()
+
+
 def test_codebook_swap_atomicity_and_drift_stat(spark, tmp_path):
     """swap_codebook flips codebook + reassigned inverted file in ONE
     manifest replace; a staged-but-unflipped new version is invisible.
