@@ -43,6 +43,30 @@ lives for months actually needs:
   STORED quantized vectors and swaps codebook + reassigned inverted file
   in ONE atomic manifest flip.
 
+Round 9 closes the lifecycle's remaining holes:
+
+- **Retention × compaction.** Every consolidated slice records its covered
+  batch range in the manifest (``segments``); :meth:`CorpusStore.retire`
+  RAISES when the watermark would bisect one (silently retaining aged-out
+  rows is a takedown/licensing hazard), and :meth:`CorpusStore.compact`
+  takes ``upto=B`` for cohort compaction — batches that age out together
+  compact together, the segment discipline log-structured stores impose.
+- **Single-writer enforcement.** Every manifest mutator holds an exclusive
+  ``flock`` on ``<root>/_lock`` and re-reads the manifest inside it, so
+  concurrent writers serialize instead of losing each other's
+  read-modify-write updates (see :meth:`CorpusStore._locked`).
+- **Power-loss durability.** Slice files are fsynced BEFORE their commit
+  marker, and every marker/manifest replace fsyncs file + directory — a
+  durable marker now implies durable data (write-ahead ordering), not just
+  process-crash consistency.
+- **Orphan reclamation.** Opening a store sweeps generation directories a
+  flip-then-crash left unreferenced (see
+  :meth:`CorpusStore._sweep_orphan_generations`).
+- **Drift policy.** :meth:`CorpusStore.maybe_retrain` wires the measured
+  drift gate (CODEBOOK_DRIFT.json: recall has already slipped by ratio
+  ~1.5) into admission: probe, and retrain-from-stored-vectors + atomic
+  swap only past the threshold.
+
 All commit points are single ``os.replace`` calls on a JSON manifest or a
 marker file — the same local-filesystem transaction primitive Delta Lake's
 ``_delta_log`` uses (public design), scaled down to what a benchmark store
@@ -56,11 +80,13 @@ lifecycle itself has no reference counterpart.
 
 from __future__ import annotations
 
+import fcntl
 import json
 import math
 import os
 import shutil
 import tempfile
+from contextlib import contextmanager
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -74,18 +100,30 @@ MANIFEST = "_manifest.json"
 #: directory of per-batch commit markers (empty files named <batch_id>).
 COMMITS = "_commits"
 
+#: writer-lock file: every manifest-mutating operation holds an exclusive
+#: flock on it (see :meth:`CorpusStore._locked`).
+LOCKFILE = "_lock"
+
 
 def _atomic_write(path: str, content: str) -> None:
-    """Write ``content`` to ``path`` atomically (tmp file + os.replace —
-    rename is atomic on a POSIX filesystem, so readers see the old file or
-    the new one, never a torn write)."""
+    """Write ``content`` to ``path`` atomically AND durably: tmp file +
+    fsync + os.replace + parent-directory fsync. The rename makes readers
+    see the old file or the new one, never a torn write; the two fsyncs
+    extend that from process crashes to power loss — without them the
+    rename can become durable while the file's data (or the directory
+    entry itself) is still only in the page cache, exactly the torn state
+    the atomic write exists to prevent (same ordering fsync discipline as
+    any write-ahead log)."""
     d = os.path.dirname(path)
     os.makedirs(d, exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=d, prefix=".tmp_")
     try:
         with os.fdopen(fd, "w") as f:
             f.write(content)
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, path)
+        _fsync_dir(d)
     except BaseException:
         try:
             os.unlink(tmp)
@@ -94,8 +132,79 @@ def _atomic_write(path: str, content: str) -> None:
         raise
 
 
+def _fsync_dir(path: str) -> None:
+    """fsync a directory so a just-renamed/created entry inside it is
+    durable (POSIX: rename durability requires syncing the directory,
+    not just the file). Best-effort — some filesystems refuse O_RDONLY
+    dir fsync; a refusal downgrades to process-crash safety, it never
+    corrupts."""
+    try:
+        dfd = os.open(path, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+    except OSError:
+        pass
+
+
+def _fsync_tree(path: str) -> None:
+    """fsync every file and directory under ``path`` plus its parent
+    entry — called on a batch's slice directory BEFORE its commit marker
+    is written, so a durable marker implies durable data (the write-ahead
+    ordering rule). Local-FS concern only: on HDFS/S3 the output
+    committer's rename/close semantics provide the equivalent barrier."""
+    for root_, _dirs, files_ in os.walk(path, topdown=False):
+        for fn in files_:
+            try:
+                fd = os.open(os.path.join(root_, fn), os.O_RDONLY)
+                try:
+                    os.fsync(fd)
+                finally:
+                    os.close(fd)
+            except OSError:
+                pass
+        _fsync_dir(root_)
+    _fsync_dir(os.path.dirname(path))
+
+
+def _link_tree(src: str, dst: str) -> None:
+    """Mirror ``src`` into ``dst`` via hard links (copy fallback) — how
+    compaction carries NOT-compacted slices into the new generation
+    without rewriting their bytes. Idempotent: an existing ``dst`` (a
+    crashed attempt's partial mirror) is removed first, so a retry can
+    never double-link."""
+    if os.path.lexists(dst):
+        shutil.rmtree(dst)
+    for root_, _dirs, files_ in os.walk(src):
+        rel = os.path.relpath(root_, src)
+        tgt = dst if rel == "." else os.path.join(dst, rel)
+        os.makedirs(tgt, exist_ok=True)
+        for fn in files_:
+            s = os.path.join(root_, fn)
+            t = os.path.join(tgt, fn)
+            try:
+                os.link(s, t)
+            except OSError:
+                shutil.copy2(s, t)
+
+
 class StoreTornError(RuntimeError):
     """Raised by the crash-injection hook in :meth:`CorpusStore.admit`."""
+
+
+def _with_writer_lock(fn):
+    """Run the wrapped mutator under :meth:`CorpusStore._locked` —
+    exclusive flock + manifest reload, so concurrent writers serialize
+    instead of losing each other's read-modify-write updates."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(self, *args, **kwargs):
+        with self._locked():
+            return fn(self, *args, **kwargs)
+
+    return wrapper
 
 
 class CorpusStore:
@@ -119,23 +228,113 @@ class CorpusStore:
                     f"store at {root} carries tables "
                     f"{tuple(self._m['tables'])}, caller declared {tables}"
                 )
+            # segments: per-table {consolidated slice's batch_id label ->
+            # lowest batch id its rows cover} — absent on pre-round-9
+            # manifests (whose slices are all per-batch, range == label).
+            self._m.setdefault("segments", {})
+            self._sweep_orphan_generations()
         else:
             if tables is None:
                 raise ValueError(
                     f"no store at {root}: creating one requires `tables`"
                 )
-            self._m = {
-                "tables": {name: 0 for name in tables},
-                "next_gen": 1,
-                "codebook_version": None,
-                "bloom": None,
-                "retired_below": 0,
-            }
-            self._flush()
+            self._m = None
+            with self._locked():  # two concurrent creators serialize here
+                if self._m is not None:
+                    # lost the creation race — validate like the open path
+                    if tuple(self._m["tables"]) != tuple(tables):
+                        raise ValueError(
+                            f"store at {root} carries tables "
+                            f"{tuple(self._m['tables'])}, caller declared "
+                            f"{tables}"
+                        )
+                else:
+                    self._m = {
+                        "tables": {name: 0 for name in tables},
+                        "next_gen": 1,
+                        "codebook_version": None,
+                        "bloom": None,
+                        "retired_below": 0,
+                        "segments": {},
+                    }
+                    self._flush()
+
+    def _sweep_orphan_generations(self) -> None:
+        """Delete generation directories the manifest no longer (or never
+        did) reference. compact/swap_codebook/rebuild_bloom rmtree old
+        generations only AFTER the manifest flip, so a crash in between
+        orphans ``<table>__g<old>`` (and ``sem_state_v<old>``) forever —
+        a retry allocates NEW gens and deletes only its own. Run at open:
+        a dir whose gen is neither the table's current gen nor >= next_gen
+        (an in-flight retry target that a crashed-before-flip attempt
+        staged) is unreferenced and safe to drop. Single-writer contract
+        (see :meth:`admit`): no concurrent reader holds a plan against a
+        non-current generation across a process boundary."""
+        nxt = self._m["next_gen"]
+        cur_v = self._m.get("codebook_version")
+        for entry in os.listdir(self.root):
+            p = os.path.join(self.root, entry)
+            if not os.path.isdir(p):
+                continue
+            name, sep, gs = entry.rpartition("__g")
+            if sep and name in self._m["tables"]:
+                try:
+                    g = int(gs)
+                except ValueError:
+                    continue
+                if g != self._m["tables"][name] and g < nxt:
+                    shutil.rmtree(p, ignore_errors=True)
+            elif entry.startswith("sem_state_v") and cur_v is not None:
+                try:
+                    v = int(entry[len("sem_state_v"):])
+                except ValueError:
+                    continue
+                # versions > current are in-flight swap retries; keep them
+                if v < cur_v:
+                    shutil.rmtree(p, ignore_errors=True)
 
     # ------------------------------------------------------------------ #
     # manifest plumbing
     # ------------------------------------------------------------------ #
+    @contextmanager
+    def _locked(self):
+        """Exclusive writer lock around every manifest-mutating operation
+        (admit / retire / compact / swap_codebook / rebuild_bloom /
+        set_bloom_params). The manifest is read-modify-write: without a
+        lock, two concurrent writers each flush their cached copy and the
+        second replace silently drops the first's update (lost bloom
+        params, a vanished watermark). The lock is an ``fcntl.flock`` on
+        ``<root>/_lock`` — works across processes AND across handles in
+        one process (flock is per-open-file-description) — and the cached
+        manifest is RE-READ from disk inside the lock, so the mutation
+        always applies to the latest committed state, not this handle's
+        possibly-stale view. Readers never lock: the manifest is replaced
+        atomically, so a read sees the old or the new state, never a torn
+        one. NOT re-entrant — a mutator must never call another mutator.
+        Cluster analog: local flock maps to a coordination-service lease
+        (the same single-writer contract Delta's commit protocol needs on
+        non-atomic-rename filesystems)."""
+        os.makedirs(self.root, exist_ok=True)
+        fd = os.open(
+            os.path.join(self.root, LOCKFILE), os.O_CREAT | os.O_RDWR, 0o644
+        )
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            self._reload()
+            yield
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
+
+    def _reload(self) -> None:
+        """Refresh the cached manifest from disk (another handle may have
+        mutated the store since this one loaded it)."""
+        mpath = os.path.join(self.root, MANIFEST)
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                self._m = json.load(f)
+            self._m.setdefault("segments", {})
+
     def _flush(self) -> None:
         _atomic_write(
             os.path.join(self.root, MANIFEST),
@@ -156,6 +355,7 @@ class CorpusStore:
         or a post-resize store answers garbage."""
         return self._m.get("bloom")
 
+    @_with_writer_lock
     def set_bloom_params(
         self, m_bits: int, n_hashes: int, salt: str = "bf"
     ) -> None:
@@ -169,6 +369,7 @@ class CorpusStore:
     # ------------------------------------------------------------------ #
     # admission: write slices, commit LAST
     # ------------------------------------------------------------------ #
+    @_with_writer_lock
     def admit(
         self,
         tables: dict[str, DataFrame],
@@ -199,8 +400,22 @@ class CorpusStore:
         if extra:
             raise ValueError(f"unknown tables {sorted(extra)}")
         for name in self._m["tables"]:
+            seg = self._m.get("segments", {}).get(name, {})
+            lo = seg.get(str(batch_id))
+            if lo is not None and lo < batch_id:
+                raise ValueError(
+                    f"batch id {batch_id} labels a CONSOLIDATED slice "
+                    f"[{lo},{batch_id}] of table {name} — re-admitting it "
+                    "would clobber the compacted rows; use a fresh id"
+                )
+        for name in self._m["tables"]:
             slice_dir = os.path.join(self._tdir(name), f"batch_id={batch_id}")
             tables[name].write.mode("overwrite").parquet(slice_dir)
+            # durability barrier: the slice's bytes must be on disk BEFORE
+            # the commit marker can be (write-ahead ordering — a durable
+            # marker over volatile data is the torn state the marker
+            # exists to prevent)
+            _fsync_tree(slice_dir)
             if fail_after == name:
                 raise StoreTornError(
                     f"injected crash after writing {name} "
@@ -221,13 +436,20 @@ class CorpusStore:
     # ------------------------------------------------------------------ #
     # serve-side reads: committed slices only
     # ------------------------------------------------------------------ #
-    def read(self, spark: SparkSession, name: str) -> DataFrame:
+    def read(
+        self,
+        spark: SparkSession,
+        name: str,
+        batch_ids: set[int] | None = None,
+    ) -> DataFrame:
         """The table's COMMITTED rows, with ``batch_id`` as a partition
         column (filters on it prune directories at scan time). Uncommitted
         slices are excluded at the listing level, so a torn admission's
         partial files are never even opened. After compaction the listing
         naturally collapses to the consolidated slice (the only committed
-        directory that still exists in the table's current generation)."""
+        directory that still exists in the table's current generation).
+        ``batch_ids`` restricts the listing to specific retained slices
+        (cohort compaction's input selector)."""
         tdir = self._tdir(name)
         committed = set(self.committed_ids())
         floor = self._m.get("retired_below", 0)
@@ -239,7 +461,11 @@ class CorpusStore:
                         bid = int(d.split("=", 1)[1])
                     except ValueError:
                         continue
-                    if bid in committed and bid >= floor:
+                    if (
+                        bid in committed
+                        and bid >= floor
+                        and (batch_ids is None or bid in batch_ids)
+                    ):
                         dirs.append(os.path.join(tdir, d))
         if not dirs:
             raise ValueError(
@@ -247,9 +473,24 @@ class CorpusStore:
             )
         return spark.read.option("basePath", tdir).parquet(*sorted(dirs))
 
+    def _retained_ids(self) -> list[int]:
+        """Committed batch ids at or above the retention watermark — the
+        slices every read/compact/rebuild actually serves from."""
+        floor = self._m.get("retired_below", 0)
+        return [b for b in self.committed_ids() if b >= floor]
+
+    def _slice_lo(self, name: str, bid: int) -> int:
+        """The lowest original batch id a slice's rows cover: itself for
+        a per-batch slice, the recorded segment floor for a consolidated
+        one."""
+        return int(
+            self._m.get("segments", {}).get(name, {}).get(str(bid), bid)
+        )
+
     # ------------------------------------------------------------------ #
     # retention: atomic watermark flip, lazy physical deletion
     # ------------------------------------------------------------------ #
+    @_with_writer_lock
     def retire(self, before_batch_id: int) -> None:
         """Retire every batch below ``before_batch_id`` from the store —
         the aging-out path (expired crawl data, licensing takedowns,
@@ -269,19 +510,56 @@ class CorpusStore:
 
         Granularity is the batch slice: compaction collapses batches
         into one consolidated slice, whose rows can no longer be retired
-        individually — align retention boundaries with compaction
-        segments (retire first, or compact only batches that will age
-        out together), the same segment discipline log-structured stores
-        use."""
+        individually. That discipline is ENFORCED, not advisory: every
+        consolidated slice records its covered range in the manifest
+        (``segments``), and a watermark that falls strictly inside one
+        raises instead of silently retaining aged-out rows (takedown /
+        licensing must fail loud). Align boundaries with
+        :meth:`compact`'s ``upto`` — retire a cohort, or compact only
+        batches that will age out together — the same segment discipline
+        log-structured stores use."""
         committed = self.committed_ids()
-        if committed and before_batch_id > max(committed) + 1:
+        # bound by the highest KNOWN id even when nothing is committed
+        # (fresh or fully-retired store: the watermark itself is the only
+        # knowledge, and commit markers outlive their retired slices, so
+        # max(committed) never regresses below watermark-1). Without this
+        # a mistyped retire(10**9) on a fresh store silently jumps the
+        # watermark and admit() then refuses every future batch — the
+        # store is bricked with no error at the point of the mistake.
+        hi_known = max(committed, default=self._m.get("retired_below", 0) - 1)
+        if before_batch_id > hi_known + 1:
             raise ValueError(
-                f"cannot retire past the last committed batch "
-                f"({max(committed)})"
+                f"cannot retire past the highest known batch ({hi_known}): "
+                f"retire({before_batch_id}) would strand the watermark "
+                "above every admissible id"
             )
         cur = self._m.get("retired_below", 0)
         if before_batch_id > cur:
+            # the bisect check: a consolidated slice whose covered range
+            # straddles the new watermark cannot be partially deleted —
+            # its rows below the watermark would silently survive
+            for name, tseg in self._m.get("segments", {}).items():
+                for hi_s, lo in tseg.items():
+                    h = int(hi_s)
+                    if h >= cur and int(lo) < before_batch_id <= h:
+                        raise ValueError(
+                            f"retire({before_batch_id}) bisects table "
+                            f"{name}'s consolidated slice [{lo},{h}]: its "
+                            f"rows below the watermark cannot be deleted "
+                            f"individually — retire at <= {lo} or > {h} "
+                            "(compact(upto=...) aligns cohorts)"
+                        )
             self._m["retired_below"] = before_batch_id
+            # fully-retired segment records are dead metadata — prune in
+            # the same flip
+            self._m["segments"] = {
+                name: {
+                    hi_s: lo
+                    for hi_s, lo in tseg.items()
+                    if int(hi_s) >= before_batch_id
+                }
+                for name, tseg in self._m.get("segments", {}).items()
+            }
             self._flush()
         # the sweep runs even when the watermark is already at or past the
         # request: that IS the crash-retry (flip landed, deletion didn't).
@@ -308,6 +586,7 @@ class CorpusStore:
     def _cb_dir(self, version: int) -> str:
         return os.path.join(self.root, f"sem_state_v{version}")
 
+    @_with_writer_lock
     def write_codebook(self, state_df: DataFrame) -> int:
         """Persist the initial codebook (version 0). For replacing a live
         one use :meth:`swap_codebook` — the inverted file must swap WITH
@@ -327,6 +606,7 @@ class CorpusStore:
             raise ValueError("store has no codebook")
         return spark.read.parquet(self._cb_dir(v))
 
+    @_with_writer_lock
     def swap_codebook(
         self,
         state_df: DataFrame,
@@ -340,46 +620,153 @@ class CorpusStore:
         ``reassigned`` must cover every stored vector (build it from the
         STORED qv rows — the corpus is never re-read; see
         queries.corpus_store_suite / tools/codebook_drift.py)."""
-        committed = self.committed_ids()
-        if not committed:
+        retained = self._retained_ids()
+        if not retained:
             raise ValueError("nothing admitted yet")
         if self._m["codebook_version"] is None:
             raise ValueError("no codebook to swap — write_codebook first")
         new_v = self._m["codebook_version"] + 1
         new_gen = self._m["next_gen"]
         state_df.write.mode("overwrite").parquet(self._cb_dir(new_v))
-        hi = max(committed)
-        reassigned.write.mode("overwrite").parquet(
-            os.path.join(
-                self._tdir(assigned_table, new_gen), f"batch_id={hi}"
-            )
+        _fsync_tree(self._cb_dir(new_v))
+        hi = max(retained)
+        out = os.path.join(
+            self._tdir(assigned_table, new_gen), f"batch_id={hi}"
         )
+        reassigned.write.mode("overwrite").parquet(out)
+        _fsync_tree(out)
         old_gen = self._m["tables"][assigned_table]
         self._m["codebook_version"] = new_v
         self._m["tables"][assigned_table] = new_gen
         self._m["next_gen"] = new_gen + 1
+        # the reassigned inverted file covers EVERY retained batch — one
+        # consolidated slice; record its range so retire() can't bisect it
+        self._m.setdefault("segments", {})[assigned_table] = {
+            str(hi): min(self._slice_lo(assigned_table, b) for b in retained)
+        }
         self._flush()
         shutil.rmtree(self._tdir(assigned_table, old_gen), ignore_errors=True)
         return new_v
 
+    def maybe_retrain(
+        self,
+        spark: SparkSession,
+        incoming_qdf: DataFrame,
+        *,
+        threshold: float = 1.5,
+        assigned_table: str = "sem_assigned",
+        id_col: str = "vec_id",
+        k: int | None = None,
+        n_iter: int = 10,
+    ) -> dict:
+        """The drift-gated retraining POLICY — the admission-path wiring
+        of the two measured pieces: probe the incoming batch with
+        :func:`codebook_drift_stat` (label-free, computed from the stored
+        inverted file — no corpus read), and only past ``threshold``
+        retrain k-means FROM THE STORED vectors and atomically
+        :meth:`swap_codebook`. The default threshold is the measured gate
+        from tools/codebook_drift.py (CODEBOOK_DRIFT.json): by ratio ~1.5
+        planted-twin recall has already slipped, and the swap restores it
+        at every drift notch. Call right after :meth:`admit` of the
+        batch's assignments, so a triggered retrain covers the batch that
+        tripped the gate.
+
+        ``k`` sizes the retrained codebook; default doubles the current
+        one — the store now holds the old modes AND the drifted ones (the
+        drift tool's 2× rule). Pass corpus-proportional k (N/500-class)
+        when admissions have grown the store materially.
+
+        Cost shape: the probe is one Arrow assignment pass over the batch
+        plus one over the stored qv rows (both already KB-to-artifact
+        class, never the corpus) and a 1-row collect; the retrain runs
+        only when triggered. Not itself under the writer lock (the probe
+        is read-only; :meth:`swap_codebook` takes the lock — flock is not
+        re-entrant).
+
+        Returns {drift_ratio, swapped, codebook_version}."""
+        from .operators.clustering import (
+            assign_with_state,
+            kmeans_int8,
+            semantic_state_from_table,
+            semantic_state_table,
+        )
+
+        state = semantic_state_from_table(self.read_codebook(spark))
+        stored = self.read(spark, assigned_table)
+        ratio = float(
+            codebook_drift_stat(
+                incoming_qdf.select(id_col, "qv"),
+                stored.select(id_col, "qv"),
+                state,
+            ).collect()[0]["drift_ratio"]
+        )
+        if ratio <= threshold:
+            return {
+                "drift_ratio": ratio,
+                "swapped": False,
+                "codebook_version": self._m["codebook_version"],
+            }
+        all_q = stored.select(id_col, "qv")
+        st2: list = []
+        kmeans_int8(
+            None,
+            "embedding",  # unused: qdf supplies pre-quantized vectors
+            id_col,
+            k=k if k is not None else 2 * len(state),
+            n_iter=n_iter,
+            qdf=all_q,
+            state_out=st2,
+        )
+        retrained = sorted(
+            (int(c), [int(x) for x in s], int(n)) for c, s, n in st2
+        )
+        new_v = self.swap_codebook(
+            semantic_state_table(spark, st2),
+            assign_with_state(
+                None, "embedding", id_col, retrained, qdf=all_q
+            ).select(id_col, "qv", "cluster_id"),
+            assigned_table,
+        )
+        return {
+            "drift_ratio": ratio,
+            "swapped": True,
+            "codebook_version": new_v,
+        }
+
     # ------------------------------------------------------------------ #
     # compaction: N committed slices -> 1 consolidated slice per table
     # ------------------------------------------------------------------ #
+    @_with_writer_lock
     def compact(
         self,
         spark: SparkSession,
         combiners: dict[str, Callable[[DataFrame], DataFrame]] | None = None,
         target_partitions: int | None = None,
         fail_after: str | None = None,
+        upto: int | None = None,
     ) -> None:
-        """Rewrite every table's committed slices into ONE slice (labeled
-        with the highest committed batch_id) in a fresh generation, then
+        """Rewrite the retained committed slices into ONE slice (labeled
+        with the highest compacted batch_id) in a fresh generation, then
         flip the manifest atomically. ``combiners`` maps table name to a
         function from the batch-tagged union to the consolidated rows —
         the hook where sketch tables get a REAL merge (KMV re-min, Bloom
         per-word bit-or) instead of a row rewrite; the default combiner
         just drops the batch tag (row tables union losslessly: doc ids are
         disjoint across batches and window/hash tables are set-semantic).
+
+        ``upto`` makes compaction COHORT-scoped: only batches with id
+        < upto are consolidated (into one slice keyed by the highest of
+        THEM — still below upto), batches >= upto carry over into the new
+        generation byte-identical via hard links, and the slice's covered
+        range [lowest compacted id, key] is recorded in the manifest's
+        ``segments``, which is what lets :meth:`retire` keep working
+        after compaction: a cohort compacted together ages out together
+        (``retire(upto)`` stays legal; a watermark INSIDE the cohort now
+        raises instead of silently retaining rows). This mirrors the
+        reference's watermark discipline (sql/init_db.sql:63-68: rows age
+        by a single last_updated cutoff, never mid-segment) and the
+        segment alignment every log-structured store (LSM levels, Kafka
+        log segments) imposes between compaction and retention.
 
         Crash-safe: a crash before the flip leaves the old manifest — and
         therefore the old generations — authoritative; a retry reuses the
@@ -401,24 +788,47 @@ class CorpusStore:
         need not pause planning-wise, but an admit that lands between
         slice rewrite and flip would write into a generation about to be
         orphaned — quiesce writers too."""
-        committed = self.committed_ids()
-        if not committed:
+        retained = self._retained_ids()
+        if not retained:
             raise ValueError("nothing to compact")
-        hi = max(committed)
+        in_ids = retained if upto is None else [b for b in retained if b < upto]
+        if not in_ids:
+            raise ValueError(f"no retained batches below upto={upto}")
+        keep_ids = [b for b in retained if b not in set(in_ids)]
+        hi = max(in_ids)
         combiners = combiners or {}
         base_gen = self._m["next_gen"]
-        new_gens = {}
+        new_gens, new_segments = {}, {}
         for i, name in enumerate(self._m["tables"]):
             gen = base_gen + i
-            df = self.read(spark, name)
+            df = self.read(spark, name, batch_ids=set(in_ids))
             combined = combiners.get(
                 name, lambda d: d.drop("batch_id")
             )(df)
             if target_partitions:
                 combined = combined.coalesce(target_partitions)
-            combined.write.mode("overwrite").parquet(
-                os.path.join(self._tdir(name, gen), f"batch_id={hi}")
-            )
+            out = os.path.join(self._tdir(name, gen), f"batch_id={hi}")
+            combined.write.mode("overwrite").parquet(out)
+            _fsync_tree(out)
+            # NOT-compacted slices carry over byte-identical (hard links,
+            # no rewrite) so the generation flip stays all-or-nothing
+            for b in keep_ids:
+                _link_tree(
+                    os.path.join(self._tdir(name), f"batch_id={b}"),
+                    os.path.join(self._tdir(name, gen), f"batch_id={b}"),
+                )
+            # the consolidated slice's covered range: the lowest original
+            # id among its inputs (an input that was itself consolidated
+            # contributes ITS recorded floor); subsumed records drop out
+            tseg = {
+                hi_s: lo
+                for hi_s, lo in self._m.get("segments", {})
+                .get(name, {})
+                .items()
+                if int(hi_s) not in set(in_ids)
+            }
+            tseg[str(hi)] = min(self._slice_lo(name, b) for b in in_ids)
+            new_segments[name] = tseg
             new_gens[name] = gen
             if fail_after == name:
                 raise StoreTornError(
@@ -427,6 +837,7 @@ class CorpusStore:
                 )
         old_gens = dict(self._m["tables"])
         self._m["tables"] = new_gens
+        self._m["segments"] = new_segments
         self._m["next_gen"] = base_gen + len(new_gens)
         self._flush()
         for name, g in old_gens.items():
@@ -456,6 +867,7 @@ class CorpusStore:
         ).collect()[0]["n"]
         return (set_bits or 0) / params["m_bits"]
 
+    @_with_writer_lock
     def rebuild_bloom(
         self,
         spark: SparkSession,
@@ -476,19 +888,26 @@ class CorpusStore:
         :func:`bloom_required_bits` for sizing the new m)."""
         from .operators.bloom import bloom_bitset
 
-        committed = self.committed_ids()
-        hi = max(committed)
+        retained = self._retained_ids()
+        if not retained:
+            raise ValueError("nothing admitted yet")
+        hi = max(retained)
         gen = self._m["next_gen"]
         fresh = bloom_bitset(
+            # read() filters to RETAINED shingle slices, so a rebuild
+            # after retire() drops the retired batches' keys from the
+            # filter — the merge path can only OR bits in, rebuild is the
+            # one operation that takes them out (tested: a retired-only
+            # key stops probing positive post-rebuild, modulo FP)
             self.read(spark, shingle_table_name).select(value_col),
             value_col,
             m_bits=m_bits,
             n_hashes=n_hashes,
             salt=salt,
         ).coalesce(1)
-        fresh.write.mode("overwrite").parquet(
-            os.path.join(self._tdir(bloom_table, gen), f"batch_id={hi}")
-        )
+        out = os.path.join(self._tdir(bloom_table, gen), f"batch_id={hi}")
+        fresh.write.mode("overwrite").parquet(out)
+        _fsync_tree(out)
         old_gen = self._m["tables"][bloom_table]
         self._m["tables"][bloom_table] = gen
         self._m["next_gen"] = gen + 1
@@ -496,6 +915,12 @@ class CorpusStore:
             "m_bits": m_bits,
             "n_hashes": n_hashes,
             "salt": salt,
+        }
+        # one consolidated bitset covering every retained batch: record
+        # the range so retire() fails loud instead of leaving retired
+        # keys OR-ed into the filter (an FP-rate lie, not just stale rows)
+        self._m.setdefault("segments", {})[bloom_table] = {
+            str(hi): min(self._slice_lo(bloom_table, b) for b in retained)
         }
         self._flush()
         shutil.rmtree(self._tdir(bloom_table, old_gen), ignore_errors=True)

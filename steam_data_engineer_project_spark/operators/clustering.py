@@ -785,9 +785,13 @@ def incremental_semantic_verdicts(
         broadcast_state=broadcast_state,
         n_probe=n_probe,
     )
+    # gate on the EMITTED schema, not the requested n_probe:
+    # _assign_to_centroids clamps p = min(n_probe, k) and omits probe_rank
+    # when the clamped p == 1 — with a single-centroid state a filter on
+    # the missing column would fail the whole plan (AnalysisException).
     inc_assign = (
         inc_probe.filter(F.col("probe_rank") == 0).drop("probe_rank")
-        if n_probe > 1
+        if "probe_rank" in inc_probe.columns
         else inc_probe
     )
 

@@ -6518,24 +6518,32 @@ def corpus_store_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    legs.append(
-        incremental_semantic_verdicts(
-            None,
-            vb2,
-            "embedding",
-            "vec_id",
-            threshold=_SEM_THRESHOLD,
-            state=state,
-            corpus_assigned=assigned.select("vec_id", "qv", "cluster_id"),
-        ).select(
-            F.lit("sem_b2").alias("part"),
-            F.col("vec_id").alias("id"),
-            "verdict",
-            F.col("n_corpus_matches").alias("n_a"),
-            F.col("max_cos_micro").alias("n_b"),
-            F.col("cluster_id").cast("double").alias("x"),
+    # sem_b2 at n_probe=1 (the historical leg, hash-stable since r6) and
+    # sem_b2_p2 at n_probe=2 — the measured staleness cure
+    # (CODEBOOK_DRIFT.json: probing the runner-up cluster recovers the
+    # boundary-split recall loss at every drift notch). Driver-gating the
+    # p2 output means the multi-probe path users actually run under drift
+    # is hash-verified against a top-2 oracle, not just unit-tested.
+    for part, n_probe in (("sem_b2", 1), ("sem_b2_p2", 2)):
+        legs.append(
+            incremental_semantic_verdicts(
+                None,
+                vb2,
+                "embedding",
+                "vec_id",
+                threshold=_SEM_THRESHOLD,
+                state=state,
+                corpus_assigned=assigned.select("vec_id", "qv", "cluster_id"),
+                n_probe=n_probe,
+            ).select(
+                F.lit(part).alias("part"),
+                F.col("vec_id").alias("id"),
+                "verdict",
+                F.col("n_corpus_matches").alias("n_a"),
+                F.col("max_cos_micro").alias("n_b"),
+                F.col("cluster_id").cast("double").alias("x"),
+            )
         )
-    )
 
     legs.append(
         codebook_df.select(
@@ -6777,6 +6785,19 @@ def _corpus_store_sem_oracle_body() -> str:
     chain, final_a = _kmeans_iter_sql(d, _SEM_ITER, prev_q="qc")
     a_b1 = _kmeans_assign_cte("x1", f"c{_SEM_ITER}", d, prev_q="qb1")
     a_b2 = _kmeans_assign_cte("x2", f"c{_SEM_ITER}", d, prev_q="qb2")
+    # top-2 assignment for the multi-probe leg: same integer distance,
+    # same (dist, cid) tie order, rank <= 2 instead of the argmin
+    a_b2p = f"""ax2p AS (
+  SELECT vec_id, qv, cid AS cluster_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM (
+      SELECT q.vec_id, q.qv, c.cid,
+             CAST(list_sum(list_transform(range(1, {d + 1}),
+               i -> (c.c * q.qv[i] - c.s[i]) * (c.c * q.qv[i] - c.s[i])))
+               AS DOUBLE) / (c.c * c.c) AS dist
+      FROM qb2 q, c{_SEM_ITER} c))
+  WHERE rn <= 2
+)"""
     return f"""
 WITH vsrc AS (
   SELECT vec_id, {emb} AS emb FROM embeddings
@@ -6793,7 +6814,7 @@ WITH vsrc AS (
   WHERE rn <= (
     SELECT {_SEM_K} * CAST(CEIL(COUNT(*) / {_SEM_SEED_UNIT}.0) AS BIGINT)
     FROM qc)
-), {chain}, {a_b1}, {a_b2}, corp AS (
+), {chain}, {a_b1}, {a_b2}, {a_b2p}, corp AS (
   SELECT vec_id, qv, cluster_id FROM {final_a}
   UNION ALL
   SELECT vec_id, qv, cluster_id FROM ax1
@@ -6818,12 +6839,35 @@ WITH vsrc AS (
   FROM rawp
   WHERE dot > 0 AND 10000 * dot * dot >= {t_sq} * na * nb
   GROUP BY inc_id
+), n2b2p AS (
+  SELECT cluster_id, vec_id, qv,
+         CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2
+  FROM ax2p
+), rawp2 AS (
+  SELECT i.vec_id AS inc_id,
+         CAST(list_sum(list_transform(range(1, {d + 1}),
+           t -> i.qv[t] * c.qv[t])) AS BIGINT) AS dot,
+         i.n2 AS na, c.n2 AS nb
+  FROM n2b2p i JOIN n2corp c ON i.cluster_id = c.cluster_id
+), m2 AS (
+  SELECT inc_id, CAST(COUNT(*) AS BIGINT) AS nm,
+         MAX(CAST(floor(dot / sqrt(CAST(na * nb AS DOUBLE)) * 1e6 + 0.5)
+             AS BIGINT)) AS mc
+  FROM rawp2
+  WHERE dot > 0 AND 10000 * dot * dot >= {t_sq} * na * nb
+  GROUP BY inc_id
 )
 SELECT 'sem_b2' AS part, i.vec_id AS id,
        CASE WHEN m.nm >= 1 THEN 'semantic_dup' ELSE 'new' END AS verdict,
        COALESCE(m.nm, CAST(0 AS BIGINT)) AS n_a, m.mc AS n_b,
        CAST(i.cluster_id AS DOUBLE) AS x
 FROM ax2 i LEFT JOIN m ON m.inc_id = i.vec_id
+UNION ALL
+SELECT 'sem_b2_p2' AS part, i.vec_id AS id,
+       CASE WHEN m2.nm >= 1 THEN 'semantic_dup' ELSE 'new' END AS verdict,
+       COALESCE(m2.nm, CAST(0 AS BIGINT)) AS n_a, m2.mc AS n_b,
+       CAST(i.cluster_id AS DOUBLE) AS x
+FROM ax2 i LEFT JOIN m2 ON m2.inc_id = i.vec_id
 UNION ALL
 SELECT 'codebook', cid, CAST(NULL AS VARCHAR),
        CAST(list_sum(s) AS BIGINT), c,

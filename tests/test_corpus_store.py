@@ -259,6 +259,130 @@ def test_compaction_serve_equivalence_and_crash_safety(spark, tmp_path):
     assert st.read(spark, "hashes").count() > 0
 
 
+def test_cohort_compaction_is_retention_compatible(spark, tmp_path):
+    """compact(upto=B) consolidates only batches < B (one slice keyed
+    below B, covered range recorded in the manifest), carries later
+    slices over byte-identical, and keeps retention working: retiring
+    the whole cohort afterwards equals never having stored it, while a
+    watermark that would bisect the consolidated slice raises loudly
+    (r8 VERDICT ask 4 / ADVICE: silent mid-segment retention is a
+    takedown/licensing hazard)."""
+    batches = [_docs(spark, range(i * 10, i * 10 + 10)) for i in range(6)]
+    st = CorpusStore(str(tmp_path / "s"), tables=TABLES)
+    st.set_bloom_params(M_BITS, N_HASHES)
+    for i, b in enumerate(batches):
+        st.admit(_batch_tables(spark, b), i)
+
+    combiners = {
+        "kmv": lambda d: kmv_merge([d.select("g", "kmv_h")], "g", k=16),
+        "bloom": lambda d: d.groupBy("word_idx").agg(
+            F.bit_or("bits").alias("bits")
+        ),
+    }
+    before = {
+        n: sorted(
+            map(tuple, st.read(spark, n).drop("batch_id").collect())
+        )
+        for n in ("hashes", "shingles", "windows", "sem_assigned")
+    }
+    st.compact(spark, combiners, upto=3)
+
+    # slice layout: one consolidated slice keyed 2 (the highest compacted
+    # id, still < upto) + the untouched 3, 4, 5
+    for n in TABLES:
+        tdir = st._tdir(n)
+        slices = sorted(
+            d for d in os.listdir(tdir) if d.startswith("batch_id=")
+        )
+        assert slices == [
+            "batch_id=2", "batch_id=3", "batch_id=4", "batch_id=5"
+        ], (n, slices)
+    assert st._m["segments"]["hashes"] == {"2": 0}
+
+    # serve equivalence: row tables identical to pre-compaction
+    for n, rows in before.items():
+        assert (
+            sorted(map(tuple, st.read(spark, n).drop("batch_id").collect()))
+            == rows
+        ), n
+
+    # a consolidated label cannot be re-admitted (would clobber the
+    # compacted rows) ...
+    with pytest.raises(ValueError, match="CONSOLIDATED"):
+        st.admit(_batch_tables(spark, batches[2]), 2)
+    # ... and a watermark inside the cohort raises instead of silently
+    # retaining its rows
+    with pytest.raises(ValueError, match="bisects"):
+        st.retire(2)
+
+    # retiring AT the cohort boundary works and equals never storing it
+    st.retire(3)
+    got = sorted(
+        r.batch_id
+        for r in st.read(spark, "hashes").select("batch_id").distinct().collect()
+    )
+    assert got == [3, 4, 5]
+    assert st._m["segments"]["hashes"] == {}
+    # fresh open agrees (manifest + dirs consistent after lazy deletion)
+    st2 = CorpusStore(str(tmp_path / "s"))
+    assert sorted(
+        r.batch_id
+        for r in st2.read(spark, "kmv").select("batch_id").distinct().collect()
+    ) == [3, 4, 5]
+
+    # a second-level compaction over a mix of consolidated + per-batch
+    # slices merges the recorded ranges (lo = the older slice's floor)
+    st2.compact(spark, combiners, upto=5)
+    assert st2._m["segments"]["hashes"] == {"4": 3}
+    with pytest.raises(ValueError, match="bisects"):
+        st2.retire(4)
+    st2.retire(5)
+    assert sorted(
+        r.batch_id
+        for r in st2.read(spark, "hashes").select("batch_id").distinct().collect()
+    ) == [5]
+
+
+def test_orphan_generation_sweep_on_open(spark, tmp_path):
+    """A crash BETWEEN the manifest flip and old-generation deletion
+    orphans <table>__g<old> forever (a retry allocates new gens and only
+    deletes its own) — open() sweeps directories whose gen is neither the
+    table's current gen nor >= next_gen. Staged gens >= next_gen (a
+    crashed-before-flip compaction's retry targets) must survive."""
+    root = str(tmp_path / "s")
+    st = CorpusStore(root, tables=TABLES)
+    st.set_bloom_params(M_BITS, N_HASHES)
+    for i in range(2):
+        st.admit(_batch_tables(spark, _docs(spark, range(i * 10, i * 10 + 10))), i)
+    st.compact(spark)
+
+    # simulate the flip-then-crash orphan: an unreferenced OLD generation
+    orphan = os.path.join(root, "hashes__g0")
+    os.makedirs(orphan, exist_ok=True)
+    with open(os.path.join(orphan, "junk.parquet"), "w") as f:
+        f.write("x")
+    # and a STAGED future generation (crashed-before-flip retry target)
+    staged = os.path.join(root, f"hashes__g{st._m['next_gen'] + 3}")
+    os.makedirs(staged, exist_ok=True)
+    # and an unreferenced old codebook version
+    st.write_codebook(
+        spark.createDataFrame([(0, [1, 2], 1)], "cid long, s array<long>, c long")
+    )
+    old_cb = os.path.join(root, "sem_state_v0")
+    st.swap_codebook(
+        spark.createDataFrame([(0, [1, 2], 2)], "cid long, s array<long>, c long"),
+        st.read(spark, "sem_assigned").drop("batch_id"),
+    )
+    assert os.path.isdir(old_cb)  # swap keeps it; the sweep reclaims it
+
+    before = _table_rows(spark, st, "hashes")
+    st2 = CorpusStore(root)
+    assert not os.path.isdir(orphan), "old unreferenced gen not swept"
+    assert os.path.isdir(staged), "staged retry target wrongly swept"
+    assert not os.path.isdir(old_cb), "old codebook version not swept"
+    assert _table_rows(spark, st2, "hashes") == before
+
+
 def test_retention_watermark_atomic_and_sketch_correct(spark, tmp_path):
     """retire() is a metadata flip: reads exclude retired batches the
     instant the watermark lands — even while their directories still
@@ -321,7 +445,7 @@ def test_retention_watermark_atomic_and_sketch_correct(spark, tmp_path):
         st2.admit(_batch_tables(spark, batches[0]), 1)
     st2.retire(1)  # no-op, not an error
     assert st2._m["retired_below"] == 2
-    with pytest.raises(ValueError, match="past the last committed"):
+    with pytest.raises(ValueError, match="past the highest known"):
         st2.retire(99)
     # post-retention admissions continue normally
     st2.admit(_batch_tables(spark, _docs(spark, range(100, 105))), 4)
@@ -436,6 +560,27 @@ def test_semantic_multiprobe_recovers_boundary_split(spark):
     (r9,) = run(9)
     assert r9["verdict"] == "semantic_dup" and r9["n_corpus_matches"] == 1
 
+    # clamp regression (ADVICE r8): with a SINGLE-centroid state the
+    # assignment pass clamps p=min(n_probe, k)=1 and emits no probe_rank
+    # column — n_probe=2 must degrade to the n_probe=1 plan, not fail
+    # with an AnalysisException on the missing column.
+    state1 = [(0, [127, 0, 0, 0], 1)]
+    stored1 = spark.createDataFrame(
+        [(1, [127, 125, 0, 0], 0)],
+        "vec_id long, qv array<long>, cluster_id long",
+    )
+    (rc,) = incremental_semantic_verdicts(
+        None,
+        twin,
+        "embedding",
+        "vec_id",
+        threshold=0.95,
+        state=state1,
+        corpus_assigned=stored1,
+        n_probe=2,
+    ).collect()
+    assert rc["verdict"] == "semantic_dup" and rc["cluster_id"] == 0
+
 
 def test_store_lifecycle_model_property(spark, tmp_path):
     """Model-based lifecycle check: arbitrary interleavings of admit,
@@ -445,14 +590,15 @@ def test_store_lifecycle_model_property(spark, tmp_path):
     compaction relabels them). Every crash schedule must leave the
     visible rows exactly where the model says; no interleaving may leak
     a torn write or lose a committed one."""
-    from hypothesis import HealthCheck, given, settings
+    from hypothesis import HealthCheck, example, given, settings
     from hypothesis import strategies as st
 
     op = st.one_of(
         st.tuples(st.just("admit"), st.integers(1, 3)),
         st.tuples(st.just("admit_crash"), st.integers(1, 3)),
         st.tuples(st.just("retire"), st.integers(0, 4)),
-        st.tuples(st.just("compact"), st.just(0)),
+        # arg 0 = full compaction; arg > 0 = cohort compact(upto=arg)
+        st.tuples(st.just("compact"), st.integers(0, 4)),
         st.tuples(st.just("compact_crash"), st.just(0)),
         st.tuples(st.just("reopen"), st.just(0)),
     )
@@ -468,11 +614,26 @@ def test_store_lifecycle_model_property(spark, tmp_path):
         suppress_health_check=[HealthCheck.function_scoped_fixture],
     )
     @given(st.lists(op, min_size=1, max_size=7))
+    # pinned minimal crash schedules — hypothesis's 12 random examples are
+    # NOT guaranteed to draw these branches (.hypothesis/ is untracked, so
+    # a fresh clone gets fresh luck; the round-8 retire-guard bug shipped
+    # exactly that way). @example replays them deterministically.
+    @example([("retire", 1), ("retire", 2)])  # r8 empty-store guard bug
+    @example([("retire", 2)])  # oversized retire on a FRESH store
+    @example([("admit", 1), ("retire", 2), ("retire", 4)])  # fully retired
+    # retire bisecting a consolidated slice must raise (r8 ADVICE)
+    @example([("admit", 1), ("admit", 1), ("compact", 0), ("retire", 1)])
+    # cohort compact keeps retire-at-the-cohort-boundary legal
+    @example(
+        [("admit", 1), ("admit", 1), ("admit", 1), ("compact", 2),
+         ("retire", 2), ("reopen", 0)]
+    )
     def check(ops):
         counter[0] += 1
         root = str(tmp_path / f"m{counter[0]}")
         store = CorpusStore(root, tables=("t",))
         model: dict[int, set] = {}  # visible batch -> row values
+        msegs: dict[int, int] = {}  # consolidated slice label -> range lo
         watermark = 0
         next_bid = 0
         next_val = 0
@@ -495,30 +656,48 @@ def test_store_lifecycle_model_property(spark, tmp_path):
                 # engine would redeliver, covered by the replay test)
                 next_bid = bid + 1
             elif kind == "retire":
-                if model or watermark:
-                    hi = max(list(model) + [watermark - 1])
-                    if arg > hi + 1:
-                        with pytest.raises(ValueError):
-                            store.retire(arg)
-                        continue
+                # highest KNOWN id: visible batches, or watermark-1 when
+                # nothing is visible (fresh store: -1, so any retire(>0)
+                # must raise — the r8 bug silently bricked this case)
+                hi = max(list(model) + [watermark - 1])
+                # a watermark strictly inside a retained consolidated
+                # slice's range must raise, not silently retain its rows
+                bisects = any(
+                    lo < arg <= h
+                    for h, lo in msegs.items()
+                    if h >= watermark
+                )
+                if arg > hi + 1 or bisects:
+                    with pytest.raises(ValueError):
+                        store.retire(arg)
+                    continue
                 store.retire(arg)
                 watermark = max(watermark, arg)
                 model = {b: v for b, v in model.items() if b >= watermark}
+                msegs = {h: lo for h, lo in msegs.items() if h >= watermark}
             elif kind in ("compact", "compact_crash"):
                 fail = "t" if kind == "compact_crash" else None
-                if not model:
+                upto = arg if (kind == "compact" and arg > 0) else None
+                in_keys = [
+                    b for b in model if upto is None or b < upto
+                ]
+                if not in_keys:
                     with pytest.raises(ValueError):
-                        store.compact(spark, fail_after=fail)
+                        store.compact(spark, fail_after=fail, upto=upto)
                     continue
                 if fail:
                     with pytest.raises(StoreTornError):
                         store.compact(spark, fail_after=fail)
                     # manifest not flipped: visibility unchanged
                 else:
-                    store.compact(spark)
-                    hi = max(model)
-                    merged = set().union(*model.values())
-                    model = {hi: merged}
+                    store.compact(spark, upto=upto)
+                    hi = max(in_keys)
+                    merged = set().union(*(model[b] for b in in_keys))
+                    lo = min(msegs.pop(b, b) for b in in_keys)
+                    for b in in_keys:
+                        del model[b]
+                    model[hi] = merged
+                    msegs[hi] = lo
             elif kind == "reopen":
                 store = CorpusStore(root)
 
@@ -640,3 +819,199 @@ def test_codebook_swap_atomicity_and_drift_stat(spark, tmp_path):
     )
     # the inverted file now covers the drifted family under the NEW state
     assert reloaded.read(spark, "sem_assigned").count() == 50
+
+
+def test_writer_lock_serializes_and_reloads(spark, tmp_path):
+    """Manifest mutations hold an exclusive flock on <root>/_lock and
+    re-read the manifest INSIDE the lock: a stale handle can no longer
+    lose another handle's update (the classic read-modify-write race),
+    and a held lock blocks a second writer until released."""
+    import fcntl
+    import threading
+
+    root = str(tmp_path / "s")
+    h1 = CorpusStore(root, tables=("t",))
+    h2 = CorpusStore(root)  # caches its own (soon stale) manifest view
+    h1.admit({"t": spark.createDataFrame([(1,)], "v long")}, 0)
+    h1.set_bloom_params(64, 2)
+
+    # lost-update: h2 mutates via its stale cache — the in-lock reload
+    # must preserve h1's bloom params instead of flushing None over them
+    h2.retire(1)
+    h3 = CorpusStore(root)
+    assert h3.bloom_params() == {"m_bits": 64, "n_hashes": 2, "salt": "bf"}
+    assert h3._m["retired_below"] == 1
+
+    # mutual exclusion: while the lock is held, a mutator blocks
+    lk = os.open(os.path.join(root, "_lock"), os.O_RDWR)
+    fcntl.flock(lk, fcntl.LOCK_EX)
+    done = threading.Event()
+
+    def mutate():
+        h3.set_bloom_params(128, 3)
+        done.set()
+
+    t = threading.Thread(target=mutate, daemon=True)
+    t.start()
+    assert not done.wait(1.0), "mutator ran while the writer lock was held"
+    fcntl.flock(lk, fcntl.LOCK_UN)
+    os.close(lk)
+    assert done.wait(30.0), "mutator never acquired the released lock"
+    t.join()
+    assert CorpusStore(root).bloom_params()["m_bits"] == 128
+
+
+def test_maybe_retrain_policy_gates_on_measured_drift(spark, tmp_path):
+    """The admission-path policy (r8 VERDICT ask 5): maybe_retrain probes
+    the incoming batch with the label-free drift stat and retrains ONLY
+    past the measured ~1.5 gate — in-distribution batches leave the
+    codebook untouched (version unchanged, zero training cost); a
+    drift-shaped batch triggers the atomic retrain-from-stored-vectors
+    swap, after which a planted boundary-split twin that the frozen
+    codebook MISSES is detected again."""
+    from steam_data_engineer_project_spark.operators import (
+        assign_with_state,
+        incremental_semantic_verdicts,
+        semantic_state_from_table,
+        semantic_state_table,
+    )
+
+    root = str(tmp_path / "s")
+    state = [(0, [127, 0, 0, 0], 1), (1, [0, 127, 0, 0], 1)]
+    base = [(i, [127, i % 3, 0, 0]) for i in range(10)] + [
+        (10 + i, [i % 3, 127, 0, 0]) for i in range(10)
+    ]
+    qb = spark.createDataFrame(base, "vec_id long, qv array<long>")
+    st = CorpusStore(root, tables=("sem_assigned",))
+    st.write_codebook(semantic_state_table(spark, state))
+    st.admit(
+        {
+            "sem_assigned": assign_with_state(
+                None, "e", "vec_id", state, qdf=qb
+            ).select("vec_id", "qv", "cluster_id")
+        },
+        0,
+    )
+
+    # in-distribution batch: ratio ~0 -> NO swap, version untouched
+    qin = spark.createDataFrame(
+        [(100 + i, [127, (i + 1) % 3, 0, 0]) for i in range(5)],
+        "vec_id long, qv array<long>",
+    )
+    r = st.maybe_retrain(spark, qin)
+    assert r == {
+        "drift_ratio": r["drift_ratio"],
+        "swapped": False,
+        "codebook_version": 0,
+    }
+    assert r["drift_ratio"] < 1.5
+
+    # drifted family: just on the cluster-1 side of the frozen boundary,
+    # far from BOTH centroids -> ratio >> 1.5
+    qd = spark.createDataFrame(
+        [(200 + i, [90, 91, i % 3, 0]) for i in range(10)],
+        "vec_id long, qv array<long>",
+    )
+    st.admit(
+        {
+            "sem_assigned": assign_with_state(
+                None, "e", "vec_id", state, qdf=qd
+            ).select("vec_id", "qv", "cluster_id")
+        },
+        1,
+    )
+
+    # the staleness failure the gate exists for: a twin of stored vector
+    # 200 lands just ACROSS the frozen boundary (cluster 0) -> missed
+    twin = spark.createDataFrame(
+        [(900, [91.0, 90.0, 1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+
+    def verdict(state_l):
+        return incremental_semantic_verdicts(
+            None,
+            twin,
+            "embedding",
+            "vec_id",
+            threshold=0.95,
+            state=state_l,
+            corpus_assigned=st.read(spark, "sem_assigned").select(
+                "vec_id", "qv", "cluster_id"
+            ),
+        ).collect()[0]
+
+    assert verdict(state)["verdict"] == "new"  # frozen codebook misses
+
+    r2 = st.maybe_retrain(spark, qd)
+    assert r2["swapped"] is True and r2["codebook_version"] == 1
+    assert r2["drift_ratio"] > 1.5
+    # retrain read STORED vectors only; recall restored at n_probe=1
+    new_state = semantic_state_from_table(st.read_codebook(spark))
+    rv = verdict(new_state)
+    assert rv["verdict"] == "semantic_dup" and rv["n_corpus_matches"] == 10
+    # the reassigned inverted file is a consolidated slice: its range is
+    # recorded so retention can't silently bisect it
+    assert st._m["segments"]["sem_assigned"] == {"1": 0}
+
+
+def test_bloom_rebuild_after_retire_excludes_retired_keys(spark, tmp_path):
+    """Retention-correctness of the ONE artifact deletion can't fix: the
+    Bloom bitset OR-s keys in and supports no subtraction, so a retired
+    batch's keys keep probing positive until a rebuild — which reads the
+    STORED shingle table through read()'s retention filter. After
+    retire + rebuild, retired-only keys stop hitting (modulo FP, sized
+    ~1e-7 here) while retained keys still hit (r8 VERDICT ask 7)."""
+    root = str(tmp_path / "s")
+    st = CorpusStore(root, tables=("shingles", "bloom"))
+    st.set_bloom_params(M_BITS, N_HASHES)
+    docs0, docs1 = _docs(spark, range(10)), _docs(spark, range(100, 110))
+    for i, d in enumerate((docs0, docs1)):
+        sh = shingle_table(d, "text", "doc_id", n=3)
+        st.admit(
+            {
+                "shingles": sh.select("doc_id", "shingle"),
+                "bloom": bloom_bitset(
+                    sh.select("shingle"),
+                    "shingle",
+                    m_bits=M_BITS,
+                    n_hashes=N_HASHES,
+                ).select("word_idx", "bits"),
+            },
+            i,
+        )
+
+    def probe(docs):
+        merged = (
+            st.read(spark, "bloom")
+            .groupBy("word_idx")
+            .agg(F.bit_or("bits").alias("bits"))
+        )
+        bp = st.bloom_params()
+        return bloom_probe_count(
+            shingle_table(docs, "text", "doc_id", n=3),
+            "shingle",
+            "doc_id",
+            merged,
+            m_bits=bp["m_bits"],
+            n_hashes=bp["n_hashes"],
+        )
+
+    # before retention both batches' keys probe positive
+    assert probe(docs0).filter("n_hits != n_probed").count() == 0
+
+    st.retire(1)
+    # merged filter still carries batch-0 bits? No — the batch-0 SLICE is
+    # retired, so the serve-side merge already drops them (mergeability
+    # = retention-correctness)...
+    assert probe(docs0).filter("n_hits > 0").count() == 0
+    # ...but a REBUILD must also exclude them (it reads retained slices
+    # only), or the consolidated bitset would resurrect retired keys
+    st.rebuild_bloom(spark, M_BITS, N_HASHES)
+    assert probe(docs0).filter("n_hits > 0").count() == 0
+    assert probe(docs1).filter("n_hits != n_probed").count() == 0
+    # the rebuilt bitset is one consolidated slice with a recorded range
+    assert st._m["segments"]["bloom"] == {"1": 1}
+    # a rebuild on a store with nothing admitted fails loud (r8 ADVICE)
+    empty = CorpusStore(str(tmp_path / "e"), tables=("shingles", "bloom"))
+    with pytest.raises(ValueError, match="nothing admitted"):
+        empty.rebuild_bloom(spark, M_BITS, N_HASHES)

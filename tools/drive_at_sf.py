@@ -457,14 +457,16 @@ def corpus_store_hybrid_oracle(con):
     S = qv[smask][order].copy()
     C = np.ones(len(cids), dtype=np.int64)
 
-    def assign(X, S, C):
+    def dist_mat(X, S, C):
         dots = X @ S.T
         xx = np.einsum("nd,nd->n", X, X)
         ss = np.einsum("kd,kd->k", S, S)
         D = (C * C)[None, :] * xx[:, None] - 2 * C[None, :] * dots + ss[None, :]
-        dist = D.astype(np.float64) / (C * C).astype(np.float64)[None, :]
-        j = np.argmin(dist, axis=1)  # first min = smallest cid (cids sorted)
-        return j
+        return D.astype(np.float64) / (C * C).astype(np.float64)[None, :]
+
+    def assign(X, S, C):
+        # first min = smallest cid (cids sorted)
+        return np.argmin(dist_mat(X, S, C), axis=1)
 
     X = qv[bmask]
     for _ in range(_SEM_ITER):
@@ -478,7 +480,11 @@ def corpus_store_hybrid_oracle(con):
         C = np.where(emptied, C, newC)
     jb = assign(X, S, C)
     j1 = assign(qv[b1mask], S, C)
-    j2 = assign(qv[b2mask], S, C)
+    d2 = dist_mat(qv[b2mask], S, C)
+    j2 = np.argmin(d2, axis=1)
+    # top-2 probes for the sem_b2_p2 leg (stable sort = (dist, cid) ties,
+    # cids sorted ascending — same order as the SQL's ROW_NUMBER)
+    J2p = np.argsort(d2, axis=1, kind="stable")[:, : min(2, len(cids))]
 
     corp_q = np.concatenate([qv[bmask], qv[b1mask]])
     corp_cl = np.concatenate([cids[jb], cids[j1]])
@@ -486,35 +492,62 @@ def corpus_store_hybrid_oracle(con):
     n2c = np.einsum("nd,nd->n", corp_q, corp_q)
     n2i = np.einsum("nd,nd->n", inc_q, inc_q)
     t_sq = int(_SEM_THRESHOLD * _SEM_THRESHOLD * 10_000)
-    nm = np.zeros(len(inc_ids), dtype=np.int64)
-    mc = np.full(len(inc_ids), np.nan)
-    for c in np.unique(inc_cl):
-        im = np.flatnonzero(inc_cl == c)
-        cm = np.flatnonzero(corp_cl == c)
-        if len(cm) == 0:
-            continue
-        dmat = inc_q[im] @ corp_q[cm].T
-        keep = (dmat > 0) & (
-            10_000 * dmat * dmat >= t_sq * n2i[im][:, None] * n2c[cm][None, :]
-        )
-        cnt = keep.sum(axis=1)
-        nm[im] += cnt
-        if keep.any():
-            na = (n2i[im][:, None] * n2c[cm][None, :]).astype(np.float64)
-            cosm = np.floor(dmat.astype(np.float64) / np.sqrt(na) * 1e6 + 0.5)
-            cosm = np.where(keep, cosm, -np.inf)
-            has = cnt > 0
-            mc[im[has]] = cosm.max(axis=1)[has]
 
-    sem = pd.DataFrame(
-        {
-            "part": "sem_b2",
-            "id": inc_ids,
-            "verdict": np.where(nm > 0, "semantic_dup", "new"),
-            "n_a": nm,
-            "n_b": mc,
-            "x": inc_cl.astype(np.float64),
-        }
+    def sem_match(Jp):
+        """Pair matching over the probed clusters in Jp (n × p ranks) —
+        each corpus member belongs to ONE cluster, so ranks never double
+        count; running-max via fmax (fmax(nan, x) = x)."""
+        nm = np.zeros(len(inc_ids), dtype=np.int64)
+        mc = np.full(len(inc_ids), np.nan)
+        for r in range(Jp.shape[1]):
+            pcl = cids[Jp[:, r]]
+            for c in np.unique(pcl):
+                im = np.flatnonzero(pcl == c)
+                cm = np.flatnonzero(corp_cl == c)
+                if len(cm) == 0:
+                    continue
+                dmat = inc_q[im] @ corp_q[cm].T
+                keep = (dmat > 0) & (
+                    10_000 * dmat * dmat
+                    >= t_sq * n2i[im][:, None] * n2c[cm][None, :]
+                )
+                cnt = keep.sum(axis=1)
+                nm[im] += cnt
+                if keep.any():
+                    na = (n2i[im][:, None] * n2c[cm][None, :]).astype(
+                        np.float64
+                    )
+                    cosm = np.floor(
+                        dmat.astype(np.float64) / np.sqrt(na) * 1e6 + 0.5
+                    )
+                    cosm = np.where(keep, cosm, -np.inf)
+                    has = cnt > 0
+                    mc[im[has]] = np.fmax(
+                        mc[im[has]], cosm.max(axis=1)[has]
+                    )
+        return nm, mc
+
+    nm, mc = sem_match(J2p[:, :1])
+    nm2, mc2 = sem_match(J2p)
+
+    sem = pd.concat(
+        [
+            pd.DataFrame(
+                {
+                    "part": part,
+                    "id": inc_ids,
+                    "verdict": np.where(n > 0, "semantic_dup", "new"),
+                    "n_a": n,
+                    "n_b": m,
+                    "x": inc_cl.astype(np.float64),
+                }
+            )
+            for part, n, m in (
+                ("sem_b2", nm, mc),
+                ("sem_b2_p2", nm2, mc2),
+            )
+        ],
+        ignore_index=True,
     )
     cb = pd.DataFrame(
         {
