@@ -6316,6 +6316,11 @@ def corpus_store_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     - sem_b2: batch-2 semantic verdicts from the stored codebook and
       stored inverted file (one Arrow assignment pass over the batch; the
       corpus is touched only through the stored (id, qv, cluster_id) rows).
+    - sem_b2_p2 (round 9): the same serve at n_probe=2 — the measured
+      codebook-staleness cure (CODEBOOK_DRIFT.json: probing the runner-up
+      cluster recovers boundary-split recall at every drift notch) — so
+      the multi-probe path is hash-gated against a top-2 oracle, not just
+      unit-tested.
     - codebook: the stored centroid state itself (component sum, count,
       sum of squares per centroid) — a lossy store/serve round trip cannot
       hide behind agreeing verdicts.
@@ -6956,7 +6961,7 @@ QUERIES: dict[str, QuerySpec] = {
     "sampling_split_suite": QuerySpec(sampling_split_suite, SAMPLING_SPLIT_ORACLE, "sampling: deterministic md5-bucket split + exact stratified sample"),
     "dedup_cluster_canonical": QuerySpec(dedup_cluster_canonical, DEDUP_CLUSTER_ORACLE, "dedup: connected-component clusters + canonical doc per cluster"),
     "dedup_cross_corpus": QuerySpec(dedup_cross_corpus, DEDUP_CROSS_CORPUS_ORACLE, "dedup: cross-corpus decontamination vs a held-out eval benchmark"),
-    "corpus_store_suite": QuerySpec(corpus_store_suite, CORPUS_STORE_ORACLE, "store: persisted incremental artifacts (hashes/shingles/windows/KMV/Bloom/codebook) appended per batch; store-served verdicts == rescan"),
+    "corpus_store_suite": QuerySpec(corpus_store_suite, CORPUS_STORE_ORACLE, "store: persisted incremental artifacts (hashes/shingles/windows/KMV/Bloom/codebook) appended per batch; store-served verdicts == rescan, incl. the n_probe=2 staleness-cure leg"),
     "corpus_pipeline_e2e": QuerySpec(corpus_pipeline_e2e, CORPUS_PIPELINE_ORACLE, "e2e: decontaminate -> exact+near dedup -> quality/quantile gate -> leakage-safe split -> temperature mix -> chunk+pack, one composed plan"),
     "text_pii_redaction": QuerySpec(text_pii_redaction, TEXT_PII_ORACLE, "text: PII detection counts + sequential redaction"),
     "sessionization": QuerySpec(sessionization, SESSIONIZATION_ORACLE, "sessionization: gap-based"),
