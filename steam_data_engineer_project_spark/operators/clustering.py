@@ -853,7 +853,11 @@ def incremental_semantic_verdicts(
     )
     return (
         inc_assign.select(F.col(id_col).alias("inc_id"), "cluster_id")
-        .join(matches, "inc_id", "left")
+        # matches is ≤ one row per incoming id — the same batch-sized
+        # class as inc_side above, which the pair join already broadcasts
+        # by contract. Without the hint this final left join sort-merges:
+        # two Exchanges + two Sorts to attach stats to a batch-sized set.
+        .join(F.broadcast(matches), "inc_id", "left")
         .select(
             F.col("inc_id").alias(id_col),
             "cluster_id",

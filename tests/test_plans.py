@@ -350,7 +350,7 @@ EXCHANGE_BUDGET = {
     "dbt_game_quality_metrics": 6,
     "dbt_quality_report": 6,
     "corpus_pipeline_e2e": 8,  # round 6: 9-stage composition; stage materialization moved from persist to eager localCheckpoint (plan-tree flattening — see the query docstring), so the audited plan counts only the post-checkpoint arms (split/mix/pack windows, leakage join, funnel aggs); the stage-build exchanges run eagerly outside this plan, same accounting as the kmeans iterations
-    "corpus_store_suite": 41,  # round 7: the SERVED plan only — store build/append writes run once at construction (cached per session+corpus). Seven read-side jobs union here: 2 doc-tier verdict legs (each: stored-shingle postings + batch postings + pair agg + 2 size aggs + hash-tier distinct/join), span coverage (batch window distinct + stored semi-join + start-list agg), bloom probe (per-value all-hit agg + per-doc count; bitset joins broadcast), 3 KMV estimate arms (per-sketch window + agg), semantic verdicts (batch broadcast, stored inverted file never shuffles wide), codebook summary. Each arm matches its standalone operator's budget; the union adds none.
+    "corpus_store_suite": 43,  # round 7 baseline 41 (the SERVED plan only — store build/append writes run once at construction, cached per session+corpus). Seven read-side jobs union here: 2 doc-tier verdict legs (each: stored-shingle postings + batch postings + pair agg + 2 size aggs + hash-tier distinct/join), span coverage (batch window distinct + stored semi-join + start-list agg), bloom probe (per-value all-hit agg + per-doc count; bitset joins broadcast), 3 KMV estimate arms (per-sketch window + agg), semantic verdicts (batch broadcast, stored inverted file never shuffles wide), codebook summary. Round 9: +2 for the sem_b2_p2 driver-gated multi-probe leg's own batch-sized aggregates — and the legs' final stats-attach joins now broadcast (they sort-merged before), so the second sem leg costs 2, not 4.
     "dedup_cluster_canonical": 2,
     "dedup_corpus_lines": 12,  # +3 boilerplate leg: distinct-doc line count agg + the sharded top-m window (WindowGroupLimit-pruned) + its re-shard; +4 substring leg (shared-window distinct + doc-count agg + per-doc start-list agg + the left join back onto the token table)
     "dedup_cross_corpus": 34,  # two corpus-vs-corpus jobs: contamination + incremental verdicts (each an inverted-index build per side + pair agg) + the exact-tier distinct/join; +4 bloom leg (bitset distinct + bit_or agg on ≤131k words, per-value all-hit agg, per-doc count — the probe join itself is broadcast, no train shuffle); +6 span leg (corpus + batch window distincts, the corpus-side semi-join, per-doc start-list agg, coverage join — the batch side broadcasts both ways); −4 after the contamination and bloom legs started sharing one checkpointed shingle pass per side
