@@ -408,6 +408,22 @@ class CorpusStore:
                     f"[{lo},{batch_id}] of table {name} — re-admitting it "
                     "would clobber the compacted rows; use a fresh id"
                 )
+            for hi_s, lo_v in seg.items():
+                h = int(hi_s)
+                if int(lo_v) <= batch_id < h:
+                    # an id STRICTLY inside a consolidated range: if it was
+                    # one of the cohort's inputs its rows already live in
+                    # the consolidated slice (its commit marker survived
+                    # compaction), so a new per-batch slice would be served
+                    # ALONGSIDE them — silent row duplication; if it never
+                    # existed, admitting it breaks the cohort-ages-together
+                    # discipline retire() enforces. Either way: fail loud.
+                    raise ValueError(
+                        f"batch id {batch_id} falls inside table {name}'s "
+                        f"consolidated slice [{int(lo_v)},{h}] — its rows "
+                        "would be double-served next to the compacted copy; "
+                        "use a fresh id above the segment"
+                    )
         for name in self._m["tables"]:
             slice_dir = os.path.join(self._tdir(name), f"batch_id={batch_id}")
             tables[name].write.mode("overwrite").parquet(slice_dir)
@@ -521,8 +537,8 @@ class CorpusStore:
         committed = self.committed_ids()
         # bound by the highest KNOWN id even when nothing is committed
         # (fresh or fully-retired store: the watermark itself is the only
-        # knowledge, and commit markers outlive their retired slices, so
-        # max(committed) never regresses below watermark-1). Without this
+        # knowledge — retired markers are pruned below, so the default
+        # keeps the bound from regressing below watermark-1). Without this
         # a mistyped retire(10**9) on a fresh store silently jumps the
         # watermark and admit() then refuses every future batch — the
         # store is bricked with no error at the point of the mistake.
@@ -579,6 +595,26 @@ class CorpusStore:
                         shutil.rmtree(
                             os.path.join(tdir, d), ignore_errors=True
                         )
+        # prune retired batches' commit markers too — without this the
+        # _commits/ directory grows one file per batch forever (a store
+        # that lives for months lists millions of dead entries on every
+        # read). Safe: every reader already filters to >= watermark, the
+        # retire bound falls back to watermark-1 when the listing goes
+        # empty, and admit() refuses ids below the watermark regardless.
+        cdir = os.path.join(self.root, COMMITS)
+        if os.path.isdir(cdir):
+            for n in os.listdir(cdir):
+                if n.startswith("."):
+                    continue
+                try:
+                    bid = int(n)
+                except ValueError:
+                    continue
+                if bid < before_batch_id:
+                    try:
+                        os.unlink(os.path.join(cdir, n))
+                    except OSError:
+                        pass
 
     # ------------------------------------------------------------------ #
     # codebook: versioned artifact with atomic swap

@@ -310,6 +310,16 @@ def test_cohort_compaction_is_retention_compatible(spark, tmp_path):
     # compacted rows) ...
     with pytest.raises(ValueError, match="CONSOLIDATED"):
         st.admit(_batch_tables(spark, batches[2]), 2)
+    # ... nor can an id STRICTLY INSIDE the consolidated range: batch 1's
+    # rows already live in the consolidated slice (its marker survived
+    # compaction), so a fresh batch_id=1 slice would be served ALONGSIDE
+    # them — silent row duplication, the exact torn state the commit
+    # protocol exists to prevent (found by adversarial replay: before the
+    # guard this returned every batch-1 row twice)
+    with pytest.raises(ValueError, match="falls inside"):
+        st.admit(_batch_tables(spark, batches[1]), 1)
+    with pytest.raises(ValueError, match="falls inside"):  # lo boundary
+        st.admit(_batch_tables(spark, batches[0]), 0)
     # ... and a watermark inside the cohort raises instead of silently
     # retaining its rows
     with pytest.raises(ValueError, match="bisects"):
@@ -341,6 +351,42 @@ def test_cohort_compaction_is_retention_compatible(spark, tmp_path):
         r.batch_id
         for r in st2.read(spark, "hashes").select("batch_id").distinct().collect()
     ) == [5]
+
+
+def test_retire_prunes_commit_markers(spark, tmp_path):
+    """retire()'s lazy sweep deletes retired batches' commit markers too:
+    without pruning, _commits/ grows one file per batch forever — a store
+    that lives for months lists millions of dead entries on every read's
+    committed-set build. The retire bound stays correct after pruning
+    (the empty-listing default falls back to watermark-1), re-admission
+    below the watermark stays refused across a reopen, and an idempotent
+    retire retry stays legal."""
+
+    def one_row(v):
+        return {"t": spark.createDataFrame([(v,)], "v long")}
+
+    st = CorpusStore(str(tmp_path / "s"), tables=("t",))
+    for i in range(3):
+        st.admit(one_row(i), i)
+    assert st.committed_ids() == [0, 1, 2]
+
+    st.retire(2)
+    assert st.committed_ids() == [2]  # markers 0 and 1 pruned with slices
+
+    st.retire(3)  # fully retired: listing goes empty
+    assert st.committed_ids() == []
+    # the bound falls back to watermark-1, so an oversized retire still
+    # raises (the r8 brick scenario must not reopen via marker pruning)
+    with pytest.raises(ValueError, match="highest known"):
+        st.retire(5)
+    st.retire(3)  # crash-retry of the sweep: watermark already there
+
+    st2 = CorpusStore(str(tmp_path / "s"))  # survives reopen
+    with pytest.raises(ValueError, match="retention watermark"):
+        st2.admit(one_row(99), 1)
+    st2.admit(one_row(99), 3)
+    assert st2.committed_ids() == [3]
+    assert [r.v for r in st2.read(spark, "t").collect()] == [99]
 
 
 def test_orphan_generation_sweep_on_open(spark, tmp_path):
