@@ -642,6 +642,10 @@ def test_store_lifecycle_model_property(spark, tmp_path):
     op = st.one_of(
         st.tuples(st.just("admit"), st.integers(1, 3)),
         st.tuples(st.just("admit_crash"), st.integers(1, 3)),
+        # admission at an ARBITRARY small id — re-admissions (overwrite),
+        # ids below the watermark (refused), ids inside or labeling a
+        # consolidated slice (refused: double-serve / clobber hazards)
+        st.tuples(st.just("admit_at"), st.integers(0, 4)),
         st.tuples(st.just("retire"), st.integers(0, 4)),
         # arg 0 = full compaction; arg > 0 = cohort compact(upto=arg)
         st.tuples(st.just("compact"), st.integers(0, 4)),
@@ -674,6 +678,15 @@ def test_store_lifecycle_model_property(spark, tmp_path):
         [("admit", 1), ("admit", 1), ("admit", 1), ("compact", 2),
          ("retire", 2), ("reopen", 0)]
     )
+    # the r9 double-serve bug: an id inside a consolidated range was
+    # re-admittable, and read() served the fresh slice ALONGSIDE the
+    # compacted copy of the same rows
+    @example(
+        [("admit", 1), ("admit", 1), ("admit", 1), ("compact", 0),
+         ("admit_at", 1)]
+    )
+    # overwrite semantics of a plain per-batch re-admission stay legal
+    @example([("admit", 2), ("admit_at", 0), ("compact", 0)])
     def check(ops):
         counter[0] += 1
         root = str(tmp_path / f"m{counter[0]}")
@@ -701,6 +714,26 @@ def test_store_lifecycle_model_property(spark, tmp_path):
                 # not committed: invisible; the bid is burned (a real
                 # engine would redeliver, covered by the replay test)
                 next_bid = bid + 1
+            elif kind == "admit_at":
+                bid = arg
+                vals = set(range(next_val, next_val + 2))
+                next_val += 2
+                # refused: below the watermark, inside a consolidated
+                # range (rows would double-serve next to the compacted
+                # copy), or labeling a multi-batch consolidated slice
+                # (overwrite would clobber the other batches' rows)
+                refused = bid < watermark or any(
+                    (lo <= bid < h) or (bid == h and lo < h)
+                    for h, lo in msegs.items()
+                    if h >= watermark
+                )
+                if refused:
+                    with pytest.raises(ValueError):
+                        store.admit({"t": rows_df(vals)}, bid)
+                    continue
+                store.admit({"t": rows_df(vals)}, bid)
+                model[bid] = vals  # idempotent-retry: latest write wins
+                next_bid = max(next_bid, bid + 1)
             elif kind == "retire":
                 # highest KNOWN id: visible batches, or watermark-1 when
                 # nothing is visible (fresh store: -1, so any retire(>0)
