@@ -116,6 +116,57 @@ def token_budget_cap(
     ).filter(F.col(cum_col) <= budget)
 
 
+def shard_manifest(
+    df: DataFrame,
+    key_col: str,
+    tokens_col: str,
+    n_shards: int,
+    shard_col: str = "shard_id",
+) -> DataFrame:
+    """Deterministic data-loader sharding plus its KB-class manifest — the
+    export handoff a training run resumes against. Every row is assigned
+    ``shard = md5-hash(key) mod n_shards`` (a pure function of the key:
+    stable across reruns, partitionings, and engines — ``repartition``'s
+    hash is JVM-internal and seed-dependent, so it cannot be the contract
+    a loader checkpoints by), and the manifest is ONE ROW PER SHARD:
+    row count, token total, and the first/last key in the shard's
+    deterministic read order (hash order, key-tiebroken).
+
+    The export itself at 100 TB is
+    ``df.repartition(n_shards, shard).sortWithinPartitions(ord).write`` —
+    one shuffle; this manifest is the summary that validates it loader-side
+    (counts, token totals, and boundary keys must match what the trainer
+    sees, or a shard was torn/reordered). One shuffle on ``shard_col``
+    (n_shards keys, partial-aggregable: count/sum/min_by/max_by all
+    map-side combine), so the manifest pass is a narrow corpus read.
+
+    ``key_col`` must be a non-negative integral (the order encoding
+    zero-pads it into a fixed-width string so engines agree on total
+    order — a sign character would break lexicographic order; hash ties
+    are broken by the key itself). Rows: (shard_id, n_docs, n_tokens,
+    first_key, last_key)."""
+    ordk = F.format_string(
+        "%010d:%012d",
+        _hash_bucket(F.col(key_col), 1 << 31),
+        F.col(key_col).cast("long"),
+    )
+    return (
+        df.select(
+            F.col(key_col),
+            F.col(tokens_col),
+            _hash_bucket(F.col(key_col), n_shards).alias(shard_col),
+            ordk.alias("_ord"),
+        )
+        .groupBy(shard_col)
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.col(tokens_col).cast("long")).alias("n_tokens"),
+            F.min_by(key_col, "_ord").alias("first_key"),
+            F.max_by(key_col, "_ord").alias("last_key"),
+        )
+    )
+
+
 def temperature_allocations(
     df: DataFrame,
     group_col: str,

@@ -73,6 +73,7 @@ from .operators.clustering import (
 )
 from .operators.sampling import (
     deterministic_split,
+    shard_manifest,
     stratified_sample_exact,
     temperature_resample,
     token_budget_cap,
@@ -2951,6 +2952,12 @@ def sampling_split_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       budget, every other lang ⌊15000·√(n_g/n_max)⌋ — the n row reports
       each admitted doc's running total, so the per-lang budgets are
       verified through the cut itself.
+    - shard: the data-loader export manifest (operators/sampling.
+      shard_manifest, 64 shards): every doc hash-assigned to one shard,
+      one manifest row per shard with row count (n), token total, and the
+      first/last doc in the shard's deterministic read order — the
+      KB-class summary a trainer validates its shards against. One
+      map-side-combinable shuffle on shard_id.
 
     All decisions are engine-portable md5/integer arithmetic (the α=0.5
     flattening is one exact-integer division + one IEEE sqrt), so the
@@ -2998,8 +3005,33 @@ def sampling_split_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("cum_tokens").alias("n"),
     )
+    shard = shard_manifest(with_tokens, "doc_id", "n_tokens", 64).select(
+        F.lit("shard").alias("part"),
+        F.lit(None).cast("string").alias("split"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.col("n_docs").alias("n"),
+        F.col("shard_id").cast("long").alias("shard_id"),
+        "n_tokens",
+        F.col("first_key").cast("long").alias("first_doc"),
+        F.col("last_key").cast("long").alias("last_doc"),
+    )
     return (
-        counts.unionByName(strat).unionByName(budget).unionByName(temp)
+        counts.unionByName(strat)
+        .unionByName(budget)
+        .unionByName(temp)
+        .select(
+            "part",
+            "split",
+            "lang",
+            "doc_id",
+            "n",
+            F.lit(None).cast("long").alias("shard_id"),
+            F.lit(None).cast("long").alias("n_tokens"),
+            F.lit(None).cast("long").alias("first_doc"),
+            F.lit(None).cast("long").alias("last_doc"),
+        )
+        .unionByName(shard)
     )
 
 
@@ -3025,13 +3057,16 @@ WITH bucketed AS (
   FROM documents
 )
 SELECT 'split_counts' AS part, split, lang,
-       CAST(NULL AS BIGINT) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n
+       CAST(NULL AS BIGINT) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(NULL AS BIGINT) AS shard_id, CAST(NULL AS BIGINT) AS n_tokens,
+       CAST(NULL AS BIGINT) AS first_doc, CAST(NULL AS BIGINT) AS last_doc
 FROM split GROUP BY split, lang
 UNION ALL
-SELECT 'stratified', NULL, lang, doc_id, NULL
+SELECT 'stratified', NULL, lang, doc_id, NULL, NULL, NULL, NULL, NULL
 FROM ranked WHERE rn <= 40
 UNION ALL
-SELECT 'token_budget', NULL, lang, doc_id, CAST(cum_tokens AS BIGINT) FROM (
+SELECT 'token_budget', NULL, lang, doc_id, CAST(cum_tokens AS BIGINT),
+       NULL, NULL, NULL, NULL FROM (
   SELECT doc_id, lang,
          SUM(CAST(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS BIGINT))
            OVER (PARTITION BY lang
@@ -3040,7 +3075,18 @@ SELECT 'token_budget', NULL, lang, doc_id, CAST(cum_tokens AS BIGINT) FROM (
   FROM documents)
 WHERE cum_tokens <= 20000
 UNION ALL
-SELECT 'temperature', NULL, lang, doc_id, CAST(cum_tokens AS BIGINT) FROM (
+SELECT 'shard', NULL, NULL, NULL, CAST(COUNT(*) AS BIGINT),
+       CAST(shard_id AS BIGINT), CAST(SUM(n_tokens) AS BIGINT),
+       ARG_MIN(doc_id, ord), ARG_MAX(doc_id, ord) FROM (
+  SELECT doc_id,
+         CAST(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens,
+         {_MD5_BUCKET_SQL} % 64 AS shard_id,
+         printf('%010d:%012d', {_MD5_BUCKET_SQL} % 2147483648, doc_id) AS ord
+  FROM documents)
+GROUP BY shard_id
+UNION ALL
+SELECT 'temperature', NULL, lang, doc_id, CAST(cum_tokens AS BIGINT),
+       NULL, NULL, NULL, NULL FROM (
   WITH tok AS (
     SELECT doc_id, lang,
            CAST(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens
@@ -6958,7 +7004,7 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, _dedup_embedding_oracle(), "dedup: embedding near-dup pairs (LSH-bucketed) + integer k-means semantic-dedup legs"),
     "text_profile_docs": QuerySpec(text_profile_docs, _text_profile_oracle(), "text: quality scoring + language ID + fingerprint + BPE-ish token accounting"),
     "text_repetition_docs": QuerySpec(text_repetition_docs, TEXT_REPETITION_ORACLE, "text: repetition quality filters (dup lines, top bigram)"),
-    "sampling_split_suite": QuerySpec(sampling_split_suite, SAMPLING_SPLIT_ORACLE, "sampling: deterministic md5-bucket split + exact stratified sample"),
+    "sampling_split_suite": QuerySpec(sampling_split_suite, SAMPLING_SPLIT_ORACLE, "sampling: deterministic md5-bucket split + exact stratified sample + token-budget/temperature mix + data-loader shard manifest"),
     "dedup_cluster_canonical": QuerySpec(dedup_cluster_canonical, DEDUP_CLUSTER_ORACLE, "dedup: connected-component clusters + canonical doc per cluster"),
     "dedup_cross_corpus": QuerySpec(dedup_cross_corpus, DEDUP_CROSS_CORPUS_ORACLE, "dedup: cross-corpus decontamination vs a held-out eval benchmark"),
     "corpus_store_suite": QuerySpec(corpus_store_suite, CORPUS_STORE_ORACLE, "store: persisted incremental artifacts (hashes/shingles/windows/KMV/Bloom/codebook) appended per batch; store-served verdicts == rescan, incl. the n_probe=2 staleness-cure leg"),

@@ -943,6 +943,54 @@ def test_stratified_sample_exact_counts_and_determinism(spark):
     assert c[99] == 1  # stratum smaller than n keeps all its rows
 
 
+def test_shard_manifest_covers_partition_and_orders(spark):
+    """shard_manifest: every row lands in exactly one shard (counts and
+    token totals partition the input), assignment + boundary keys are
+    pure functions of the key (stable under repartitioning), and the
+    first/last keys match a pure-Python replay of the hash read order."""
+    import hashlib
+
+    from steam_data_engineer_project_spark.operators.sampling import (
+        shard_manifest,
+    )
+
+    n, shards = 4_000, 16
+    df = spark.createDataFrame(
+        [(i, (i % 13) + 1) for i in range(n)], ["doc_id", "n_tokens"]
+    )
+    m1 = sorted(map(tuple, shard_manifest(df, "doc_id", "n_tokens", shards).collect()))
+    m2 = sorted(
+        map(tuple, shard_manifest(df.repartition(7), "doc_id", "n_tokens", shards).collect())
+    )
+    assert m1 == m2  # manifest is execution-independent
+
+    def bucket(k):
+        return int(hashlib.md5(f"v:{k}".encode()).hexdigest()[:8], 16)
+
+    # python replay: shard assignment + (hash, key) read order per shard
+    by_shard: dict[int, list] = {}
+    for i in range(n):
+        by_shard.setdefault(bucket(i) % shards, []).append(
+            (bucket(i) % (1 << 31), i)
+        )
+    expect = []
+    for s, members in by_shard.items():
+        members.sort()
+        expect.append(
+            (
+                s,
+                len(members),
+                sum((k % 13) + 1 for _, k in members),
+                members[0][1],
+                members[-1][1],
+            )
+        )
+    assert m1 == sorted(expect)
+    # partition property: counts and token totals sum to the input's
+    assert sum(r[1] for r in m1) == n
+    assert sum(r[2] for r in m1) == sum((i % 13) + 1 for i in range(n))
+
+
 # ------------------------------------------------------------ connected components
 
 
