@@ -19,6 +19,12 @@ batch size. This store is the partition-incremental replacement:
   (n_events, n_reviews) replay-safe too. The marker file is written into the
   bucket's new directory BEFORE the atomic rename, so state content and its
   progress watermark can never disagree.
+- Bucket installation is displace-install-delete (the first two steps are
+  atomic renames): the old bucket dir is never deleted before its
+  replacement is live, so a crash at ANY instant leaves the old state or
+  the new — never neither. The two torn intermediates (old displaced, new
+  not yet installed; both present) are repaired by
+  :func:`_recover_bucket_swaps` on the next merge or read.
 
 Reference semantics preserved: the merge itself is still the associative
 struct-max / additive-count combination of tasks/steam_tasks_improved.py:
@@ -91,6 +97,41 @@ def _last_merged(bucket_dir: str) -> int:
     return -1
 
 
+#: prefix of a displaced old bucket directory during a swap. Underscore
+#: keeps Spark's listing from ever reading it as data, and NOT starting
+#: with ``bucket=`` keeps read_state's own listing blind to it.
+_DISPLACED = "_displaced."
+
+
+def _recover_bucket_swaps(state_dir: str) -> None:
+    """Finish or roll back bucket swaps a crash interrupted. The swap
+    protocol displaces the old bucket dir by ATOMIC RENAME (never rmtree
+    — deleting first would destroy the only copy of the bucket's state
+    if the crash lands before the replacement's rename), installs the
+    new dir, then deletes the displaced copy. Exactly two torn states
+    are possible, both repaired here:
+
+    - displaced exists, live bucket missing (crash between the two
+      renames): rename the old state back — the engine will redeliver
+      the in-flight batch and the merge redoes it against the restored
+      state (its marker is still the pre-batch one);
+    - displaced AND live both exist (crash after install, before trash
+      deletion): the swap committed; the displaced copy is trash.
+    """
+    if not os.path.isdir(state_dir):
+        return
+    for d in os.listdir(state_dir):
+        if not d.startswith(_DISPLACED):
+            continue
+        live_name = d[len(_DISPLACED):].rsplit(".batch=", 1)[0]
+        live = os.path.join(state_dir, live_name)
+        disp = os.path.join(state_dir, d)
+        if os.path.isdir(live):
+            shutil.rmtree(disp, ignore_errors=True)
+        else:
+            os.rename(disp, live)
+
+
 def read_state(
     spark: SparkSession, state_dir: str, buckets: list[int] | None = None
 ) -> DataFrame | None:
@@ -99,6 +140,7 @@ def read_state(
     yet."""
     if not os.path.isdir(state_dir):
         return None
+    _recover_bucket_swaps(state_dir)  # a reader may be first in after a crash
     if buckets is None:
         names = [d for d in os.listdir(state_dir) if d.startswith("bucket=")]
     else:
@@ -139,6 +181,7 @@ def merge_bucketed(
     store already exists (e.g. after a reshard).
     """
     num_buckets = resolve_num_buckets(state_dir, num_buckets)
+    _recover_bucket_swaps(state_dir)  # repair any crash-torn swap first
     bucketed = batch_state.withColumn("bucket", bucket_of(key_cols, num_buckets))
     if touched is None:
         touched = sorted(
@@ -149,8 +192,14 @@ def merge_bucketed(
         for b in touched
         if _last_merged(os.path.join(state_dir, f"bucket={b}")) < batch_id
     ]
+    tmp = f"{state_dir}.tmp-{batch_id}"
     if not pending:
-        return  # fully-replayed batch: every touched bucket already has it
+        # fully-replayed batch: every touched bucket already has it. A
+        # crash after the last install but before tmp cleanup leaves the
+        # staging dir orphaned — this retry is the only code that knows
+        # the batch id, so sweep it here.
+        shutil.rmtree(tmp, ignore_errors=True)
+        return
     fresh = bucketed.filter(F.col("bucket").isin(pending))
     cur = read_state(spark, state_dir, pending)
     if cur is not None:
@@ -164,7 +213,6 @@ def merge_bucketed(
     else:
         merged = fresh
 
-    tmp = f"{state_dir}.tmp-{batch_id}"
     (
         merged.repartition(len(pending), "bucket")
         .write.partitionBy("bucket")
@@ -177,9 +225,19 @@ def merge_bucketed(
         with open(os.path.join(src, MARKER), "w") as f:
             f.write(str(batch_id))
         dst = os.path.join(state_dir, f"bucket={b}")
+        # displace-install-delete: both renames are atomic, so the old
+        # state is never destroyed before its replacement is live (the
+        # previous rmtree-then-rename lost the whole bucket if the crash
+        # landed between the two — replay then merged against NOTHING and
+        # silently dropped every key the bucket held). The torn states
+        # this can leave are exactly what _recover_bucket_swaps repairs.
+        disp = os.path.join(
+            state_dir, f"{_DISPLACED}bucket={b}.batch={batch_id}"
+        )
         if os.path.exists(dst):
-            shutil.rmtree(dst)
+            os.rename(dst, disp)
         os.rename(src, dst)
+        shutil.rmtree(disp, ignore_errors=True)
     shutil.rmtree(tmp, ignore_errors=True)
 
 

@@ -156,6 +156,85 @@ def test_untouched_state_buckets_stay_byte_identical(spark):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def test_bucket_swap_crash_never_loses_state(spark):
+    """The bucket install is displace-install-delete (atomic renames): a
+    crash at either torn instant must not lose the bucket's prior keys.
+    Before this protocol the swap was rmtree-then-rename — a crash between
+    the two destroyed the only copy of the bucket's state, and the replayed
+    batch then merged against NOTHING: every key the bucket held silently
+    vanished. Both torn states are staged here exactly as a crash leaves
+    them, then the replay (or a plain read) must see the full state."""
+    from steam_data_engineer_project_spark.streaming.price_pipeline import (
+        _state_aggs,
+        _state_back,
+        batch_crawl_state,
+    )
+    from steam_data_engineer_project_spark.streaming.state_store import (
+        _DISPLACED,
+        merge_bucketed,
+        read_state,
+    )
+
+    base = os.path.join(REPO_ROOT, ".scratch")
+    os.makedirs(base, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="test_swapcrash_", dir=base)
+    state_dir = os.path.join(work, "crawl_state")
+
+    def batch(rows, bid):
+        merge_bucketed(
+            spark,
+            state_dir,
+            batch_crawl_state(
+                spark.createDataFrame(
+                    rows, "appid long, event_id long, price double, ts_us long"
+                )
+            ),
+            ["appid"],
+            _state_aggs(),
+            _state_back(),
+            bid,
+            num_buckets=4,
+        )
+
+    try:
+        batch([(1, 1, 10.0, 100), (2, 2, 5.0, 100)], 0)
+        buckets = sorted(
+            d for d in os.listdir(state_dir) if d.startswith("bucket=")
+        )
+        victim = buckets[0]
+
+        # torn state A: crash BETWEEN displace and install — the bucket
+        # dir is gone, only the displaced copy survives. The engine then
+        # redelivers batch 1; nothing may be lost.
+        os.rename(
+            os.path.join(state_dir, victim),
+            os.path.join(state_dir, f"{_DISPLACED}{victim}.batch=1"),
+        )
+        batch([(1, 3, 12.0, 200), (2, 4, 6.0, 200)], 1)
+        got = {r.appid: r for r in read_state(spark, state_dir).collect()}
+        assert got[1].n_events == 2 and got[1].last_price == 12.0
+        assert got[2].n_events == 2 and got[2].last_price == 6.0
+
+        # torn state B: crash AFTER install, BEFORE trash deletion — the
+        # displaced copy coexists with the live bucket. A plain read must
+        # repair (drop the trash) and see only the live state, and the
+        # redelivered batch must stay a no-op (marker already advanced).
+        shutil.copytree(
+            os.path.join(state_dir, victim),
+            os.path.join(state_dir, f"{_DISPLACED}{victim}.batch=1"),
+        )
+        got = {r.appid: r for r in read_state(spark, state_dir).collect()}
+        assert got[1].n_events == 2 and got[2].n_events == 2
+        assert not any(
+            d.startswith(_DISPLACED) for d in os.listdir(state_dir)
+        )
+        batch([(1, 3, 12.0, 200), (2, 4, 6.0, 200)], 1)  # replay: no-op
+        got = {r.appid: r for r in read_state(spark, state_dir).collect()}
+        assert got[1].n_events == 2 and got[2].n_events == 2
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def test_replayed_batch_does_not_double_count(spark):
     """foreachBatch is at-least-once: merging the SAME batch_id twice must be
     a no-op the second time (bucket markers), so additive n_events survives
