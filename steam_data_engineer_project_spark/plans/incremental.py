@@ -36,6 +36,29 @@ def _read_watermark(mart_dir: str) -> int | None:
     return None
 
 
+def _recover_swap(mart_dir: str) -> None:
+    """Repair a refresh the process died inside. The data swap is
+    displace-install-delete (two atomic renames, then trash removal); its
+    torn states are exactly two:
+
+    - ``data`` missing, ``data.old`` present (crash between the renames):
+      rename the old mart back — without this the next refresh would read
+      an EMPTY existing mart and silently drop every row at or below the
+      stored watermark (the mart's entire history);
+    - both present (crash after install, before trash removal): the swap
+      committed; the displaced copy is trash.
+
+    A leftover ``data.tmp`` is overwritten by the next refresh's
+    ``mode("overwrite")`` write, so it needs no repair."""
+    data_dir = os.path.join(mart_dir, "data")
+    swap = f"{data_dir}.old"
+    if os.path.isdir(swap):
+        if os.path.isdir(data_dir):
+            shutil.rmtree(swap, ignore_errors=True)
+        else:
+            os.rename(swap, data_dir)
+
+
 def incremental_refresh(
     spark: SparkSession,
     mart_dir: str,
@@ -54,6 +77,7 @@ def incremental_refresh(
     ``key_cols`` + ``order_col``). Returns the refreshed mart DataFrame.
     Idempotent: re-running with no new source rows rewrites nothing.
     """
+    _recover_swap(mart_dir)  # repair a crash-torn data swap first
     wm = _read_watermark(mart_dir)
     fresh = source if wm is None else source.filter(F.col(ts_col) > wm)
     hi = fresh.agg(F.max(ts_col).alias("m")).collect()[0].m
@@ -83,6 +107,12 @@ def incremental_refresh(
         os.rename(data_dir, swap)
     os.rename(tmp, data_dir)
     shutil.rmtree(swap, ignore_errors=True)
-    with open(os.path.join(mart_dir, _WM_FILE), "w") as f:
+    # tmp + atomic rename: a crash mid-write must not leave a truncated
+    # watermark (unreadable, or silently older — the stale-wm replay is
+    # idempotent via upsert_last_wins, but a torn int is a hard crash on
+    # every later refresh)
+    wtmp = os.path.join(mart_dir, _WM_FILE + ".tmp")
+    with open(wtmp, "w") as f:
         f.write(str(int(hi)))
+    os.rename(wtmp, os.path.join(mart_dir, _WM_FILE))
     return spark.read.parquet(data_dir)

@@ -291,6 +291,60 @@ def test_incremental_refresh_equals_full_rebuild(spark):
         shutil.rmtree(mart, ignore_errors=True)
 
 
+def test_incremental_refresh_swap_crash_never_loses_mart(spark):
+    """The refresh's data swap is displace-install-delete: a crash between
+    the two renames (``data`` gone, old mart in ``data.old``) must restore
+    the old mart on the next refresh — before this repair, the next run
+    read an EMPTY existing mart and silently dropped every row at or below
+    the stored watermark. The both-present torn state (crash before trash
+    removal) must resolve to the installed data."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from steam_data_engineer_project_spark.plans.incremental import (
+        incremental_refresh,
+    )
+
+    def transform(df):
+        return df.select("k", "v", "ts")
+
+    def src(rows):
+        return spark.createDataFrame(rows, "k long, v string, ts long")
+
+    base = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".scratch")
+    os.makedirs(base, exist_ok=True)
+    mart = tempfile.mkdtemp(prefix="test_incr_crash_", dir=base)
+    data = os.path.join(mart, "data")
+    try:
+        incremental_refresh(
+            spark, mart, src([(1, "a", 10), (2, "b", 20)]), transform,
+            "ts", ["k"], "ts",
+        )
+        # torn state A: crash between displace and install — data gone,
+        # data.old holds the only copy of the mart
+        os.rename(data, f"{data}.old")
+        out = incremental_refresh(
+            spark, mart, src([(3, "c", 30)]), transform, "ts", ["k"], "ts"
+        )
+        got = sorted((r.k, r.v) for r in out.collect())
+        assert got == [(1, "a"), (2, "b"), (3, "c")], got  # nothing lost
+
+        # torn state B: crash after install, before trash removal — the
+        # stale displaced copy must be dropped, not resurrected
+        shutil.copytree(data, f"{data}.old")
+        out = incremental_refresh(
+            spark, mart, src([(4, "d", 40)]), transform, "ts", ["k"], "ts"
+        )
+        got = sorted((r.k, r.v) for r in out.collect())
+        assert got == [(1, "a"), (2, "b"), (3, "c"), (4, "d")], got
+        assert not os.path.isdir(f"{data}.old")
+    finally:
+        shutil.rmtree(mart, ignore_errors=True)
+
+
 def test_chunking_is_a_narrow_map_stage(spark):
     """chunk_documents must compile to scan→project(explode) with ZERO
     Exchange: chunking 100 TB of documents should never shuffle."""
