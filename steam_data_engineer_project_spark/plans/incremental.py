@@ -13,6 +13,14 @@ is row-local and the merge is last-wins on (key, order), any sequence of
 incremental refreshes over a partition of the source equals one full
 rebuild — the same associativity argument the streaming pipelines use,
 applied to batch.
+
+Durability scope: PROCESS-crash safe (displace-install-delete renames
+repaired by :func:`_recover_swap`; torn watermark prevented by tmp +
+rename), not power-loss safe — a power-lost refresh at worst loses the
+watermark advance and re-feeds the delta, which the last-wins merge
+absorbs idempotently. The SOURCE is durable upstream, so nothing here
+needs fsync for correctness; corpus_store fsyncs because its artifacts
+have no upstream to replay from.
 """
 
 from __future__ import annotations

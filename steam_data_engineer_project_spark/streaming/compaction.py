@@ -33,6 +33,13 @@ Trigger.AvailableNow drain ends in that state): a replay of batch N ≤ W
 would overwrite-and-recreate a live dir the reader ignores — harmless for
 content but wasted work, and the contract is cleaner stated as
 "compaction trails the checkpoint".
+
+Durability scope: PROCESS-crash safe (ordering + atomic renames, orphans
+reaped by the next run), not power-loss safe — a power-lost compaction at
+worst loses the watermark bump, and the next run simply refolds the same
+live dirs (they are only deleted AFTER the bump, so no rows can be lost).
+No fsync needed for correctness here; corpus_store fsyncs because its
+markers gate data that has no upstream to refold from.
 """
 
 from __future__ import annotations

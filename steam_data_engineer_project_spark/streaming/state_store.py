@@ -29,6 +29,16 @@ batch size. This store is the partition-incremental replacement:
 Reference semantics preserved: the merge itself is still the associative
 struct-max / additive-count combination of tasks/steam_tasks_improved.py:
 481-485 (ON DUPLICATE KEY UPDATE) — only the storage layout changed.
+
+Durability scope: PROCESS-crash safe (every commit point is an atomic
+POSIX rename, repaired by _recover_bucket_swaps), not power-loss safe —
+markers and renames are not fsynced, deliberately: this store sits behind
+a Spark streaming CHECKPOINT, so a power-lost batch is simply redelivered
+and re-merged; fsyncing every bucket swap would pay a hot-path sync per
+micro-batch for a guarantee the replay already provides. Contrast
+corpus_store (long-lived artifacts with no redelivery upstream), which
+does fsync its write-ahead ordering. On HDFS/S3 the rename/close
+semantics of the object committer provide the equivalent barrier.
 """
 
 from __future__ import annotations
