@@ -176,6 +176,7 @@ def merge_bucketed(
     batch_id: int,
     num_buckets: int = DEFAULT_NUM_BUCKETS,
     touched: list[int] | None = None,
+    fail_after_installing: int | None = None,
 ) -> None:
     """Merge one micro-batch's per-key rows into the store.
 
@@ -189,6 +190,13 @@ def merge_bucketed(
     have been computed with the RESOLVED bucket count
     (``resolve_num_buckets``), which wins over ``num_buckets`` whenever the
     store already exists (e.g. after a reshard).
+
+    ``fail_after_installing`` is the crash-injection hook for the
+    partial-install replay tests (the state-store twin of
+    CorpusStore.admit's ``fail_after``): raise StoreTornError right after
+    the named bucket's swap completes, leaving later pending buckets
+    uninstalled — the redelivered batch must merge ONLY those (their
+    markers are still behind) without double-counting the installed ones.
     """
     num_buckets = resolve_num_buckets(state_dir, num_buckets)
     _recover_bucket_swaps(state_dir)  # repair any crash-torn swap first
@@ -248,6 +256,13 @@ def merge_bucketed(
             os.rename(dst, disp)
         os.rename(src, dst)
         shutil.rmtree(disp, ignore_errors=True)
+        if fail_after_installing == b:
+            from ..corpus_store import StoreTornError
+
+            raise StoreTornError(
+                f"injected crash after installing bucket {b} "
+                f"(batch {batch_id} partially merged)"
+            )
     shutil.rmtree(tmp, ignore_errors=True)
 
 

@@ -10,6 +10,8 @@ import os
 import shutil
 import tempfile
 
+import pytest
+
 from steam_data_engineer_project_spark.streaming.price_pipeline import (
     run_price_pipeline,
 )
@@ -231,6 +233,74 @@ def test_bucket_swap_crash_never_loses_state(spark):
         batch([(1, 3, 12.0, 200), (2, 4, 6.0, 200)], 1)  # replay: no-op
         got = {r.appid: r for r in read_state(spark, state_dir).collect()}
         assert got[1].n_events == 2 and got[2].n_events == 2
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_partial_install_crash_then_replay_converges(spark):
+    """A crash MID-LOOP — some pending buckets installed with their marker
+    at the new batch id, the rest still behind — followed by the engine's
+    redelivery must converge to exactly the full merge: the replay merges
+    ONLY the uninstalled buckets (their markers gate the additive fields
+    against double-counting; the installed buckets are skipped). This is
+    the per-bucket-marker protocol's core claim, exercised through the
+    injection hook rather than staged dirs."""
+    from steam_data_engineer_project_spark.corpus_store import StoreTornError
+    from steam_data_engineer_project_spark.streaming.price_pipeline import (
+        _state_aggs,
+        _state_back,
+        batch_crawl_state,
+    )
+    from steam_data_engineer_project_spark.streaming.state_store import (
+        bucket_of,
+        merge_bucketed,
+        read_state,
+    )
+    from pyspark.sql import functions as F
+
+    base = os.path.join(REPO_ROOT, ".scratch")
+    os.makedirs(base, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="test_partial_", dir=base)
+    state_dir = os.path.join(work, "crawl_state")
+
+    def bs(rows):
+        return batch_crawl_state(
+            spark.createDataFrame(
+                rows, "appid long, event_id long, price double, ts_us long"
+            )
+        )
+
+    try:
+        # appids 1..6 spread over 4 buckets; batch 0 seeds every key
+        seed = [(a, a, float(a), 100) for a in range(1, 7)]
+        merge_bucketed(
+            spark, state_dir, bs(seed), ["appid"], _state_aggs(),
+            _state_back(), 0, num_buckets=4,
+        )
+        # batch 1 touches every key; crash right after the FIRST pending
+        # bucket's install
+        upd = [(a, 10 + a, float(a) + 1, 200) for a in range(1, 7)]
+        b1 = bs(upd)
+        touched = sorted(
+            r.bucket
+            for r in b1.withColumn("bucket", bucket_of(["appid"], 4))
+            .select("bucket").distinct().collect()
+        )
+        with pytest.raises(StoreTornError):
+            merge_bucketed(
+                spark, state_dir, b1, ["appid"], _state_aggs(),
+                _state_back(), 1, num_buckets=4,
+                fail_after_installing=touched[0],
+            )
+        # redelivery: merges only the uninstalled buckets, skips the rest
+        merge_bucketed(
+            spark, state_dir, bs(upd), ["appid"], _state_aggs(),
+            _state_back(), 1, num_buckets=4,
+        )
+        got = {r.appid: r for r in read_state(spark, state_dir).collect()}
+        for a in range(1, 7):
+            assert got[a].n_events == 2, (a, got[a])  # no double count
+            assert got[a].last_price == float(a) + 1  # nothing lost
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
