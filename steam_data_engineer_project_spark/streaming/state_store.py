@@ -142,12 +142,45 @@ def _recover_bucket_swaps(state_dir: str) -> None:
             os.rename(disp, live)
 
 
+def _recover_reshard(state_dir: str) -> None:
+    """Finish or roll back a reshard a crash interrupted (the docstring of
+    :func:`reshard` describes the one non-atomic instant). Cases:
+
+    - store present: any ``.old`` sibling is a committed swap's trash —
+      drop it;
+    - store missing, a FULLY-staged ``.reshard-N`` present (its layout
+      metadata file is written last, so its presence certifies the stage
+      completed): adopt it — that is what the crashed reshard was about
+      to do — and drop the displaced ``.old``;
+    - store missing, no complete stage: roll the ``.old`` copy back.
+
+    Runs at every read/merge entry, so the window needs no human rename.
+    """
+    old = f"{state_dir}.old"
+    if os.path.isdir(state_dir):
+        shutil.rmtree(old, ignore_errors=True)
+        return
+    parent, base = os.path.split(state_dir.rstrip(os.sep))
+    staged = sorted(
+        os.path.join(parent, d)
+        for d in (os.listdir(parent) if os.path.isdir(parent) else [])
+        if d.startswith(f"{base}.reshard-")
+        and os.path.exists(os.path.join(parent, d, META_NUM_BUCKETS))
+    )
+    if staged:
+        os.rename(staged[-1], state_dir)
+        shutil.rmtree(old, ignore_errors=True)
+    elif os.path.isdir(old):
+        os.rename(old, state_dir)
+
+
 def read_state(
     spark: SparkSession, state_dir: str, buckets: list[int] | None = None
 ) -> DataFrame | None:
     """Read the merged state, or only ``buckets`` of it (partition-pruned:
     unlisted bucket directories are never opened). None when nothing exists
     yet."""
+    _recover_reshard(state_dir)  # repair a crash-torn reshard swap first
     if not os.path.isdir(state_dir):
         return None
     _recover_bucket_swaps(state_dir)  # a reader may be first in after a crash
@@ -198,6 +231,11 @@ def merge_bucketed(
     uninstalled — the redelivered batch must merge ONLY those (their
     markers are still behind) without double-counting the installed ones.
     """
+    # reshard repair MUST precede resolve_num_buckets: on a store torn
+    # between a reshard's renames the dir is missing, and resolving first
+    # would re-seed a FRESH store with the caller's bucket constant —
+    # forking the layout away from the staged/displaced real state.
+    _recover_reshard(state_dir)
     num_buckets = resolve_num_buckets(state_dir, num_buckets)
     _recover_bucket_swaps(state_dir)  # repair any crash-torn swap first
     bucketed = batch_state.withColumn("bucket", bucket_of(key_cols, num_buckets))
@@ -291,14 +329,21 @@ def reshard(
     store and renamed in; a crash mid-stage leaves the old store untouched.
     The one non-atomic instant is between the two renames (old layout moved
     to ``<dir>.old``, new not yet moved in): a crash exactly there leaves no
-    ``<dir>`` — recovery is one rename of whichever sibling survives
-    (``<dir>.reshard-N`` if fully staged, else ``<dir>.old``), and since
-    reshard runs at a quiescent point no batch can land in the gap.
-    Returns the new bucket count.
+    ``<dir>`` — repaired AUTOMATICALLY by :func:`_recover_reshard` at the
+    next read or merge (adopt the fully-staged ``<dir>.reshard-N``, else
+    roll ``<dir>.old`` back), and since reshard runs at a quiescent point
+    no batch can land in the gap. Returns the new bucket count.
     """
     cur = read_state(spark, state_dir, None)
+    # sweep stale stages from ABANDONED reshards (crashed mid-stage, never
+    # retried): they carry no metadata certificate, so recovery never
+    # adopts them, and leaving them would leak a full store copy each
+    parent, base = os.path.split(state_dir.rstrip(os.sep))
+    if os.path.isdir(parent):
+        for d in os.listdir(parent):
+            if d.startswith(f"{base}.reshard-"):
+                shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
     tmp = f"{state_dir}.reshard-{new_num_buckets}"
-    shutil.rmtree(tmp, ignore_errors=True)
     if cur is None:  # empty store: just (re)write the metadata
         os.makedirs(state_dir, exist_ok=True)
         with open(os.path.join(state_dir, META_NUM_BUCKETS), "w") as f:
@@ -322,6 +367,9 @@ def reshard(
         if d.startswith("bucket="):
             with open(os.path.join(tmp, d, MARKER), "w") as f:
                 f.write(str(marker))
+    # the layout metadata is written LAST: its presence is the certificate
+    # _recover_reshard uses to tell a fully-staged layout (safe to adopt)
+    # from an abandoned partial stage (roll back to .old instead)
     with open(os.path.join(tmp, META_NUM_BUCKETS), "w") as f:
         f.write(str(new_num_buckets))
     old = f"{state_dir}.old"

@@ -690,6 +690,82 @@ def test_reshard_between_drains_preserves_state(spark):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def test_reshard_crash_gap_auto_repairs(spark):
+    """reshard's one non-atomic instant — old layout displaced to
+    ``<dir>.old``, new not yet renamed in — must auto-repair at the next
+    read or merge, WITHOUT a human rename: adopt the fully-staged
+    ``.reshard-N`` (its metadata certificate was written last), or roll
+    ``.old`` back when the stage is incomplete. A merge on the torn store
+    must NOT re-seed a fresh layout from the caller's bucket constant."""
+    from steam_data_engineer_project_spark.streaming.price_pipeline import (
+        _state_aggs,
+        _state_back,
+        batch_crawl_state,
+    )
+    from steam_data_engineer_project_spark.streaming.state_store import (
+        META_NUM_BUCKETS,
+        merge_bucketed,
+        read_state,
+        reshard,
+        stored_num_buckets,
+    )
+
+    base = os.path.join(REPO_ROOT, ".scratch")
+    os.makedirs(base, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="test_reshard_crash_", dir=base)
+    state_dir = os.path.join(work, "crawl_state")
+
+    def bs(rows):
+        return batch_crawl_state(
+            spark.createDataFrame(
+                rows, "appid long, event_id long, price double, ts_us long"
+            )
+        )
+
+    try:
+        merge_bucketed(
+            spark, state_dir, bs([(a, a, float(a), 100) for a in (1, 2, 3)]),
+            ["appid"], _state_aggs(), _state_back(), 0, num_buckets=4,
+        )
+        reshard(spark, state_dir, ["appid"], 8)
+        want = {r.appid: r.n_events for r in read_state(spark, state_dir).collect()}
+
+        # torn state 1: crash BETWEEN the renames with a FULLY-staged new
+        # layout. Build the stage by running the reshard for real, then
+        # rewinding the final rename (so the staged dir is a CONSISTENT
+        # 16-bucket layout, exactly what a crashed reshard leaves); the
+        # displaced .old's content is irrelevant — recovery discards it.
+        reshard(spark, state_dir, ["appid"], 16)
+        os.rename(state_dir, f"{state_dir}.reshard-16")
+        os.makedirs(f"{state_dir}.old")
+        got = {r.appid: r.n_events for r in read_state(spark, state_dir).collect()}
+        assert got == want  # adopted, nothing lost
+        assert stored_num_buckets(state_dir) == 16
+        assert not os.path.isdir(f"{state_dir}.old")
+
+        # torn state 2: crash with an INCOMPLETE stage (no metadata
+        # certificate) — roll back to .old; a MERGE (not just a read) must
+        # repair before resolving the bucket count, or it would re-seed a
+        # fresh store and silently fork the layout
+        os.rename(state_dir, f"{state_dir}.old")
+        shutil.copytree(f"{state_dir}.old", f"{state_dir}.reshard-32")
+        os.unlink(os.path.join(f"{state_dir}.reshard-32", META_NUM_BUCKETS))
+        merge_bucketed(
+            spark, state_dir, bs([(1, 9, 9.0, 200)]),
+            ["appid"], _state_aggs(), _state_back(), 1, num_buckets=4,
+        )
+        got = {r.appid: r.n_events for r in read_state(spark, state_dir).collect()}
+        assert got == {1: 2, 2: 1, 3: 1}  # rolled back + merged, not re-seeded
+        assert stored_num_buckets(state_dir) == 16  # layout survived
+
+        # the abandoned certificate-less stage is swept by the next reshard
+        reshard(spark, state_dir, ["appid"], 8)
+        assert not os.path.isdir(f"{state_dir}.reshard-32")
+        assert stored_num_buckets(state_dir) == 8
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def test_compaction_preserves_contents_and_shrinks_files(spark):
     """compaction.compact_appends: folding committed batch_id dirs into a
     consolidated segment must preserve the table's rows exactly (batch_id
