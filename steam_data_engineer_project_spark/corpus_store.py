@@ -80,7 +80,6 @@ lifecycle itself has no reference counterpart.
 
 from __future__ import annotations
 
-import fcntl
 import json
 import math
 import os
@@ -91,6 +90,8 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from .fsutil import exclusive_flock
 
 #: manifest file name — the store's single source of truth for table
 #: generations and codebook version; every structural change is one atomic
@@ -311,20 +312,13 @@ class CorpusStore:
         possibly-stale view. Readers never lock: the manifest is replaced
         atomically, so a read sees the old or the new state, never a torn
         one. NOT re-entrant — a mutator must never call another mutator.
-        Cluster analog: local flock maps to a coordination-service lease
-        (the same single-writer contract Delta's commit protocol needs on
-        non-atomic-rename filesystems)."""
+        The lock primitive is the engine-shared fsutil.exclusive_flock
+        (see its docstring for scope and the coordination-service-lease
+        cluster analog); the store adds the manifest reload."""
         os.makedirs(self.root, exist_ok=True)
-        fd = os.open(
-            os.path.join(self.root, LOCKFILE), os.O_CREAT | os.O_RDWR, 0o644
-        )
-        try:
-            fcntl.flock(fd, fcntl.LOCK_EX)
+        with exclusive_flock(os.path.join(self.root, LOCKFILE)):
             self._reload()
             yield
-        finally:
-            fcntl.flock(fd, fcntl.LOCK_UN)
-            os.close(fd)
 
     def _reload(self) -> None:
         """Refresh the cached manifest from disk (another handle may have
@@ -537,12 +531,17 @@ class CorpusStore:
         committed = self.committed_ids()
         # bound by the highest KNOWN id even when nothing is committed
         # (fresh or fully-retired store: the watermark itself is the only
-        # knowledge — retired markers are pruned below, so the default
-        # keeps the bound from regressing below watermark-1). Without this
-        # a mistyped retire(10**9) on a fresh store silently jumps the
-        # watermark and admit() then refuses every future batch — the
-        # store is bricked with no error at the point of the mistake.
-        hi_known = max(committed, default=self._m.get("retired_below", 0) - 1)
+        # knowledge). Without this a mistyped retire(10**9) on a fresh
+        # store silently jumps the watermark and admit() then refuses
+        # every future batch — the store is bricked with no error at the
+        # point of the mistake. The watermark floor participates in the
+        # bound UNCONDITIONALLY, not only as the empty default: a crash
+        # mid marker-prune can leave a stale marker BELOW the flipped
+        # watermark as the only listing (markers are deleted in arbitrary
+        # listdir order), and the idempotent retry retire(wm) must still
+        # complete the sweep rather than raise on a bound that regressed
+        # below wm-1.
+        hi_known = max([*committed, self._m.get("retired_below", 0) - 1])
         if before_batch_id > hi_known + 1:
             raise ValueError(
                 f"cannot retire past the highest known batch ({hi_known}): "

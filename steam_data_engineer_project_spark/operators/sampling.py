@@ -116,6 +116,56 @@ def token_budget_cap(
     ).filter(F.col(cum_col) <= budget)
 
 
+def _shard_ord(key_col: str) -> Column:
+    """The shard-internal read order BOTH the manifest and the written
+    export use: hash order, key-tiebroken, encoded as a fixed-width string
+    so every engine agrees on the total order (see shard_manifest)."""
+    return F.format_string(
+        "%010d:%012d",
+        _hash_bucket(F.col(key_col), 1 << 31),
+        F.col(key_col).cast("long"),
+    )
+
+
+def write_shards(
+    df: DataFrame,
+    key_col: str,
+    tokens_col: str,
+    n_shards: int,
+    path: str,
+    shard_col: str = "shard_id",
+) -> None:
+    """Materialize the sharded export :func:`shard_manifest` summarizes:
+    ``shard = md5-hash(key) mod n_shards`` directories, each shard's rows
+    in the SAME deterministic read order the manifest's boundary keys
+    describe (hash order, key-tiebroken). A training loader then opens
+    ``<path>/shard_id=K`` per worker and checkpoints by (shard, offset);
+    the manifest's counts / token totals / first+last keys validate the
+    handoff file-side.
+
+    One shuffle: ``repartition(n_shards, shard)`` co-locates each shard
+    in exactly one task (the shard column is hashed again JVM-side, so a
+    task may hold several shard ids or none — ``partitionBy`` still
+    writes each id to its own directory, one sorted file per shard),
+    ``sortWithinPartitions(shard, ord)`` orders every shard's run, and
+    the write carries that order into the files. At 100 TB this is the
+    export pass's minimal shape: one wide exchange on a pure content
+    hash, no global sort, no driver materialization. ``tokens_col`` is
+    kept in the files (loaders budget by tokens without re-tokenizing);
+    the transient order key is dropped — order is POSITIONAL in the file,
+    which is what loaders consume."""
+    (
+        df.withColumn(shard_col, _hash_bucket(F.col(key_col), n_shards))
+        .withColumn("__ord", _shard_ord(key_col))
+        .repartition(n_shards, F.col(shard_col))
+        .sortWithinPartitions(shard_col, "__ord")
+        .drop("__ord")
+        .write.partitionBy(shard_col)
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
 def shard_manifest(
     df: DataFrame,
     key_col: str,
@@ -145,11 +195,7 @@ def shard_manifest(
     order — a sign character would break lexicographic order; hash ties
     are broken by the key itself). Rows: (shard_id, n_docs, n_tokens,
     first_key, last_key)."""
-    ordk = F.format_string(
-        "%010d:%012d",
-        _hash_bucket(F.col(key_col), 1 << 31),
-        F.col(key_col).cast("long"),
-    )
+    ordk = _shard_ord(key_col)
     return (
         df.select(
             F.col(key_col),

@@ -26,11 +26,11 @@ have no upstream to replay from.
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..fsutil import exclusive_flock, recover_swap, swap_in
 from ..operators.merge import upsert_last_wins
 
 _WM_FILE = "_high_watermark"
@@ -45,26 +45,15 @@ def _read_watermark(mart_dir: str) -> int | None:
 
 
 def _recover_swap(mart_dir: str) -> None:
-    """Repair a refresh the process died inside. The data swap is
-    displace-install-delete (two atomic renames, then trash removal); its
-    torn states are exactly two:
-
-    - ``data`` missing, ``data.old`` present (crash between the renames):
-      rename the old mart back — without this the next refresh would read
-      an EMPTY existing mart and silently drop every row at or below the
-      stored watermark (the mart's entire history);
-    - both present (crash after install, before trash removal): the swap
-      committed; the displaced copy is trash.
-
-    A leftover ``data.tmp`` is overwritten by the next refresh's
-    ``mode("overwrite")`` write, so it needs no repair."""
+    """Repair a refresh the process died inside (fsutil.recover_swap on
+    the mart's data dir). The displaced-only torn state matters most
+    here: without the restore the next refresh would read an EMPTY
+    existing mart and silently drop every row at or below the stored
+    watermark — the mart's entire history. A leftover ``data.tmp`` is
+    overwritten by the next refresh's ``mode("overwrite")`` write, so it
+    needs no repair."""
     data_dir = os.path.join(mart_dir, "data")
-    swap = f"{data_dir}.old"
-    if os.path.isdir(swap):
-        if os.path.isdir(data_dir):
-            shutil.rmtree(swap, ignore_errors=True)
-        else:
-            os.rename(swap, data_dir)
+    recover_swap(data_dir, f"{data_dir}.old")
 
 
 def incremental_refresh(
@@ -84,7 +73,31 @@ def incremental_refresh(
     (a row-local DataFrame → DataFrame function whose output contains
     ``key_cols`` + ``order_col``). Returns the refreshed mart DataFrame.
     Idempotent: re-running with no new source rows rewrites nothing.
+
+    Writers SERIALIZE on ``<mart>/_lock`` for the whole refresh: the
+    watermark is read-modify-write and the data swap interleaves renames,
+    so two concurrent refreshes without the lock could lose a watermark
+    advance or tear each other's displace-install sequence. Holding a
+    flock across the Spark write is cheap (one fd); readers never lock —
+    both the data dir and the watermark are replaced atomically.
     """
+    with exclusive_flock(os.path.join(mart_dir, "_lock")):
+        return _refresh_locked(
+            spark, mart_dir, source, transform, ts_col, key_cols,
+            order_col, tiebreak_cols,
+        )
+
+
+def _refresh_locked(
+    spark: SparkSession,
+    mart_dir: str,
+    source: DataFrame,
+    transform,
+    ts_col: str,
+    key_cols: list[str],
+    order_col: str,
+    tiebreak_cols: list[str] | None,
+) -> DataFrame:
     _recover_swap(mart_dir)  # repair a crash-torn data swap first
     wm = _read_watermark(mart_dir)
     fresh = source if wm is None else source.filter(F.col(ts_col) > wm)
@@ -110,11 +123,7 @@ def incremental_refresh(
 
     tmp = f"{data_dir}.tmp"
     merged.write.mode("overwrite").parquet(tmp)
-    swap = f"{data_dir}.old"
-    if os.path.isdir(data_dir):
-        os.rename(data_dir, swap)
-    os.rename(tmp, data_dir)
-    shutil.rmtree(swap, ignore_errors=True)
+    swap_in(data_dir, tmp, f"{data_dir}.old")
     # tmp + atomic rename: a crash mid-write must not leave a truncated
     # watermark (unreadable, or silently older — the stale-wm replay is
     # idempotent via upsert_last_wins, but a torn int is a hard crash on

@@ -49,6 +49,8 @@ import shutil
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..fsutil import recover_swap, swap_in
+
 #: marker file inside each bucket dir: highest batch_id merged into it.
 #: The leading underscore keeps Spark's file listing from reading it as data.
 MARKER = "_last_batch"
@@ -127,19 +129,36 @@ def _recover_bucket_swaps(state_dir: str) -> None:
       state (its marker is still the pre-batch one);
     - displaced AND live both exist (crash after install, before trash
       deletion): the swap committed; the displaced copy is trash.
+
+    Displaced entries are grouped PER BUCKET and only the highest
+    ``.batch=N`` copy is ever restored: if a trash deletion once failed
+    silently and a later batch's swap then tore, two displaced copies of
+    the same bucket coexist — restoring in raw listdir order could
+    rename the OLDER copy back as live and regress the bucket's state
+    (and marker) past a checkpoint-committed batch that will not be
+    redelivered. The stale lower-batch copies are unconditionally trash.
     """
     if not os.path.isdir(state_dir):
         return
+    by_bucket: dict[str, list[tuple[int, str]]] = {}
     for d in os.listdir(state_dir):
         if not d.startswith(_DISPLACED):
             continue
-        live_name = d[len(_DISPLACED):].rsplit(".batch=", 1)[0]
-        live = os.path.join(state_dir, live_name)
-        disp = os.path.join(state_dir, d)
-        if os.path.isdir(live):
-            shutil.rmtree(disp, ignore_errors=True)
-        else:
-            os.rename(disp, live)
+        stem = d[len(_DISPLACED):]
+        live_name, _, batch_s = stem.rpartition(".batch=")
+        try:
+            batch = int(batch_s)
+        except ValueError:
+            live_name, batch = stem, -1  # pre-suffix protocol: oldest
+        by_bucket.setdefault(live_name, []).append((batch, d))
+    for live_name, disps in by_bucket.items():
+        disps.sort()  # ascending batch: last element is the newest copy
+        for _, d in disps[:-1]:  # stale lower-batch copies: always trash
+            shutil.rmtree(os.path.join(state_dir, d), ignore_errors=True)
+        recover_swap(
+            os.path.join(state_dir, live_name),
+            os.path.join(state_dir, disps[-1][1]),
+        )
 
 
 def _recover_reshard(state_dir: str) -> None:
@@ -160,7 +179,10 @@ def _recover_reshard(state_dir: str) -> None:
     if os.path.isdir(state_dir):
         shutil.rmtree(old, ignore_errors=True)
         return
-    parent, base = os.path.split(state_dir.rstrip(os.sep))
+    # abspath first: a bare relative state_dir splits to parent == '' and
+    # the staged-reshard listing would silently be skipped, rolling a
+    # fully-staged reshard back to .old instead of adopting it.
+    parent, base = os.path.split(os.path.abspath(state_dir))
     staged = sorted(
         os.path.join(parent, d)
         for d in (os.listdir(parent) if os.path.isdir(parent) else [])
@@ -168,10 +190,9 @@ def _recover_reshard(state_dir: str) -> None:
         and os.path.exists(os.path.join(parent, d, META_NUM_BUCKETS))
     )
     if staged:
-        os.rename(staged[-1], state_dir)
-        shutil.rmtree(old, ignore_errors=True)
-    elif os.path.isdir(old):
-        os.rename(old, state_dir)
+        swap_in(state_dir, staged[-1], old)  # adopt; .old is the displaced
+    else:
+        recover_swap(state_dir, old)  # no certified stage: roll back
 
 
 def read_state(
@@ -290,10 +311,7 @@ def merge_bucketed(
         disp = os.path.join(
             state_dir, f"{_DISPLACED}bucket={b}.batch={batch_id}"
         )
-        if os.path.exists(dst):
-            os.rename(dst, disp)
-        os.rename(src, dst)
-        shutil.rmtree(disp, ignore_errors=True)
+        swap_in(dst, src, disp)
         if fail_after_installing == b:
             from ..corpus_store import StoreTornError
 
@@ -338,7 +356,7 @@ def reshard(
     # sweep stale stages from ABANDONED reshards (crashed mid-stage, never
     # retried): they carry no metadata certificate, so recovery never
     # adopts them, and leaving them would leak a full store copy each
-    parent, base = os.path.split(state_dir.rstrip(os.sep))
+    parent, base = os.path.split(os.path.abspath(state_dir))
     if os.path.isdir(parent):
         for d in os.listdir(parent):
             if d.startswith(f"{base}.reshard-"):
@@ -373,8 +391,6 @@ def reshard(
     with open(os.path.join(tmp, META_NUM_BUCKETS), "w") as f:
         f.write(str(new_num_buckets))
     old = f"{state_dir}.old"
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(state_dir, old)
-    os.rename(tmp, state_dir)
-    shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)  # leftover from a prior crash
+    swap_in(state_dir, tmp, old)
     return new_num_buckets

@@ -389,6 +389,49 @@ def test_retire_prunes_commit_markers(spark, tmp_path):
     assert [r.v for r in st2.read(spark, "t").collect()] == [99]
 
 
+def test_retire_retry_after_crash_mid_marker_prune(spark, tmp_path):
+    """A crash INSIDE retire()'s marker-prune loop can leave a stale
+    marker BELOW the flipped watermark as the only commit listing
+    (listdir order is arbitrary — the higher markers may go first). The
+    idempotent retry retire(wm) must COMPLETE the sweep, not raise: the
+    retire bound therefore includes the watermark floor unconditionally,
+    not only as the empty-listing default. Before that fix the torn
+    state here made retire(3) raise 'cannot retire past the highest
+    known batch (0)' and the sweep stayed incomplete until a future
+    admit raised the bound."""
+
+    def one_row(v):
+        return {"t": spark.createDataFrame([(v,)], "v long")}
+
+    root = str(tmp_path / "s")
+    st = CorpusStore(root, tables=("t",))
+    for i in range(3):
+        st.admit(one_row(i), i)
+
+    # the torn state, constructed directly (worst listdir order): the
+    # watermark flip landed, markers 1 and 2 were pruned, marker 0
+    # survives the crash
+    st._m["retired_below"] = 3
+    st._flush()
+    for n in ("1", "2"):
+        os.unlink(os.path.join(root, "_commits", n))
+    assert st.committed_ids() == [0]  # only the stale sub-watermark marker
+
+    # the crash-retry on a fresh handle completes instead of raising
+    st2 = CorpusStore(root)
+    st2.retire(3)
+    assert not os.path.exists(os.path.join(root, "_commits", "0"))
+    assert not any(
+        d.startswith("batch_id=") for d in os.listdir(st2._tdir("t"))
+    )
+    # and the store keeps working past the watermark
+    st2.admit(one_row(9), 3)
+    assert st2.committed_ids() == [3]
+    # the oversized-retire brick guard still holds after the retry
+    with pytest.raises(ValueError, match="highest known"):
+        st2.retire(99)
+
+
 def test_orphan_generation_sweep_on_open(spark, tmp_path):
     """A crash BETWEEN the manifest flip and old-generation deletion
     orphans <table>__g<old> forever (a retry allocates new gens and only
@@ -628,7 +671,7 @@ def test_semantic_multiprobe_recovers_boundary_split(spark):
     assert rc["verdict"] == "semantic_dup" and rc["cluster_id"] == 0
 
 
-def test_store_lifecycle_model_property(spark, tmp_path):
+def _lifecycle_model_property(spark, tmp_path, max_examples):
     """Model-based lifecycle check: arbitrary interleavings of admit,
     torn admit, retire, compact, torn compact, and process reopen are
     replayed against a pure-Python model of the visible row set (rows of
@@ -659,7 +702,7 @@ def test_store_lifecycle_model_property(spark, tmp_path):
         return spark.createDataFrame([(v,) for v in values], "v long")
 
     @settings(
-        max_examples=12,
+        max_examples=max_examples,
         deadline=None,
         suppress_health_check=[HealthCheck.function_scoped_fixture],
     )
@@ -791,6 +834,21 @@ def test_store_lifecycle_model_property(spark, tmp_path):
                     store.read(spark, "t")
 
     check()
+
+
+def test_store_lifecycle_model_property(spark, tmp_path):
+    """The fast profile: 12 random examples + the pinned @example
+    schedules (see _lifecycle_model_property)."""
+    _lifecycle_model_property(spark, tmp_path, 12)
+
+
+@pytest.mark.deep
+def test_store_lifecycle_model_property_deep(spark, tmp_path):
+    """The deep-assurance profile (round-9's one-off 80-example run, now
+    reproducible on demand): ``pytest -m deep``. Excluded from the
+    default run — the property executes a Spark admission per op, so 80
+    examples is minutes of wall time."""
+    _lifecycle_model_property(spark, tmp_path, 80)
 
 
 def test_codebook_swap_atomicity_and_drift_stat(spark, tmp_path):
@@ -938,6 +996,60 @@ def test_writer_lock_serializes_and_reloads(spark, tmp_path):
     assert done.wait(30.0), "mutator never acquired the released lock"
     t.join()
     assert CorpusStore(root).bloom_params()["m_bits"] == 128
+
+
+_CROSS_PROC_ADMIT = """
+import sys
+sys.path.insert(0, {repo!r})
+from steam_data_engineer_project_spark.corpus_store import CorpusStore
+from steam_data_engineer_project_spark.session import get_spark
+
+root, start = sys.argv[1], int(sys.argv[2])
+spark = get_spark(
+    "admit-proc-" + str(start), master="local[2]", shuffle_partitions=2,
+    extra_conf={{"spark.driver.memory": "3g"}},
+)
+st = CorpusStore(root, tables=("t",))  # both processes race the creation
+for i in range(3):
+    bid = start + 2 * i
+    st.admit({{"t": spark.createDataFrame([(bid,)], "v long")}}, bid)
+if start == 0:
+    # a manifest read-modify-write racing the other process's admissions
+    st.set_bloom_params(64, 2)
+spark.stop()
+"""
+
+
+def test_writer_lock_across_processes(spark, tmp_path):
+    """The flock under REAL contention (r9 VERDICT ask 6): two separate
+    PROCESSES — each its own JVM and store handle — concurrently create
+    the store, admit disjoint interleaved batches, and one also mutates
+    the manifest. Both must fully commit with no lost manifest update
+    and no torn creation: flock is the only thing serializing them."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    root = str(tmp_path / "s")
+    script = _CROSS_PROC_ADMIT.format(repo=repo)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", script, root, str(start)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+        )
+        for start in (0, 1)
+    ]
+    for p in procs:
+        _, err = p.communicate(timeout=300)
+        assert p.returncode == 0, err.decode()[-2000:]
+
+    st = CorpusStore(root)
+    assert st.committed_ids() == [0, 1, 2, 3, 4, 5]
+    got = sorted(r.v for r in st.read(spark, "t").select("v").collect())
+    assert got == [0, 1, 2, 3, 4, 5]
+    # the manifest mutation survived the other process's admissions
+    assert st.bloom_params() == {"m_bits": 64, "n_hashes": 2, "salt": "bf"}
 
 
 def test_maybe_retrain_policy_gates_on_measured_drift(spark, tmp_path):

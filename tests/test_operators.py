@@ -991,6 +991,58 @@ def test_shard_manifest_covers_partition_and_orders(spark):
     assert sum(r[2] for r in m1) == sum((i % 13) + 1 for i in range(n))
 
 
+def test_write_shards_round_trips_the_manifest(spark, tmp_path):
+    """write_shards ↔ shard_manifest is the loader handoff: the WRITTEN
+    shard directories — read loader-side with pyarrow, no Spark — must
+    show exactly the manifest's per-shard counts, token totals, and
+    first/last boundary keys, with each shard one file whose positional
+    row order is the manifest's deterministic read order (hash order,
+    key-tiebroken). Together the shards partition the input exactly."""
+    import glob
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    from steam_data_engineer_project_spark.operators.sampling import (
+        shard_manifest,
+        write_shards,
+    )
+
+    n, shards = 3_000, 8
+    df = spark.createDataFrame(
+        [(i, (i % 11) + 1, f"doc {i}") for i in range(n)],
+        ["doc_id", "n_tokens", "text"],
+    )
+    path = str(tmp_path / "export")
+    write_shards(df, "doc_id", "n_tokens", shards, path)
+    manifest = {
+        r.shard_id: r
+        for r in shard_manifest(df, "doc_id", "n_tokens", shards).collect()
+    }
+
+    dirs = {d for d in os.listdir(path) if d.startswith("shard_id=")}
+    assert dirs == {f"shard_id={s}" for s in manifest}
+
+    def bucket(k):
+        return int(hashlib.md5(f"v:{k}".encode()).hexdigest()[:8], 16)
+
+    seen: list[int] = []
+    for sid, m in manifest.items():
+        files = sorted(glob.glob(os.path.join(path, f"shard_id={sid}", "*.parquet")))
+        assert len(files) == 1, f"shard {sid}: expected one sorted run, got {files}"
+        t = pq.read_table(files[0])
+        keys = t.column("doc_id").to_pylist()
+        assert len(keys) == m.n_docs
+        assert sum(t.column("n_tokens").to_pylist()) == m.n_tokens
+        assert keys[0] == m.first_key and keys[-1] == m.last_key
+        assert keys == sorted(keys, key=lambda k: (bucket(k) % (1 << 31), k)), (
+            f"shard {sid}: file order is not the manifest's read order"
+        )
+        seen += keys
+    assert sorted(seen) == list(range(n))
+
+
 # ------------------------------------------------------------ connected components
 
 

@@ -766,6 +766,134 @@ def test_reshard_crash_gap_auto_repairs(spark):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def test_recover_bucket_swaps_restores_newest_displaced(spark):
+    """Two displaced copies of the SAME bucket can coexist: a trash
+    deletion that once failed silently leaves ``.batch=1`` lingering, and
+    a later batch's torn swap adds ``.batch=2`` with the live dir
+    missing. Recovery must restore the HIGHEST-batch copy — restoring in
+    raw listdir order could rename the older state back as live and
+    regress the bucket past a checkpoint-committed batch that will never
+    be redelivered."""
+    from steam_data_engineer_project_spark.streaming.price_pipeline import (
+        _state_aggs,
+        _state_back,
+        batch_crawl_state,
+    )
+    from steam_data_engineer_project_spark.streaming.state_store import (
+        merge_bucketed,
+        read_state,
+    )
+
+    base = os.path.join(REPO_ROOT, ".scratch")
+    os.makedirs(base, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="test_swap_regress_", dir=base)
+    state_dir = os.path.join(work, "crawl_state")
+
+    def bs(rows):
+        return batch_crawl_state(
+            spark.createDataFrame(
+                rows, "appid long, event_id long, price double, ts_us long"
+            )
+        )
+
+    try:
+        merge_bucketed(
+            spark, state_dir, bs([(1, 1, 1.0, 100)]),
+            ["appid"], _state_aggs(), _state_back(), 0, num_buckets=4,
+        )
+        bucket = next(
+            d for d in os.listdir(state_dir) if d.startswith("bucket=")
+        )
+        live = os.path.join(state_dir, bucket)
+        post_b0 = os.path.join(work, "post_b0")
+        shutil.copytree(live, post_b0)  # the state batch 1's swap displaces
+
+        merge_bucketed(
+            spark, state_dir, bs([(1, 2, 2.0, 200)]),
+            ["appid"], _state_aggs(), _state_back(), 1, num_buckets=4,
+        )
+
+        # the torn layout: batch 1's displaced copy lingers (rmtree once
+        # failed silently), batch 2's swap then tore between its renames
+        shutil.copytree(post_b0, os.path.join(state_dir, f"_displaced.{bucket}.batch=1"))
+        os.rename(live, os.path.join(state_dir, f"_displaced.{bucket}.batch=2"))
+
+        got = {r.appid: r.n_events for r in read_state(spark, state_dir).collect()}
+        assert got == {1: 2}, (
+            f"recovery restored stale batch-1 state: {got}"
+        )
+        assert not any(
+            d.startswith("_displaced.") for d in os.listdir(state_dir)
+        ), "stale displaced copies must be swept"
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_recover_reshard_adopts_stage_for_relative_state_dir(
+    spark, monkeypatch
+):
+    """_recover_reshard must adopt a fully-staged reshard even when the
+    caller spells the state dir as a BARE RELATIVE path: splitting the
+    un-normalized path yields parent == '' and the staged listing would
+    silently be skipped, rolling the reshard back to ``.old`` — safe but
+    divergent from the documented recovery."""
+    from steam_data_engineer_project_spark.streaming.price_pipeline import (
+        _state_aggs,
+        _state_back,
+        batch_crawl_state,
+    )
+    from steam_data_engineer_project_spark.streaming.state_store import (
+        merge_bucketed,
+        read_state,
+        reshard,
+        stored_num_buckets,
+    )
+
+    from steam_data_engineer_project_spark.streaming.state_store import (
+        _recover_reshard,
+    )
+
+    base = os.path.join(REPO_ROOT, ".scratch")
+    os.makedirs(base, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="test_reshard_rel_", dir=base)
+    state_dir = os.path.join(work, "crawl_state")  # absolute: Spark writes
+    try:
+        merge_bucketed(
+            spark,
+            state_dir,
+            batch_crawl_state(
+                spark.createDataFrame(
+                    [(a, a, float(a), 100) for a in (1, 2, 3)],
+                    "appid long, event_id long, price double, ts_us long",
+                )
+            ),
+            ["appid"], _state_aggs(), _state_back(), 0, num_buckets=4,
+        )
+        want = {r.appid: r.n_events for r in read_state(spark, state_dir).collect()}
+
+        # crash between reshard's two renames, stage fully certified
+        reshard(spark, state_dir, ["appid"], 8)
+        os.rename(state_dir, f"{state_dir}.reshard-8")
+        os.makedirs(f"{state_dir}.old")
+
+        # the recovery entry gets the BARE RELATIVE spelling (repair is
+        # pure-os-path, so the relative call is safe to make directly;
+        # Spark reads below stay absolute)
+        monkeypatch.chdir(work)
+        _recover_reshard("crawl_state")
+
+        got = {r.appid: r.n_events for r in read_state(spark, state_dir).collect()}
+        assert got == want
+        assert stored_num_buckets(state_dir) == 8, (
+            "fully-staged reshard must be adopted, not rolled back"
+        )
+        assert not os.path.isdir(f"{state_dir}.old")
+        assert not os.path.isdir(f"{state_dir}.reshard-8")
+    finally:
+        monkeypatch.chdir(REPO_ROOT)
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def test_compaction_preserves_contents_and_shrinks_files(spark):
     """compaction.compact_appends: folding committed batch_id dirs into a
     consolidated segment must preserve the table's rows exactly (batch_id

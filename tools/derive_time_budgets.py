@@ -29,6 +29,13 @@ def main() -> None:
     spark = get_spark(
         "steam-spark-budgets", master="local[8]", shuffle_partitions=8
     )
+    # the budgets only mean something relative to THIS host's speed —
+    # print the calibration reference the test suite scales them by, and
+    # re-pin tests/test_budgets.py:CALIB_REF together with the table.
+    from tests.test_budgets import _calibration_pass
+
+    calib = sorted(_calibration_pass(spark) for _ in range(7))
+    print(f"CALIB_REF = {calib[7 // 2]:.2f}  # median of 7 passes")
     best: dict[str, float] = {}
     for _ in range(2):
         for name, spec in QUERIES.items():
