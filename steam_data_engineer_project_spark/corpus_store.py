@@ -805,7 +805,15 @@ class CorpusStore:
 
         Crash-safe: a crash before the flip leaves the old manifest — and
         therefore the old generations — authoritative; a retry reuses the
-        same generation numbers and overwrites the partial output.
+        same generation numbers and stages FROM SCRATCH (each staged
+        generation directory is cleared before writing). The clear is
+        what makes the retry safe when the compaction's INPUT SET changed
+        between attempts: an admit or retire between a crashed attempt
+        and its retry moves the consolidated slice's ``hi`` label, and
+        the crashed attempt's slice under the OLD label would otherwise
+        survive as a sibling in the flipped generation and double-serve
+        its rows next to the new consolidated copy (its commit marker
+        still exists — found by the lifecycle property, round 10).
         Commit markers are untouched (the consolidated slice carries the
         highest id; lower ids simply have no directory anymore).
 
@@ -836,6 +844,10 @@ class CorpusStore:
         new_gens, new_segments = {}, {}
         for i, name in enumerate(self._m["tables"]):
             gen = base_gen + i
+            # stage from scratch: a crashed attempt's partial stage in this
+            # same (still-unreferenced) generation may hold slices under
+            # labels this attempt won't overwrite — see the docstring
+            shutil.rmtree(self._tdir(name, gen), ignore_errors=True)
             df = self.read(spark, name, batch_ids=set(in_ids))
             combined = combiners.get(
                 name, lambda d: d.drop("batch_id")

@@ -432,6 +432,35 @@ def test_retire_retry_after_crash_mid_marker_prune(spark, tmp_path):
         st2.retire(99)
 
 
+def test_compact_retry_after_crash_with_grown_input(spark, tmp_path):
+    """A compaction that crashes before its manifest flip leaves a staged
+    generation holding a consolidated slice labeled with the OLD highest
+    batch id. If a new batch is admitted before the retry, the retry's
+    consolidated slice carries a NEW label — it must not leave the
+    crashed attempt's slice as a sibling (its commit marker still exists,
+    so reads would serve the old batch's rows TWICE: once from the stale
+    slice, once inside the new consolidated copy). The retry stages the
+    generation from scratch. Minimized from the lifecycle property's
+    falsifying schedule (round 10)."""
+
+    def one_row(v):
+        return {"t": spark.createDataFrame([(v,)], "v long")}
+
+    st = CorpusStore(str(tmp_path / "s"), tables=("t",))
+    st.admit(one_row(0), 0)
+    with pytest.raises(StoreTornError):
+        st.compact(spark, fail_after="t")  # staged t__g1/batch_id=0 left
+    st.admit(one_row(1), 1)
+    st.compact(spark)  # retry with a grown input set: hi moved 0 -> 1
+
+    got = sorted(r.v for r in st.read(spark, "t").select("v").collect())
+    assert got == [0, 1], f"stale staged slice double-served rows: {got}"
+    # the flipped generation holds exactly the consolidated slice
+    assert sorted(
+        d for d in os.listdir(st._tdir("t")) if d.startswith("batch_id=")
+    ) == ["batch_id=1"]
+
+
 def test_orphan_generation_sweep_on_open(spark, tmp_path):
     """A crash BETWEEN the manifest flip and old-generation deletion
     orphans <table>__g<old> forever (a retry allocates new gens and only
@@ -730,6 +759,14 @@ def _lifecycle_model_property(spark, tmp_path, max_examples):
     )
     # overwrite semantics of a plain per-batch re-admission stay legal
     @example([("admit", 2), ("admit_at", 0), ("compact", 0)])
+    # the r10 stale-stage bug: a crashed compaction's staged slice under
+    # the OLD hi label survived a retry whose input set had grown (the
+    # retry only overwrote the NEW label), double-serving the old batch's
+    # rows next to the consolidated copy — the retry must stage the
+    # generation from scratch
+    @example(
+        [("admit", 1), ("compact_crash", 0), ("admit", 1), ("compact", 0)]
+    )
     def check(ops):
         counter[0] += 1
         root = str(tmp_path / f"m{counter[0]}")
