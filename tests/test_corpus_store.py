@@ -719,6 +719,9 @@ def _lifecycle_model_property(spark, tmp_path, max_examples):
         # consolidated slice (refused: double-serve / clobber hazards)
         st.tuples(st.just("admit_at"), st.integers(0, 4)),
         st.tuples(st.just("retire"), st.integers(0, 4)),
+        # a retire whose marker-prune crashed midway (flip landed, the
+        # HIGHER markers below the watermark pruned first, slices intact)
+        st.tuples(st.just("retire_torn"), st.integers(0, 4)),
         # arg 0 = full compaction; arg > 0 = cohort compact(upto=arg)
         st.tuples(st.just("compact"), st.integers(0, 4)),
         st.tuples(st.just("compact_crash"), st.just(0)),
@@ -766,6 +769,20 @@ def _lifecycle_model_property(spark, tmp_path, max_examples):
     # generation from scratch
     @example(
         [("admit", 1), ("compact_crash", 0), ("admit", 1), ("compact", 0)]
+    )
+    # torn retire (crash mid marker-prune, stale lowest marker survives):
+    # the idempotent retry must complete the sweep — the r10 ADVICE case
+    # where the retire bound regressed below watermark-1 and raised
+    @example(
+        [("admit", 1), ("admit", 1), ("admit", 1), ("retire_torn", 2),
+         ("retire", 2)]
+    )
+    # ... and every other op must behave post-torn-retire without the
+    # retry ever happening (reads filter by the flipped watermark; a
+    # compact serves retained slices only; reopen agrees)
+    @example(
+        [("admit", 1), ("admit", 1), ("retire_torn", 1), ("reopen", 0),
+         ("admit", 1), ("compact", 0)]
     )
     def check(ops):
         counter[0] += 1
@@ -832,6 +849,41 @@ def _lifecycle_model_property(spark, tmp_path, max_examples):
                     continue
                 store.retire(arg)
                 watermark = max(watermark, arg)
+                model = {b: v for b, v in model.items() if b >= watermark}
+                msegs = {h: lo for h, lo in msegs.items() if h >= watermark}
+            elif kind == "retire_torn":
+                # a legal retire whose marker-prune crashed midway: the
+                # watermark flip landed (manifest + segment prune), then
+                # the HIGHER sub-watermark markers were deleted first
+                # (worst listdir order) and the crash left the lowest one
+                # plus every slice directory. Visibility must follow the
+                # watermark from the flip instant, and every later op —
+                # including the idempotent retry — must behave as if the
+                # sweep had finished.
+                hi = max(list(model) + [watermark - 1])
+                bisects = any(
+                    lo < arg <= h
+                    for h, lo in msegs.items()
+                    if h >= watermark
+                )
+                if arg > hi + 1 or bisects or arg <= watermark:
+                    continue  # a real retire(arg) would raise pre-flip,
+                    # or flip nothing — no torn state to construct
+                store._m["retired_below"] = arg
+                store._m["segments"] = {
+                    "t": {
+                        h: lo
+                        for h, lo in store._m["segments"].get("t", {}).items()
+                        if int(h) >= arg
+                    }
+                }
+                store._flush()
+                below = sorted(
+                    b for b in store.committed_ids() if b < arg
+                )
+                for b in below[1:]:  # prune all but the lowest marker
+                    os.unlink(os.path.join(root, "_commits", str(b)))
+                watermark = arg
                 model = {b: v for b, v in model.items() if b >= watermark}
                 msegs = {h: lo for h, lo in msegs.items() if h >= watermark}
             elif kind in ("compact", "compact_crash"):
