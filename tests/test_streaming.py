@@ -894,6 +894,116 @@ def test_recover_reshard_adopts_stage_for_relative_state_dir(
         shutil.rmtree(work, ignore_errors=True)
 
 
+def test_state_store_crash_replay_model_property(spark):
+    """Model-based replay check for the bucketed state store (the
+    streaming twin of the corpus-store lifecycle property): random
+    micro-batch sequences where any batch may crash after installing an
+    arbitrary bucket and is then redelivered (at-least-once), with
+    quiescent-point reshards interleaved. For EVERY interleaving the
+    final store must equal the one-shot batch reduction over all events
+    — additive fields applied exactly once per batch, markers and
+    resharding never losing or double-counting a key."""
+    from hypothesis import HealthCheck, example, given, settings
+    from hypothesis import strategies as st
+
+    from steam_data_engineer_project_spark.corpus_store import StoreTornError
+    from steam_data_engineer_project_spark.streaming.price_pipeline import (
+        _state_aggs,
+        _state_back,
+        batch_crawl_state,
+    )
+    from steam_data_engineer_project_spark.streaming.state_store import (
+        bucket_of,
+        merge_bucketed,
+        read_state,
+        reshard,
+        resolve_num_buckets,
+        stored_num_buckets,
+    )
+
+    base = os.path.join(REPO_ROOT, ".scratch")
+    os.makedirs(base, exist_ok=True)
+
+    batch_op = st.tuples(
+        # events: list of appids (1..6); values derived deterministically
+        st.lists(st.integers(1, 6), min_size=1, max_size=5),
+        # crash selector: 0 = clean; else crash after touched[sel-1 % n]
+        st.integers(0, 4),
+        # reshard to this bucket count after the batch (0 = none)
+        st.sampled_from([0, 0, 0, 2, 8]),
+    )
+
+    counter = [0]
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(st.lists(batch_op, min_size=1, max_size=4))
+    # crash mid-batch, replay, then reshard, then another crashed batch
+    @example([([1, 2, 3, 4], 1, 2), ([1, 5], 2, 0)])
+    # reshard immediately after the very first batch, then pile on
+    @example([([1], 0, 8), ([1, 2, 3], 3, 0), ([6], 1, 0)])
+    def check(ops):
+        counter[0] += 1
+        work = tempfile.mkdtemp(prefix=f"test_ssprop_{counter[0]}_", dir=base)
+        state_dir = os.path.join(work, "state")
+        try:
+            all_events: list[tuple] = []
+            eid = 0
+            for batch_id, (appids, crash_sel, new_nb) in enumerate(ops):
+                rows = []
+                for a in appids:
+                    eid += 1
+                    rows.append((a, eid, float(a + eid % 7), eid * 100))
+                all_events.extend(rows)
+                df = spark.createDataFrame(
+                    rows, "appid long, event_id long, price double, ts_us long"
+                )
+                bs = batch_crawl_state(df)
+                merge = lambda fail=None, b=bs, i=batch_id: merge_bucketed(
+                    spark, state_dir, b, ["appid"], _state_aggs(),
+                    _state_back(), i, num_buckets=4,
+                    fail_after_installing=fail,
+                )
+                if crash_sel:
+                    nb = resolve_num_buckets(state_dir, 4)
+                    touched = sorted(
+                        r.b
+                        for r in bs.select(
+                            bucket_of(["appid"], nb).alias("b")
+                        ).distinct().collect()
+                    )
+                    victim = touched[(crash_sel - 1) % len(touched)]
+                    with pytest.raises(StoreTornError):
+                        merge(fail=victim)
+                    merge()  # redelivery completes the batch exactly once
+                else:
+                    merge()
+                if new_nb:
+                    reshard(spark, state_dir, ["appid"], new_nb)
+                    assert stored_num_buckets(state_dir) == new_nb
+
+            typed = spark.createDataFrame(
+                all_events,
+                "appid long, event_id long, price double, ts_us long",
+            )
+            want = {
+                r.appid: (r.last_ts_us, r.last_event_id, r.last_price, r.n_events)
+                for r in batch_crawl_state(typed).collect()
+            }
+            got = {
+                r.appid: (r.last_ts_us, r.last_event_id, r.last_price, r.n_events)
+                for r in read_state(spark, state_dir).collect()
+            }
+            assert got == want, (ops, got, want)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    check()
+
+
 def test_compaction_preserves_contents_and_shrinks_files(spark):
     """compaction.compact_appends: folding committed batch_id dirs into a
     consolidated segment must preserve the table's rows exactly (batch_id
