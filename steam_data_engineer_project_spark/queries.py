@@ -72,11 +72,13 @@ from .operators.clustering import (
     train_ivf_codebook,
 )
 from .operators.sampling import (
+    _shard_ord,
     deterministic_split,
     shard_manifest,
     stratified_sample_exact,
     temperature_resample,
     token_budget_cap,
+    write_shards,
 )
 from .functions.aggregates import davg, dsum
 from .functions.scalars import (
@@ -2958,6 +2960,16 @@ def sampling_split_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       first/last doc in the shard's deterministic read order — the
       KB-class summary a trainer validates its shards against. One
       map-side-combinable shuffle on shard_id.
+    - shard_export: the WRITTEN export round-tripped. write_shards
+      materializes the 64 shard directories (repartition on the content
+      hash, one sorted file per shard) into a fresh scratch dir, and
+      this leg recomputes the manifest FROM THE FILES with the shard
+      DIRECTORY as the grouping key: hash-equality with the shard
+      oracle arm proves the writer placed every row in its hash-correct
+      shard with its token count intact — the loader handoff the
+      manifest exists to validate. (Positional in-file order is pinned
+      separately by the pyarrow round-trip test; a registered query
+      returns a DataFrame, where file position is not observable.)
 
     All decisions are engine-portable md5/integer arithmetic (the α=0.5
     flattening is one exact-integer division + one IEEE sqrt), so the
@@ -3005,6 +3017,33 @@ def sampling_split_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("cum_tokens").alias("n"),
     )
+    # 16 export shards (vs the manifest's 64): the round-trip property is
+    # shard-count-independent and 16 keeps the per-invocation write cost
+    # (tasks + files) a quarter of the manifest-matched version
+    export_dir = _scratch_dir("shard_export")
+    write_shards(with_tokens, "doc_id", "n_tokens", 16, export_dir)
+    shard_exp = (
+        spark.read.parquet(export_dir)
+        .withColumn("__ord", _shard_ord("doc_id"))
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.min_by("doc_id", "__ord").cast("long").alias("first_doc"),
+            F.max_by("doc_id", "__ord").cast("long").alias("last_doc"),
+        )
+        .select(
+            F.lit("shard_export").alias("part"),
+            F.lit(None).cast("string").alias("split"),
+            F.lit(None).cast("string").alias("lang"),
+            F.lit(None).cast("long").alias("doc_id"),
+            "n",
+            F.col("shard_id").cast("long").alias("shard_id"),
+            "n_tokens",
+            "first_doc",
+            "last_doc",
+        )
+    )
     shard = shard_manifest(with_tokens, "doc_id", "n_tokens", 64).select(
         F.lit("shard").alias("part"),
         F.lit(None).cast("string").alias("split"),
@@ -3032,6 +3071,7 @@ def sampling_split_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("long").alias("last_doc"),
         )
         .unionByName(shard)
+        .unionByName(shard_exp)
     )
 
 
@@ -3081,6 +3121,19 @@ SELECT 'shard', NULL, NULL, NULL, CAST(COUNT(*) AS BIGINT),
   SELECT doc_id,
          CAST(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens,
          {_MD5_BUCKET_SQL} % 64 AS shard_id,
+         printf('%010d:%012d', {_MD5_BUCKET_SQL} % 2147483648, doc_id) AS ord
+  FROM documents)
+GROUP BY shard_id
+UNION ALL
+-- shard_export: the Spark side recomputes these rows from the WRITTEN
+-- shard files; the oracle's ground truth is identical to the manifest's
+-- (the export must carry exactly the manifest's contents per shard)
+SELECT 'shard_export', NULL, NULL, NULL, CAST(COUNT(*) AS BIGINT),
+       CAST(shard_id AS BIGINT), CAST(SUM(n_tokens) AS BIGINT),
+       ARG_MIN(doc_id, ord), ARG_MAX(doc_id, ord) FROM (
+  SELECT doc_id,
+         CAST(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens,
+         {_MD5_BUCKET_SQL} % 16 AS shard_id,
          printf('%010d:%012d', {_MD5_BUCKET_SQL} % 2147483648, doc_id) AS ord
   FROM documents)
 GROUP BY shard_id
@@ -7004,7 +7057,7 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, _dedup_embedding_oracle(), "dedup: embedding near-dup pairs (LSH-bucketed) + integer k-means semantic-dedup legs"),
     "text_profile_docs": QuerySpec(text_profile_docs, _text_profile_oracle(), "text: quality scoring + language ID + fingerprint + BPE-ish token accounting"),
     "text_repetition_docs": QuerySpec(text_repetition_docs, TEXT_REPETITION_ORACLE, "text: repetition quality filters (dup lines, top bigram)"),
-    "sampling_split_suite": QuerySpec(sampling_split_suite, SAMPLING_SPLIT_ORACLE, "sampling: deterministic md5-bucket split + exact stratified sample + token-budget/temperature mix + data-loader shard manifest"),
+    "sampling_split_suite": QuerySpec(sampling_split_suite, SAMPLING_SPLIT_ORACLE, "sampling: deterministic md5-bucket split + exact stratified sample + token-budget/temperature mix + data-loader shard manifest + written-export round-trip"),
     "dedup_cluster_canonical": QuerySpec(dedup_cluster_canonical, DEDUP_CLUSTER_ORACLE, "dedup: connected-component clusters + canonical doc per cluster"),
     "dedup_cross_corpus": QuerySpec(dedup_cross_corpus, DEDUP_CROSS_CORPUS_ORACLE, "dedup: cross-corpus decontamination vs a held-out eval benchmark"),
     "corpus_store_suite": QuerySpec(corpus_store_suite, CORPUS_STORE_ORACLE, "store: persisted incremental artifacts (hashes/shingles/windows/KMV/Bloom/codebook) appended per batch; store-served verdicts == rescan, incl. the n_probe=2 staleness-cure leg"),

@@ -114,7 +114,7 @@ TIME_BUDGET = {
     "quality_suite": 3.0,
     "rank_suite": 3.0,
     "rest_fetch_appdetails": 3.0,
-    "sampling_split_suite": 3.0,
+    "sampling_split_suite": 5.5,  # round 10: +shard_export round-trip leg — each invocation WRITES the 16-shard export to fresh scratch (a fixed ~1.5s side effect by design: the leg exists to hash-verify the written files) then aggregates the read-back (~2.2s steady at sf0.001)
     "sessionization": 3.0,
     "set_ops_suite": 3.0,
     "skew_salted_agg": 3.0,

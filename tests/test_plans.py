@@ -534,7 +534,7 @@ EXCHANGE_BUDGET = {
     "quality_suite": 5,
     "rank_suite": 1,
     "rest_fetch_appdetails": 0,
-    "sampling_split_suite": 13,  # +2 token_budget window leg; +5 temperature leg (two corpus passes — group sizing + budget cut — are intrinsic to mix rebalancing); +2 shard-manifest leg (its own spread scan — the single-row-group local artifact every leg pays — + one map-side-combinable groupBy on 64 shard keys)
+    "sampling_split_suite": 14,  # +2 token_budget window leg; +5 temperature leg (two corpus passes — group sizing + budget cut — are intrinsic to mix rebalancing); +2 shard-manifest leg (its own spread scan + one map-side-combinable groupBy on 64 shard keys); +1 shard_export round-trip leg (groupBy over the read-back export — the write itself is an eager side effect outside this plan)
     "sessionization": 1,
     "set_ops_suite": 4,
     "skew_salted_agg": 2,
