@@ -61,7 +61,14 @@ def swap_in(live: str, staged: str, displaced: str) -> None:
     (atomic), then remove the displaced copy. A crash anywhere leaves one
     of the two torn states :func:`recover_swap` repairs; the live path
     never points at a partially-written directory and the old state is
-    never destroyed before its replacement is in place."""
+    never destroyed before its replacement is in place.
+
+    ``displaced`` is trash by protocol whenever swap_in runs (a surviving
+    copy means a previous swap committed but its cleanup rmtree failed),
+    so it is swept first — otherwise the displace rename would raise
+    ENOTEMPTY on a caller that has no entry-time recovery sweep of its
+    own."""
+    shutil.rmtree(displaced, ignore_errors=True)
     if os.path.exists(live):
         os.rename(live, displaced)
     os.rename(staged, live)

@@ -117,3 +117,14 @@ def test_exclusive_flock_blocks_second_holder(tmp_path):
     release.set()
     t2.join(timeout=30)
     assert order == ["a", "b"]
+
+
+def test_swap_in_sweeps_stale_displaced(tmp_path):
+    """A displaced dir that survives a silently-failed cleanup rmtree is
+    trash by protocol; swap_in must sweep it itself rather than crash
+    ENOTEMPTY on the displace rename — not every caller has an
+    entry-time recovery pass (round-10 ADVICE)."""
+    live, staged, disp = _stage(tmp_path, with_live=True)
+    _mkdir(disp, "stale-trash")
+    swap_in(live, staged, disp)
+    assert _tag(live) == "new" and not os.path.exists(disp)

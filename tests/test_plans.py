@@ -427,16 +427,26 @@ def test_incremental_refresh_writers_serialize(spark):
         )
         lk = os.open(os.path.join(mart, "_lock"), os.O_RDWR)
         fcntl.flock(lk, fcntl.LOCK_EX)
+        attempting = threading.Event()
         done = threading.Event()
+        batch2 = src([(2, "b", 20)])  # built BEFORE the thread starts, so
+        # the window between `attempting` and the flock call is just the
+        # function-entry prologue — not a DataFrame build a loaded host
+        # could stall past the not-done assertion below.
 
         def refresh():
+            attempting.set()
             incremental_refresh(
-                spark, mart, src([(2, "b", 20)]), transform, "ts", ["k"], "ts"
+                spark, mart, batch2, transform, "ts", ["k"], "ts"
             )
             done.set()
 
         t = threading.Thread(target=refresh, daemon=True)
         t.start()
+        # prove the contender actually reached the lock attempt before
+        # asserting it is blocked — otherwise a slow host could pass this
+        # vacuously with the thread never contending (round-10 ADVICE).
+        assert attempting.wait(30.0)
         assert not done.wait(1.5), "refresh ran while the writer lock was held"
         fcntl.flock(lk, fcntl.LOCK_UN)
         os.close(lk)
