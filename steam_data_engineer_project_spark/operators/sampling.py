@@ -119,11 +119,22 @@ def token_budget_cap(
 def _shard_ord(key_col: str) -> Column:
     """The shard-internal read order BOTH the manifest and the written
     export use: hash order, key-tiebroken, encoded as a fixed-width string
-    so every engine agrees on the total order (see shard_manifest)."""
+    so every engine agrees on the total order (see shard_manifest).
+
+    The key tiebreak is BIAS-ENCODED: ``key + 2^63`` (computed in
+    decimal(20,0) — the sum exceeds long range) zero-padded to 20 digits,
+    an order-preserving bijection from the FULL signed-long range onto
+    fixed-width unsigned strings. A signed ``%d`` render would silently
+    corrupt lexicographic order for negative keys ('-5' sorts after '1');
+    for non-negative keys the biased order is identical to the unbiased
+    one (the bias is monotone), so existing manifests are unaffected."""
+    biased = F.col(key_col).cast("decimal(20,0)") + F.lit(
+        "9223372036854775808"
+    ).cast("decimal(20,0)")
     return F.format_string(
-        "%010d:%012d",
+        "%010d:%s",
         _hash_bucket(F.col(key_col), 1 << 31),
-        F.col(key_col).cast("long"),
+        F.lpad(biased.cast("string"), 20, "0"),
     )
 
 
@@ -190,11 +201,11 @@ def shard_manifest(
     (n_shards keys, partial-aggregable: count/sum/min_by/max_by all
     map-side combine), so the manifest pass is a narrow corpus read.
 
-    ``key_col`` must be a non-negative integral (the order encoding
-    zero-pads it into a fixed-width string so engines agree on total
-    order — a sign character would break lexicographic order; hash ties
-    are broken by the key itself). Rows: (shard_id, n_docs, n_tokens,
-    first_key, last_key)."""
+    ``key_col`` may be ANY integral, negative included — the order
+    encoding bias-shifts it into an unsigned fixed-width string (see
+    :func:`_shard_ord`), so lexicographic order equals numeric order over
+    the full long range; hash ties are broken by the key itself. Rows:
+    (shard_id, n_docs, n_tokens, first_key, last_key)."""
     ordk = _shard_ord(key_col)
     return (
         df.select(
