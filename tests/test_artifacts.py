@@ -1,0 +1,119 @@
+"""Provenance checks for the committed measurement artifacts.
+
+SKEW_sf1.json / BLOOM_AGING.json / CODEBOOK_DRIFT.json / EXPORT_sf1.json
+pin measured claims (task-balance under planted skew, the bloom aging
+curve, codebook-staleness recall decay, the export writer's shape) but
+are regenerated manually by their tools — nothing structural stops the
+measured code from drifting past the measurement. Each tool stamps its
+output with the generating commit (tools/artifact_meta.py); this suite
+WARNS — never silently passes — when an artifact predates the last
+commit touching the code it measures, or was generated from a dirty
+worktree. Warn, not fail: a stale artifact is a regeneration chore
+(rerun the named tool), not a correctness regression — the numbers it
+pins are still the last honest measurement. The artifacts' substantive
+bounds are asserted elsewhere (e.g. test_plans.py's skew pin).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import warnings
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+#: artifact → (generating tool, the code whose behavior it measures).
+#: Paths are repo-relative; touching any of them after the artifact's
+#: generating commit marks the artifact stale.
+ARTIFACTS = {
+    "SKEW_sf1.json": (
+        "tools/skew_stress.py",
+        [
+            "steam_data_engineer_project_spark/operators/dedup.py",
+            "steam_data_engineer_project_spark/operators/skew.py",
+            "tools/skew_stress.py",
+        ],
+    ),
+    "BLOOM_AGING.json": (
+        "tools/bloom_aging.py",
+        [
+            "steam_data_engineer_project_spark/operators/bloom.py",
+            "steam_data_engineer_project_spark/corpus_store.py",
+            "tools/bloom_aging.py",
+        ],
+    ),
+    "CODEBOOK_DRIFT.json": (
+        "tools/codebook_drift.py",
+        [
+            "steam_data_engineer_project_spark/operators/clustering.py",
+            "steam_data_engineer_project_spark/corpus_store.py",
+            "tools/codebook_drift.py",
+        ],
+    ),
+    "EXPORT_sf1.json": (
+        "tools/export_bench.py",
+        [
+            "steam_data_engineer_project_spark/operators/sampling.py",
+            "tools/export_bench.py",
+        ],
+    ),
+}
+
+
+def _git(*args: str) -> subprocess.CompletedProcess:
+    return subprocess.run(
+        ["git", *args], cwd=REPO, capture_output=True, text=True
+    )
+
+
+@pytest.mark.parametrize("name", sorted(ARTIFACTS))
+def test_artifact_provenance_is_fresh(name):
+    tool, measured = ARTIFACTS[name]
+    path = os.path.join(REPO, name)
+    if not os.path.exists(path):
+        pytest.skip(f"{name} not generated yet")
+    with open(path) as f:
+        art = json.load(f)
+
+    commit = art.get("generated_at_commit")
+    if not commit:
+        warnings.warn(
+            f"{name} predates commit-stamping — regenerate with {tool} "
+            f"to record its provenance",
+            stacklevel=1,
+        )
+        return
+    if art.get("worktree_dirty"):
+        warnings.warn(
+            f"{name} was generated from a DIRTY worktree at {commit[:10]} "
+            f"— the stamped commit may not be the measured code; "
+            f"regenerate with {tool} from a clean tree",
+            stacklevel=1,
+        )
+
+    last_touch = _git("log", "-1", "--format=%H", "--", *measured)
+    assert last_touch.returncode == 0, last_touch.stderr
+    code_commit = last_touch.stdout.strip()
+    if not code_commit:
+        return  # shallow/filtered checkout — nothing to compare against
+    if _git("cat-file", "-e", f"{commit}^{{commit}}").returncode != 0:
+        warnings.warn(
+            f"{name}: generating commit {commit[:10]} is unknown to this "
+            f"checkout — cannot judge freshness; regenerate with {tool}",
+            stacklevel=1,
+        )
+        return
+    fresh = (
+        _git("merge-base", "--is-ancestor", code_commit, commit).returncode
+        == 0
+    )
+    if not fresh:
+        warnings.warn(
+            f"{name} is STALE: generated at {commit[:10]} but "
+            f"{code_commit[:10]} has since touched the code it measures "
+            f"({', '.join(measured)}) — rerun {tool}",
+            stacklevel=1,
+        )

@@ -1,0 +1,42 @@
+"""Provenance stamp for committed measurement artifacts.
+
+SKEW_sf1.json / BLOOM_AGING.json / CODEBOOK_DRIFT.json / EXPORT_sf1.json
+are regenerated manually by their tools, so nothing structural stops the
+measured code from drifting past the measurement. Every tool stamps its
+payload with :func:`provenance` — the generating commit and whether the
+worktree was dirty — and tests/test_artifacts.py warns (never silently
+passes) when an artifact predates the last commit touching the code it
+measures. Warn, not fail: a stale artifact is a regeneration chore, not
+a correctness regression, and the numbers it pins are still the last
+honest measurement.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def provenance() -> dict:
+    """{"generated_at_commit": HEAD sha, "worktree_dirty": bool} — merged
+    into each tool's output payload so the artifact names the code state
+    it measured. Degrades to commit=None outside a git checkout."""
+    try:
+        head = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            cwd=_REPO, capture_output=True, text=True, check=True,
+        ).stdout.strip()
+        status = subprocess.run(
+            ["git", "status", "--porcelain", "--untracked-files=no"],
+            cwd=_REPO, capture_output=True, text=True, check=True,
+        ).stdout.splitlines()
+        # PROGRESS.jsonl is the build driver's always-appending turn log,
+        # not code — it alone must not mark a measurement dirty.
+        dirty = any(
+            line for line in status if not line.endswith("PROGRESS.jsonl")
+        )
+    except Exception:
+        return {"generated_at_commit": None, "worktree_dirty": None}
+    return {"generated_at_commit": head, "worktree_dirty": dirty}

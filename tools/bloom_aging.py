@@ -35,6 +35,9 @@ import sys
 import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from artifact_meta import provenance  # noqa: E402
 
 from pyspark.sql import functions as F  # noqa: E402
 
@@ -155,6 +158,7 @@ def main() -> None:
 
     h = N_HASHES
     payload = {
+        **provenance(),
         "metric": "bloom_aging_curve",
         "m_bits": M_BITS,
         "n_hashes": h,

@@ -43,6 +43,9 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from artifact_meta import provenance  # noqa: E402
 
 import numpy as np  # noqa: E402
 
@@ -240,6 +243,7 @@ def main() -> None:
         shutil.rmtree(store_dir, ignore_errors=True)
 
     payload = {
+        **provenance(),
         "metric": "codebook_drift_decay",
         "dim": DIM,
         "n_base": N_FAM * BASE_PER_FAM,

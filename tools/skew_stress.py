@@ -50,6 +50,9 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from artifact_meta import provenance  # noqa: E402
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else os.path.join(_REPO, ".sf1data")
@@ -293,6 +296,7 @@ def main() -> None:
 
     groups = parse_event_log(log_dir)
     result = {
+        **provenance(),
         "sf_dir": SF_DIR,
         "fixture": {
             "hot_shingle_frac_pct": HOT_FRAC_PCT,
