@@ -117,3 +117,30 @@ def test_artifact_provenance_is_fresh(name):
             f"({', '.join(measured)}) — rerun {tool}",
             stacklevel=1,
         )
+
+
+def test_export_artifact_pins_minimal_shape():
+    """EXPORT_sf1.json (tools/export_bench.py, committed) is the measured
+    cost/shape of the sharded export writer at sf1: the 'minimal export
+    shape' claim in write_shards' docstring — ONE wide exchange on a
+    content hash, each shard one sorted file — asserted from the event
+    log and the written directory rather than argued. Regenerate after
+    touching the export writer."""
+    path = os.path.join(REPO, "EXPORT_sf1.json")
+    if not os.path.exists(path):
+        pytest.skip("EXPORT_sf1.json not generated yet")
+    with open(path) as f:
+        art = json.load(f)
+
+    # one wide exchange: exactly one stage in the export job group wrote
+    # shuffle data (the repartition(n_shards, shard)); a global sort or a
+    # driver-side collect would add stages or shuffle-writing rounds
+    assert art["n_shuffle_write_stages"] == 1, art
+    # every shard directory holds exactly one sorted run
+    assert art["files_per_shard"] == [1], art
+    assert art["n_shard_dirs"] == art["n_shards"]
+    # the exchange moves the dataset once: shuffle write within 3x of the
+    # compressed output (row-format shuffle blocks vs columnar parquet),
+    # not a multiple-materialization blowup
+    assert 0 < art["shuffle_write_bytes"] < 3 * max(art["output_bytes"], 1)
+    assert art["n_rows"] > 100_000 and art["wall_s"] > 0

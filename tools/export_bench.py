@@ -1,0 +1,187 @@
+"""Measure the sharded export writer at sf1: wall, shuffle bytes, files.
+
+write_shards' scale claim (operators/sampling.py) is that the export
+pass is the MINIMAL shape: ONE wide exchange on a pure content hash —
+no global sort, no driver materialization — landing each shard as one
+positionally-sorted file. The driver gates its CORRECTNESS (the
+shard_export leg hash-verifies the written files at sf0.01/sf1); this
+tool commits the SHAPE and COST at sf1 into EXPORT_sf1.json, the same
+measured-artifact pattern as SKEW_sf1.json:
+
+- wall seconds of a 64-shard export of sf1 documents (~570k rows);
+- shuffle write/read bytes and the COUNT of shuffle-writing stages
+  attributed to the export job group — the "one wide exchange" claim is
+  the assertion ``n_shuffle_write_stages == 1``;
+- files per shard from the written directory — "one sorted run per
+  shard" is ``files_per_shard == {1}``.
+
+tests/test_artifacts.py pins the artifact's bounds and warns when it
+goes stale (tools/artifact_meta.py provenance stamp).
+
+Usage:
+    python tools/export_bench.py [sf_dir] [out.json] [n_shards]
+    (defaults: /root/repo/.sf1data  EXPORT_sf1.json  64)
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from artifact_meta import provenance  # noqa: E402
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else os.path.join(_REPO, ".sf1data")
+OUT = sys.argv[2] if len(sys.argv) > 2 else os.path.join(_REPO, "EXPORT_sf1.json")
+N_SHARDS = int(sys.argv[3]) if len(sys.argv) > 3 else 64
+
+GROUP = "export_write"
+
+
+def shuffle_stats(log_dir: str, group: str) -> dict:
+    """Shuffle write/read bytes and shuffle-writing stage count for the
+    stages of one job group, from the (uncompressed) JSON event log."""
+    files = [
+        p
+        for p in glob.glob(os.path.join(log_dir, "**", "*"), recursive=True)
+        if os.path.isfile(p)
+        and "appstatus" not in os.path.basename(p)
+        and not p.endswith(".crc")
+    ]
+    stage_group: dict[int, str] = {}
+    write_b: dict[int, int] = {}
+    read_b: dict[int, int] = {}
+    input_b: dict[int, int] = {}
+    for path in files:
+        with open(path) as f:
+            for line in f:
+                try:
+                    ev = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                e = ev.get("Event")
+                if e == "SparkListenerJobStart":
+                    grp = (ev.get("Properties") or {}).get(
+                        "spark.jobGroup.id", ""
+                    )
+                    for si in ev.get("Stage Infos", []):
+                        stage_group[si["Stage ID"]] = grp
+                elif e == "SparkListenerTaskEnd":
+                    ti = ev.get("Task Info", {})
+                    if ti.get("Failed") or ti.get("Killed"):
+                        continue
+                    sid = ev["Stage ID"]
+                    m = ev.get("Task Metrics") or {}
+                    sw = (m.get("Shuffle Write Metrics") or {}).get(
+                        "Shuffle Bytes Written", 0
+                    )
+                    sr = m.get("Shuffle Read Metrics") or {}
+                    rb = sr.get("Remote Bytes Read", 0) + sr.get(
+                        "Local Bytes Read", 0
+                    )
+                    ib = (m.get("Input Metrics") or {}).get("Bytes Read", 0)
+                    write_b[sid] = write_b.get(sid, 0) + sw
+                    read_b[sid] = read_b.get(sid, 0) + rb
+                    input_b[sid] = input_b.get(sid, 0) + ib
+    mine = [sid for sid, g in stage_group.items() if g == group]
+    return {
+        "n_stages": len([s for s in mine if s in write_b or s in read_b]),
+        "n_shuffle_write_stages": len([s for s in mine if write_b.get(s, 0) > 0]),
+        "shuffle_write_bytes": sum(write_b.get(s, 0) for s in mine),
+        "shuffle_read_bytes": sum(read_b.get(s, 0) for s in mine),
+        "input_bytes": sum(input_b.get(s, 0) for s in mine),
+    }
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from steam_data_engineer_project_spark.operators.sampling import (
+        write_shards,
+    )
+
+    scratch = os.path.join(_REPO, ".scratch")
+    export = os.path.join(scratch, "export_bench_sf1")
+    log_dir = os.path.join(scratch, "export_eventlog")
+    shutil.rmtree(log_dir, ignore_errors=True)
+    shutil.rmtree(export, ignore_errors=True)
+    os.makedirs(log_dir, exist_ok=True)
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("export-bench")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "24g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.eventLog.enabled", "true")
+        .config("spark.eventLog.dir", log_dir)
+        .config("spark.eventLog.compress", "false")  # parsed as plain JSON
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    # the engine's whitespace token count (sampling_split_suite's),
+    # precomputed OUTSIDE the timed export so the measurement is the
+    # writer, not the tokenizer
+    tok = F.size(
+        F.split(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")),
+            " ",
+        )
+    ).cast("long")
+    df = docs.select("doc_id", tok.alias("n_tokens"), "text")
+    n_rows = df.count()  # warms the scan; row count for the artifact
+
+    sc = spark.sparkContext
+    sc.setJobGroup(GROUP, GROUP)
+    t0 = time.time()
+    write_shards(df, "doc_id", "n_tokens", N_SHARDS, export)
+    wall = time.time() - t0
+    sc.setJobGroup("idle", "idle")
+    spark.stop()  # flushes the event log
+
+    per_shard = {
+        d: len(glob.glob(os.path.join(export, d, "*.parquet")))
+        for d in os.listdir(export)
+        if d.startswith("shard_id=")
+    }
+    out_bytes = sum(
+        os.path.getsize(p)
+        for p in glob.glob(os.path.join(export, "**", "*.parquet"), recursive=True)
+    )
+    stats = shuffle_stats(log_dir, GROUP)
+    result = {
+        **provenance(),
+        "sf_dir": SF_DIR,
+        "n_shards": N_SHARDS,
+        "n_rows": n_rows,
+        "wall_s": round(wall, 2),
+        "rows_per_s": round(n_rows / wall),
+        "output_bytes": out_bytes,
+        "n_shard_dirs": len(per_shard),
+        "files_per_shard": sorted(set(per_shard.values())),
+        **stats,
+    }
+    with open(OUT, "w") as f:
+        json.dump(result, f, indent=1)
+        f.write("\n")
+    shutil.rmtree(export, ignore_errors=True)
+    shutil.rmtree(log_dir, ignore_errors=True)
+    print(json.dumps(result, indent=1))
+    print(f"wrote {OUT}")
+
+
+if __name__ == "__main__":
+    main()
