@@ -143,4 +143,5 @@ def test_export_artifact_pins_minimal_shape():
     # compressed output (row-format shuffle blocks vs columnar parquet),
     # not a multiple-materialization blowup
     assert 0 < art["shuffle_write_bytes"] < 3 * max(art["output_bytes"], 1)
-    assert art["n_rows"] > 100_000 and art["wall_s"] > 0
+    # sf1 documents = 50k rows (10x FK-consistent amplification of sf0.1)
+    assert art["n_rows"] >= 50_000 and art["wall_s"] > 0
