@@ -19,10 +19,14 @@ import subprocess
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def provenance() -> dict:
+def provenance(out_path: str | None = None) -> dict:
     """{"generated_at_commit": HEAD sha, "worktree_dirty": bool} — merged
     into each tool's output payload so the artifact names the code state
-    it measured. Degrades to commit=None outside a git checkout."""
+    it measured. ``out_path`` is the artifact being (re)written: it is
+    the measurement's OUTPUT, not measured code, so a tracked prior
+    version sitting modified in the worktree must not mark the run dirty
+    (regenerating an artifact would otherwise always self-report dirty).
+    Degrades to commit=None outside a git checkout."""
     try:
         head = subprocess.run(
             ["git", "rev-parse", "HEAD"],
@@ -33,9 +37,15 @@ def provenance() -> dict:
             cwd=_REPO, capture_output=True, text=True, check=True,
         ).stdout.splitlines()
         # PROGRESS.jsonl is the build driver's always-appending turn log,
-        # not code — it alone must not mark a measurement dirty.
+        # not code — it alone must not mark a measurement dirty; ditto
+        # the artifact this run is rewriting.
+        skip = {"PROGRESS.jsonl"}
+        if out_path:
+            skip.add(os.path.basename(out_path))
         dirty = any(
-            line for line in status if not line.endswith("PROGRESS.jsonl")
+            line
+            for line in status
+            if os.path.basename(line[3:].strip()) not in skip
         )
     except Exception:
         return {"generated_at_commit": None, "worktree_dirty": None}

@@ -158,7 +158,7 @@ def main() -> None:
 
     h = N_HASHES
     payload = {
-        **provenance(),
+        **provenance(out_path),
         "metric": "bloom_aging_curve",
         "m_bits": M_BITS,
         "n_hashes": h,

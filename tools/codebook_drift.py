@@ -243,7 +243,7 @@ def main() -> None:
         shutil.rmtree(store_dir, ignore_errors=True)
 
     payload = {
-        **provenance(),
+        **provenance(out_path),
         "metric": "codebook_drift_decay",
         "dim": DIM,
         "n_base": N_FAM * BASE_PER_FAM,

@@ -163,7 +163,7 @@ def main() -> None:
     )
     stats = shuffle_stats(log_dir, GROUP)
     result = {
-        **provenance(),
+        **provenance(OUT),
         "sf_dir": SF_DIR,
         "n_shards": N_SHARDS,
         "n_rows": n_rows,

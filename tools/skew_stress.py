@@ -296,7 +296,7 @@ def main() -> None:
 
     groups = parse_event_log(log_dir)
     result = {
-        **provenance(),
+        **provenance(OUT),
         "sf_dir": SF_DIR,
         "fixture": {
             "hot_shingle_frac_pct": HOT_FRAC_PCT,
