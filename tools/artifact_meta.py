@@ -38,8 +38,16 @@ def provenance(out_path: str | None = None) -> dict:
         ).stdout.splitlines()
         # PROGRESS.jsonl is the build driver's always-appending turn log,
         # not code — it alone must not mark a measurement dirty; ditto
-        # the artifact this run is rewriting.
-        skip = {"PROGRESS.jsonl"}
+        # the measurement artifacts themselves (all OUTPUTS, never
+        # measured code — a back-to-back regeneration sweep would
+        # otherwise have each artifact dirty the next one's stamp).
+        skip = {
+            "PROGRESS.jsonl",
+            "SKEW_sf1.json",
+            "BLOOM_AGING.json",
+            "CODEBOOK_DRIFT.json",
+            "EXPORT_sf1.json",
+        }
         if out_path:
             skip.add(os.path.basename(out_path))
         dirty = any(
