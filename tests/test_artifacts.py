@@ -124,24 +124,31 @@ def test_export_artifact_pins_minimal_shape():
     cost/shape of the sharded export writer at sf1: the 'minimal export
     shape' claim in write_shards' docstring — ONE wide exchange on a
     content hash, each shard one sorted file — asserted from the event
-    log and the written directory rather than argued. Regenerate after
-    touching the export writer."""
+    log and the written directory rather than argued, at EVERY measured
+    shard count (64 and the 256 scale-up probe: a 100 TB export runs
+    thousands of shards, and the invariants that must survive the
+    scale-up are exactly 'still one exchange' and 'still one file per
+    shard'). Regenerate after touching the export writer."""
     path = os.path.join(REPO, "EXPORT_sf1.json")
     if not os.path.exists(path):
         pytest.skip("EXPORT_sf1.json not generated yet")
     with open(path) as f:
         art = json.load(f)
 
-    # one wide exchange: exactly one stage in the export job group wrote
-    # shuffle data (the repartition(n_shards, shard)); a global sort or a
-    # driver-side collect would add stages or shuffle-writing rounds
-    assert art["n_shuffle_write_stages"] == 1, art
-    # every shard directory holds exactly one sorted run
-    assert art["files_per_shard"] == [1], art
-    assert art["n_shard_dirs"] == art["n_shards"]
-    # the exchange moves the dataset once: shuffle write within 3x of the
-    # compressed output (row-format shuffle blocks vs columnar parquet),
-    # not a multiple-materialization blowup
-    assert 0 < art["shuffle_write_bytes"] < 3 * max(art["output_bytes"], 1)
     # sf1 documents = 50k rows (10x FK-consistent amplification of sf0.1)
-    assert art["n_rows"] >= 50_000 and art["wall_s"] > 0
+    assert art["n_rows"] >= 50_000
+    shard_counts = [r["n_shards"] for r in art["runs"]]
+    assert 64 in shard_counts and max(shard_counts) >= 256, shard_counts
+    for run in art["runs"]:
+        # one wide exchange: exactly one stage in the run's job group
+        # wrote shuffle data (the repartition(n_shards, shard)); a global
+        # sort or a driver-side collect would add shuffle-writing rounds
+        assert run["n_shuffle_write_stages"] == 1, run
+        # every shard directory holds exactly one sorted run
+        assert run["files_per_shard"] == [1], run
+        assert run["n_shard_dirs"] == run["n_shards"]
+        # the exchange moves the dataset once: shuffle write within 3x of
+        # the compressed output (row-format shuffle blocks vs columnar
+        # parquet), not a multiple-materialization blowup
+        assert 0 < run["shuffle_write_bytes"] < 3 * max(run["output_bytes"], 1)
+        assert run["wall_s"] > 0
