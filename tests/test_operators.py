@@ -1102,6 +1102,66 @@ def test_shard_order_contract_holds_for_negative_keys(spark, tmp_path):
     assert old == sorted(nonneg, key=order_key)
 
 
+def test_shard_manifest_property_random_signed_keys(spark):
+    """Hypothesis property for the shard contract: for ARBITRARY unique
+    signed-long key sets (the engine draws near-boundary magnitudes
+    hypothesis loves), the manifest's per-shard counts, token totals, and
+    boundary keys equal a pure-Python replay of md5-bucketing + the
+    (hash, key) numeric order — i.e. the fixed-width bias encoding is
+    order-faithful over the whole domain, not just the pinned extremes."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from steam_data_engineer_project_spark.operators.sampling import (
+        shard_manifest,
+    )
+
+    import hashlib
+
+    def bucket(k):
+        return int(hashlib.md5(f"v:{k}".encode()).hexdigest()[:8], 16)
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.lists(
+            st.integers(min_value=-(2**63), max_value=2**63 - 1),
+            min_size=1,
+            max_size=40,
+            unique=True,
+        ),
+        st.integers(min_value=1, max_value=5),
+    )
+    def check(keys, shards):
+        df = spark.createDataFrame(
+            [(k, (abs(k) % 7) + 1) for k in keys], "doc_id long, n_tokens long"
+        )
+        got = sorted(
+            map(tuple, shard_manifest(df, "doc_id", "n_tokens", shards).collect())
+        )
+        expect = []
+        by_shard: dict[int, list] = {}
+        for k in keys:
+            by_shard.setdefault(bucket(k) % shards, []).append(k)
+        for s, members in by_shard.items():
+            members.sort(key=lambda k: (bucket(k) % (1 << 31), k))
+            expect.append(
+                (
+                    s,
+                    len(members),
+                    sum((abs(k) % 7) + 1 for k in members),
+                    members[0],
+                    members[-1],
+                )
+            )
+        assert got == sorted(expect), (keys, shards)
+
+    check()
+
+
 # ------------------------------------------------------------ connected components
 
 
