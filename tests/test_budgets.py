@@ -12,7 +12,7 @@ scheduler jitter alone.
 Budgets are generous by design — a failure here means multiples, not
 percent. When a query's cost profile legitimately changes (new suite leg,
 heavier semantics), regenerate with the tool and justify the new number in
-the commit. Each query gets up to two attempts (min wins) so a one-off
+the commit. Each query gets up to three attempts (min wins) so a one-off
 host-load spike — this box runs a periodic monitor that can triple a
 pass's wall time — doesn't fail the suite.
 
