@@ -85,6 +85,7 @@ import math
 import os
 import shutil
 import tempfile
+import time
 from contextlib import contextmanager
 from typing import Callable
 
@@ -216,7 +217,29 @@ class CorpusStore:
     against it — a batch that silently omits a table must not commit).
     """
 
-    def __init__(self, root: str, tables: tuple[str, ...] | None = None):
+    def __init__(
+        self,
+        root: str,
+        tables: tuple[str, ...] | None = None,
+        orphan_retention_s: float = 0.0,
+    ):
+        """``orphan_retention_s`` is the store's VACUUM window: with the
+        default 0, structural rewrites (compact / swap_codebook /
+        rebuild_bloom) and retire delete the directories they orphan as
+        soon as the manifest flips — the single-writer, quiesced-reader
+        contract. With a positive window, orphaned directories are
+        TOMBSTONED instead (atomic rename to ``<dir>.tomb.<epoch_ms>``;
+        readers resolve through the manifest and never see tombstones)
+        and physically deleted only once the window has elapsed — at the
+        next store open, or explicitly via :meth:`sweep_orphans`. That is
+        what lets a serving fleet keep plans in flight ACROSS a
+        compaction: a plan built against the old generation keeps its
+        files until every executor could plausibly have finished, the
+        same retention contract as Delta's VACUUM hours. Size it to the
+        longest query you serve; the cost is disk (two generations live
+        during the window), never correctness — visibility flips with the
+        manifest either way."""
+        self.orphan_retention_s = float(orphan_retention_s)
         self.root = root
         mpath = os.path.join(root, MANIFEST)
         if os.path.exists(mpath):
@@ -260,19 +283,66 @@ class CorpusStore:
                     }
                     self._flush()
 
-    def _sweep_orphan_generations(self) -> None:
-        """Delete generation directories the manifest no longer (or never
-        did) reference. compact/swap_codebook/rebuild_bloom rmtree old
-        generations only AFTER the manifest flip, so a crash in between
-        orphans ``<table>__g<old>`` (and ``sem_state_v<old>``) forever —
-        a retry allocates NEW gens and deletes only its own. Run at open:
-        a dir whose gen is neither the table's current gen nor >= next_gen
-        (an in-flight retry target that a crashed-before-flip attempt
-        staged) is unreferenced and safe to drop. Single-writer contract
-        (see :meth:`admit`): no concurrent reader holds a plan against a
-        non-current generation across a process boundary."""
+    #: sidecar marking a directory orphaned at <epoch seconds> — the file
+    #: is dot-prefixed so parquet readers and the ``batch_id=`` listings
+    #: never see it, and the directory's PATH is untouched, which is the
+    #: whole point: an in-flight plan keeps resolving its files.
+    ORPHAN_MARK = ".orphaned_at"
+
+    def _discard(self, path: str) -> None:
+        """Retire a directory the manifest no longer references. With no
+        retention window this is an immediate rmtree; with one, the dir
+        stays EXACTLY where it is (so in-flight reader plans keep
+        resolving their files) and gains an ``.orphaned_at`` sidecar
+        starting the retention clock — :meth:`sweep_orphans` deletes it
+        once the window has elapsed. Visibility is unaffected either way:
+        readers resolve generations through the manifest and filter
+        slices by commit marker + watermark, so an orphaned dir is
+        already invisible to every NEW plan the instant the manifest
+        flipped. Idempotent: an existing sidecar's clock is never reset
+        (a crash-retried flip must not extend the window)."""
+        if self.orphan_retention_s <= 0:
+            shutil.rmtree(path, ignore_errors=True)
+            return
+        if not os.path.isdir(path):
+            return
+        mark = os.path.join(path, self.ORPHAN_MARK)
+        if not os.path.exists(mark):
+            try:
+                with open(mark, "w") as f:
+                    f.write(str(time.time()))
+            except OSError:
+                pass  # best-effort: an unmarked orphan restarts its clock
+                # at the next sweep, which only ever lengthens retention
+
+    def _reap_if_expired(self, path: str) -> None:
+        """Delete an orphaned directory once its retention clock expires;
+        start the clock now if a crash lost the sidecar (conservative:
+        never shortens the window)."""
+        mark = os.path.join(path, self.ORPHAN_MARK)
+        try:
+            with open(mark) as f:
+                ts = float(f.read().strip())
+        except (OSError, ValueError):
+            self._discard(path)
+            return
+        if time.time() - ts >= self.orphan_retention_s:
+            shutil.rmtree(path, ignore_errors=True)
+
+    def sweep_orphans(self) -> None:
+        """Reclaim directories the manifest no longer references — old
+        generations a structural rewrite displaced, stale codebook
+        versions, and retired slices below the watermark — honoring the
+        retention window (immediate deletion when the window is 0). Runs
+        at every store open; a long-lived process with a retention window
+        calls it explicitly to reclaim disk without reopening. Safe
+        concurrently with writers: staged generations are ``>= next_gen``
+        under any (possibly stale) manifest view and are never touched,
+        and reaping an expired orphan races only other sweepers
+        (ignore_errors)."""
         nxt = self._m["next_gen"]
         cur_v = self._m.get("codebook_version")
+        retain = self.orphan_retention_s > 0
         for entry in os.listdir(self.root):
             p = os.path.join(self.root, entry)
             if not os.path.isdir(p):
@@ -284,7 +354,7 @@ class CorpusStore:
                 except ValueError:
                     continue
                 if g != self._m["tables"][name] and g < nxt:
-                    shutil.rmtree(p, ignore_errors=True)
+                    self._reap_if_expired(p) if retain else self._discard(p)
             elif entry.startswith("sem_state_v") and cur_v is not None:
                 try:
                     v = int(entry[len("sem_state_v"):])
@@ -292,7 +362,39 @@ class CorpusStore:
                     continue
                 # versions > current are in-flight swap retries; keep them
                 if v < cur_v:
-                    shutil.rmtree(p, ignore_errors=True)
+                    self._reap_if_expired(p) if retain else self._discard(p)
+        if not retain:
+            return
+        # retired slices wait out their window inside live table dirs
+        floor = self._m.get("retired_below", 0)
+        for name in self._m["tables"]:
+            tdir = self._tdir(name)
+            if not os.path.isdir(tdir):
+                continue
+            for d in os.listdir(tdir):
+                if not d.startswith("batch_id="):
+                    continue
+                try:
+                    bid = int(d.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if bid < floor:
+                    self._reap_if_expired(os.path.join(tdir, d))
+
+    def _sweep_orphan_generations(self) -> None:
+        """Open-time sweep. compact/swap_codebook/rebuild_bloom discard
+        old generations only AFTER the manifest flip, so a crash in
+        between orphans ``<table>__g<old>`` (and ``sem_state_v<old>``)
+        forever — a retry allocates NEW gens and discards only its own.
+        At open, a dir whose gen is neither the table's current gen nor
+        >= next_gen (an in-flight retry target that a crashed-before-flip
+        attempt staged) is unreferenced: dropped immediately without a
+        retention window, tombstoned with one (see :meth:`_discard` /
+        :meth:`sweep_orphans`). Without a window the single-writer
+        contract applies (see :meth:`admit`): no concurrent reader holds
+        a plan against a non-current generation across a process
+        boundary — the retention window is exactly what relaxes that."""
+        self.sweep_orphans()
 
     # ------------------------------------------------------------------ #
     # manifest plumbing
@@ -591,9 +693,7 @@ class CorpusStore:
                     except ValueError:
                         continue
                     if bid < before_batch_id:
-                        shutil.rmtree(
-                            os.path.join(tdir, d), ignore_errors=True
-                        )
+                        self._discard(os.path.join(tdir, d))
         # prune retired batches' commit markers too — without this the
         # _commits/ directory grows one file per batch forever (a store
         # that lives for months lists millions of dead entries on every
@@ -680,7 +780,7 @@ class CorpusStore:
             str(hi): min(self._slice_lo(assigned_table, b) for b in retained)
         }
         self._flush()
-        shutil.rmtree(self._tdir(assigned_table, old_gen), ignore_errors=True)
+        self._discard(self._tdir(assigned_table, old_gen))
         return new_v
 
     def maybe_retrain(
@@ -824,13 +924,17 @@ class CorpusStore:
         target=4 made the post-compaction serve 5 % SLOWER on 32 cores).
         None (default) keeps the combiner output's partitioning.
 
-        Run at a QUIESCENT point — no serve plan in flight (the same
-        contract as streaming/state_store.reshard): old generations are
-        deleted right after the manifest flip, so a plan built against
-        pre-compaction paths would lose its files mid-read. Admissions
-        need not pause planning-wise, but an admit that lands between
-        slice rewrite and flip would write into a generation about to be
-        orphaned — quiesce writers too."""
+        Under the default ``orphan_retention_s=0``, run at a QUIESCENT
+        point — no serve plan in flight (the same contract as
+        streaming/state_store.reshard): old generations are deleted right
+        after the manifest flip, so a plan built against pre-compaction
+        paths would lose its files mid-read. A store opened with a
+        positive retention window relaxes exactly that (see
+        :meth:`__init__`): displaced generations stay at their paths for
+        the window, so in-flight plans finish; only NEW plans see the
+        consolidated generation. Writers need no quiescing either way —
+        every mutator serializes on the store's flock, so an admit
+        cannot land between slice rewrite and flip."""
         retained = self._retained_ids()
         if not retained:
             raise ValueError("nothing to compact")
@@ -888,7 +992,7 @@ class CorpusStore:
         self._m["next_gen"] = base_gen + len(new_gens)
         self._flush()
         for name, g in old_gens.items():
-            shutil.rmtree(self._tdir(name, g), ignore_errors=True)
+            self._discard(self._tdir(name, g))
 
     # ------------------------------------------------------------------ #
     # bloom aging: fill measurement + rebuild from the stored shingles
@@ -970,7 +1074,7 @@ class CorpusStore:
             str(hi): min(self._slice_lo(bloom_table, b) for b in retained)
         }
         self._flush()
-        shutil.rmtree(self._tdir(bloom_table, old_gen), ignore_errors=True)
+        self._discard(self._tdir(bloom_table, old_gen))
 
 
 def bloom_required_bits(

@@ -1400,3 +1400,114 @@ def test_bloom_rebuild_after_retire_excludes_retired_keys(spark, tmp_path):
     empty = CorpusStore(str(tmp_path / "e"), tables=("shingles", "bloom"))
     with pytest.raises(ValueError, match="nothing admitted"):
         empty.rebuild_bloom(spark, M_BITS, N_HASHES)
+
+
+# ---------------------------------------------------------- retention window
+
+
+def _vals_df(spark, values):
+    return spark.createDataFrame([(v,) for v in values], "v long")
+
+
+def test_retention_window_keeps_inflight_plans_alive(spark, tmp_path):
+    """With a positive ``orphan_retention_s`` (the VACUUM window), a
+    structural rewrite must NOT destroy the generation an in-flight
+    reader plan references: the plan — built BEFORE compact — still
+    collects correctly AFTER it, because the displaced generation stays
+    at its original path with only an ``.orphaned_at`` sidecar. New
+    reads flip to the consolidated generation instantly (visibility is
+    the manifest's, not the filesystem's). The retention-0 default keeps
+    today's delete-on-flip behavior (counterfactual asserted)."""
+    root = str(tmp_path / "ret")
+    st = CorpusStore(root, tables=("t",), orphan_retention_s=3600.0)
+    st.admit({"t": _vals_df(spark, [0, 1])}, 0)
+    st.admit({"t": _vals_df(spark, [2, 3])}, 1)
+    g0 = st._tdir("t")
+    inflight = st.read(spark, "t").select("v")  # plan against gen 0
+
+    st.compact(spark)
+    # new plan serves the consolidated generation
+    assert sorted(r.v for r in st.read(spark, "t").collect()) == [0, 1, 2, 3]
+    # the in-flight plan's files are still there — and still correct
+    assert sorted(r.v for r in inflight.collect()) == [0, 1, 2, 3]
+    assert os.path.isdir(g0)
+    assert os.path.exists(os.path.join(g0, CorpusStore.ORPHAN_MARK))
+    # idempotent: a sweep inside the window keeps the orphan
+    st.sweep_orphans()
+    assert os.path.isdir(g0)
+
+    # counterfactual: the retention-0 default deletes the old generation
+    # at the flip (the quiesced-reader contract, unchanged)
+    root0 = str(tmp_path / "noret")
+    s0 = CorpusStore(root0, tables=("t",))
+    s0.admit({"t": _vals_df(spark, [0])}, 0)
+    old = s0._tdir("t")
+    s0.compact(spark)
+    assert not os.path.isdir(old)
+
+
+def test_retention_expiry_reaps_orphans(spark, tmp_path):
+    """Once the window elapses, sweep_orphans physically deletes the
+    displaced generation — a long-lived process reclaims disk without
+    reopening; serving is unaffected."""
+    import time as _time
+
+    root = str(tmp_path / "s")
+    st = CorpusStore(root, tables=("t",), orphan_retention_s=0.4)
+    st.admit({"t": _vals_df(spark, [0, 1])}, 0)
+    st.admit({"t": _vals_df(spark, [2])}, 1)
+    g0 = st._tdir("t")
+    st.compact(spark)
+    assert os.path.isdir(g0)  # inside the window
+    _time.sleep(0.5)
+    st.sweep_orphans()
+    assert not os.path.isdir(g0)
+    assert sorted(r.v for r in st.read(spark, "t").collect()) == [0, 1, 2]
+
+
+def test_retention_clock_survives_crash_and_reopen(spark, tmp_path):
+    """A crash that loses the ``.orphaned_at`` sidecar (or lands between
+    the manifest flip and the marking) must RESTART the clock, never
+    shorten it: the open-time sweep re-marks an unmarked orphan instead
+    of deleting it. Reopening with retention 0 is the operator's opt-out
+    and deletes immediately."""
+    root = str(tmp_path / "s")
+    st = CorpusStore(root, tables=("t",), orphan_retention_s=3600.0)
+    st.admit({"t": _vals_df(spark, [0])}, 0)
+    st.admit({"t": _vals_df(spark, [1])}, 1)
+    g0 = st._tdir("t")
+    st.compact(spark)
+    mark = os.path.join(g0, CorpusStore.ORPHAN_MARK)
+    os.unlink(mark)  # simulate the crash-before-mark torn state
+
+    st2 = CorpusStore(root, orphan_retention_s=3600.0)  # open-time sweep
+    assert os.path.isdir(g0) and os.path.exists(mark)  # clock restarted
+    assert sorted(r.v for r in st2.read(spark, "t").collect()) == [0, 1]
+
+    st3 = CorpusStore(root)  # retention 0: immediate reclamation
+    assert not os.path.isdir(g0)
+    assert sorted(r.v for r in st3.read(spark, "t").collect()) == [0, 1]
+
+
+def test_retention_retired_slices_wait_out_the_window(spark, tmp_path):
+    """retire() under a retention window: the watermark flip hides the
+    slices from every NEW read instantly (metadata, as always), but the
+    slice directories wait out the window so an in-flight plan keeps its
+    files; the sweep reaps them after expiry."""
+    import time as _time
+
+    root = str(tmp_path / "s")
+    st = CorpusStore(root, tables=("t",), orphan_retention_s=0.4)
+    st.admit({"t": _vals_df(spark, [0, 1])}, 0)
+    st.admit({"t": _vals_df(spark, [2])}, 1)
+    inflight = st.read(spark, "t").select("v")
+    sl0 = os.path.join(st._tdir("t"), "batch_id=0")
+
+    st.retire(1)
+    assert [r.v for r in st.read(spark, "t").collect()] == [2]  # instant
+    assert os.path.isdir(sl0)  # files wait out the window
+    assert sorted(r.v for r in inflight.collect()) == [0, 1, 2]
+    _time.sleep(0.5)
+    st.sweep_orphans()
+    assert not os.path.isdir(sl0)
+    assert [r.v for r in st.read(spark, "t").collect()] == [2]
