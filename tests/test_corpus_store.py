@@ -700,7 +700,7 @@ def test_semantic_multiprobe_recovers_boundary_split(spark):
     assert rc["verdict"] == "semantic_dup" and rc["cluster_id"] == 0
 
 
-def _lifecycle_model_property(spark, tmp_path, max_examples):
+def _lifecycle_model_property(spark, tmp_path, max_examples, store_kwargs=None):
     """Model-based lifecycle check: arbitrary interleavings of admit,
     torn admit, retire, compact, torn compact, and process reopen are
     replayed against a pure-Python model of the visible row set (rows of
@@ -787,7 +787,7 @@ def _lifecycle_model_property(spark, tmp_path, max_examples):
     def check(ops):
         counter[0] += 1
         root = str(tmp_path / f"m{counter[0]}")
-        store = CorpusStore(root, tables=("t",))
+        store = CorpusStore(root, tables=("t",), **(store_kwargs or {}))
         model: dict[int, set] = {}  # visible batch -> row values
         msegs: dict[int, int] = {}  # consolidated slice label -> range lo
         watermark = 0
@@ -910,7 +910,7 @@ def _lifecycle_model_property(spark, tmp_path, max_examples):
                     model[hi] = merged
                     msegs[hi] = lo
             elif kind == "reopen":
-                store = CorpusStore(root)
+                store = CorpusStore(root, **(store_kwargs or {}))
 
             expect = sorted(set().union(*model.values())) if model else []
             if expect:
@@ -929,6 +929,20 @@ def test_store_lifecycle_model_property(spark, tmp_path):
     """The fast profile: 12 random examples + the pinned @example
     schedules (see _lifecycle_model_property)."""
     _lifecycle_model_property(spark, tmp_path, 12)
+
+
+def test_store_lifecycle_property_under_retention_window(spark, tmp_path):
+    """The SAME model property with a large orphan-retention window: the
+    pinned falsifying schedules (plus a few random draws) must hold when
+    every displaced generation and retired slice LINGERS on disk for the
+    whole run — lingering orphans must never leak into visibility
+    (reads resolve through manifest + markers + watermark, never the
+    filesystem). This is the retention feature's adversarial gate: if a
+    listing anywhere trusted the filesystem over the metadata, the
+    deferred deletions would double-serve here."""
+    _lifecycle_model_property(
+        spark, tmp_path, 6, {"orphan_retention_s": 3600.0}
+    )
 
 
 @pytest.mark.deep
