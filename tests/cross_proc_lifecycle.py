@@ -34,9 +34,16 @@ values. Invoked by test_corpus_store.py's deep profile:
     python cross_proc_lifecycle.py <store_root> <proc_id> <schedule_json>
 
 The schedule JSON carries {"segments": [[op, ...], ...], "barriers":
-<dir>}; ops are ["admit", nrows] / ["admit_torn", nrows] /
-["retire", arg] / ["compact", upto] / ["compact_torn", 0] /
-["reopen", 0]. Exit 0 = every barrier check passed in this worker.
+<dir>, "retention": seconds}; ops are ["admit", nrows] /
+["admit_torn", nrows] / ["retire", arg] / ["compact", upto] /
+["compact_torn", 0] / ["reopen", 0]. A positive "retention" opens every
+store handle with that orphan-retention window, so displaced
+generations and retired slices LINGER across the whole run while two
+processes race mutations, reopen-sweeps, and reads — the adversarial
+cross-process gate for the deferred-deletion feature (the model and the
+pyarrow rescan are retention-proof by construction: both resolve
+visibility through manifest + markers + watermark only). Exit 0 = every
+barrier check passed in this worker.
 """
 
 from __future__ import annotations
@@ -55,6 +62,10 @@ from steam_data_engineer_project_spark.corpus_store import (  # noqa: E402
 )
 
 BARRIER_TIMEOUT_S = 240
+
+#: orphan-retention window every store handle in this worker opens with
+#: (set from the schedule JSON in main; 0 = today's delete-on-flip).
+RETENTION = 0.0
 
 
 def vals(bid: int, nrows: int) -> list[int]:
@@ -122,7 +133,8 @@ def rescan(root: str) -> tuple[int, list[int]]:
 
 def check_quiescent(spark, root: str, logs: list[list], tag: str) -> None:
     watermark, expect = model_from_logs(logs)
-    st = CorpusStore(root)  # fresh handle: recovery sweep + disk manifest
+    st = CorpusStore(root, orphan_retention_s=RETENTION)  # fresh handle:
+    # recovery sweep (retention-honoring) + manifest from disk
     assert st._m.get("retired_below", 0) == watermark, (
         tag, st._m.get("retired_below"), watermark
     )
@@ -146,7 +158,7 @@ def check_quiescent(spark, root: str, logs: list[list], tag: str) -> None:
 def _bump_bid(root: str, cur: int, parity: int) -> int:
     """Next legal-looking bid after a refusal: above the watermark, every
     consolidated slice, and every committed id — parity preserved."""
-    st = CorpusStore(root)
+    st = CorpusStore(root, orphan_retention_s=RETENTION)
     hi = st._m.get("retired_below", 0)
     for tseg in st._m.get("segments", {}).values():
         for h in tseg:
@@ -162,6 +174,8 @@ def main() -> None:
     root, proc, sched_path = sys.argv[1], int(sys.argv[2]), sys.argv[3]
     with open(sched_path) as f:
         sched = json.load(f)
+    global RETENTION
+    RETENTION = float(sched.get("retention", 0.0))
     bdir = sched["barriers"]
     my_log_path = os.path.join(bdir, f"log_p{proc}.json")
 
@@ -177,7 +191,7 @@ def main() -> None:
     def rows_df(values):
         return spark.createDataFrame([(v,) for v in values], "v long")
 
-    store = CorpusStore(root, tables=("t",))
+    store = CorpusStore(root, tables=("t",), orphan_retention_s=RETENTION)
     log: list[dict] = []
     next_bid = proc  # parity-disjoint id spaces: p0 even, p1 odd
 
@@ -220,7 +234,7 @@ def main() -> None:
                     ok = False
                 log.append({"op": kind, "arg": arg, "ok": ok})
             elif kind == "reopen":
-                store = CorpusStore(root)
+                store = CorpusStore(root, orphan_retention_s=RETENTION)
                 log.append({"op": "reopen", "ok": True})
 
         # ---- barrier: publish log, wait for peer, quiescent check ----

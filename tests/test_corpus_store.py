@@ -1155,12 +1155,14 @@ def test_writer_lock_across_processes(spark, tmp_path):
     assert st.bloom_params() == {"m_bits": 64, "n_hashes": 2, "salt": "bf"}
 
 
-def _run_cross_proc_schedules(tmp_path, schedules: list) -> None:
+def _run_cross_proc_schedules(tmp_path, schedules: list, retention=0.0) -> None:
     """Spawn two JVM worker processes (tests/cross_proc_lifecycle.py)
     running the given per-process op schedules against ONE store root,
     with file-barrier quiescent checks inside each worker. Raises with
     the worker's stderr (which names the failing barrier and the
-    model/rescan/read split) on any violation."""
+    model/rescan/read split) on any violation. ``retention`` > 0 opens
+    every store handle with that orphan-retention window — lingering
+    displaced generations and retired slices across the whole run."""
     import json
     import subprocess
     import sys
@@ -1173,7 +1175,11 @@ def _run_cross_proc_schedules(tmp_path, schedules: list) -> None:
     for p, segments in enumerate(schedules):
         sched_path = os.path.join(bdir, f"sched_p{p}.json")
         with open(sched_path, "w") as f:
-            json.dump({"segments": segments, "barriers": bdir}, f)
+            json.dump(
+                {"segments": segments, "barriers": bdir,
+                 "retention": retention},
+                f,
+            )
         procs.append(
             subprocess.Popen(
                 [
@@ -1230,7 +1236,11 @@ def test_cross_process_lifecycle_property_deep(tmp_path):
     every barrier (see cross_proc_lifecycle.py for why the model is
     interleaving-independent). Any falsifying schedule this finds should
     be minimized and pinned into the fast-gate test above, the same
-    discipline as the in-process property's @example ledger."""
+    discipline as the in-process property's @example ledger. Odd seeds
+    run with a large orphan-retention window: every displaced generation
+    and retired slice LINGERS across the whole run while both processes
+    race mutations, reopen-sweeps, and reads — the cross-process gate
+    for the deferred-deletion feature."""
     import random
 
     for seed in range(4):
@@ -1257,7 +1267,11 @@ def test_cross_process_lifecycle_property_deep(tmp_path):
         schedules = [
             [rand_ops(rng.randint(2, 4)) for _ in range(3)] for _ in range(2)
         ]
-        _run_cross_proc_schedules(tmp_path / f"seed{seed}", schedules)
+        _run_cross_proc_schedules(
+            tmp_path / f"seed{seed}",
+            schedules,
+            retention=3600.0 if seed % 2 else 0.0,
+        )
 
 
 def test_maybe_retrain_policy_gates_on_measured_drift(spark, tmp_path):
