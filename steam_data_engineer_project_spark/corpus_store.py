@@ -227,10 +227,10 @@ class CorpusStore:
         default 0, structural rewrites (compact / swap_codebook /
         rebuild_bloom) and retire delete the directories they orphan as
         soon as the manifest flips — the single-writer, quiesced-reader
-        contract. With a positive window, orphaned directories are
-        TOMBSTONED instead (atomic rename to ``<dir>.tomb.<epoch_ms>``;
-        readers resolve through the manifest and never see tombstones)
-        and physically deleted only once the window has elapsed — at the
+        contract. With a positive window, orphaned directories stay AT
+        THEIR PATHS (in-flight plans keep resolving their files) with an
+        ``.orphaned_at`` sidecar starting the retention clock, and are
+        physically deleted only once the window has elapsed — at the
         next store open, or explicitly via :meth:`sweep_orphans`. That is
         what lets a serving fleet keep plans in flight ACROSS a
         compaction: a plan built against the old generation keeps its
@@ -389,8 +389,9 @@ class CorpusStore:
         At open, a dir whose gen is neither the table's current gen nor
         >= next_gen (an in-flight retry target that a crashed-before-flip
         attempt staged) is unreferenced: dropped immediately without a
-        retention window, tombstoned with one (see :meth:`_discard` /
-        :meth:`sweep_orphans`). Without a window the single-writer
+        retention window, orphan-marked to wait it out with one (see
+        :meth:`_discard` / :meth:`sweep_orphans`). Without a window the
+        single-writer
         contract applies (see :meth:`admit`): no concurrent reader holds
         a plan against a non-current generation across a process
         boundary — the retention window is exactly what relaxes that."""
