@@ -7,7 +7,7 @@ default settings found the round-10 compaction double-serve only after
 repeated runs — soak depth matters):
 
     python tools/soak_lifecycle.py inproc [n_examples=200]
-    python tools/soak_lifecycle.py xproc  [n_seeds=10] [seed_base=2000]
+    python tools/soak_lifecycle.py xproc  [n_seeds=10] [seed_base=2000] [retention_s=0]
 
 ``inproc`` drives tests/test_corpus_store.py's model property verbatim
 (same ops, same model, same pinned @example ledger) at higher
@@ -18,7 +18,8 @@ schedule pair — the protocol's regression ledger). Exit 0 = no
 violation found.
 
 Round-11 soak on this host: inproc 200 examples + xproc seeds
-2000-2009, both clean.
+2000-2009 (retention 0) + xproc seeds 3000-3005 under a 3600s
+orphan-retention window, all clean.
 """
 
 from __future__ import annotations
@@ -59,14 +60,18 @@ def soak_inproc(n_examples: int) -> None:
         spark.stop()
 
 
-def _run_pair(tmp: str, schedules: list) -> list[str]:
+def _run_pair(tmp: str, schedules: list, retention: float = 0.0) -> list[str]:
     bdir = os.path.join(tmp, "barriers")
     os.makedirs(bdir, exist_ok=True)
     procs = []
     for p, segments in enumerate(schedules):
         sp = os.path.join(bdir, f"sched_p{p}.json")
         with open(sp, "w") as f:
-            json.dump({"segments": segments, "barriers": bdir}, f)
+            json.dump(
+                {"segments": segments, "barriers": bdir,
+                 "retention": retention},
+                f,
+            )
         procs.append(
             subprocess.Popen(
                 [
@@ -94,7 +99,7 @@ def _run_pair(tmp: str, schedules: list) -> list[str]:
     return errs
 
 
-def soak_xproc(n_seeds: int, seed_base: int) -> None:
+def soak_xproc(n_seeds: int, seed_base: int, retention: float = 0.0) -> None:
     scratch = os.path.join(_REPO, ".scratch")
     os.makedirs(scratch, exist_ok=True)
     for seed in range(seed_base, seed_base + n_seeds):
@@ -122,7 +127,7 @@ def soak_xproc(n_seeds: int, seed_base: int) -> None:
             [ops(rng.randint(3, 5)) for _ in range(4)] for _ in range(2)
         ]
         tmp = tempfile.mkdtemp(prefix=f"xsoak{seed}_", dir=scratch)
-        errs = _run_pair(tmp, schedules)
+        errs = _run_pair(tmp, schedules, retention)
         if errs:
             print(f"SEED {seed} FALSIFIED — pin this schedule pair:")
             print("\n".join(errs))
@@ -141,6 +146,7 @@ if __name__ == "__main__":
         soak_xproc(
             int(sys.argv[2]) if len(sys.argv) > 2 else 10,
             int(sys.argv[3]) if len(sys.argv) > 3 else 2000,
+            float(sys.argv[4]) if len(sys.argv) > 4 else 0.0,
         )
     else:
         sys.exit(f"unknown mode {mode!r} (inproc | xproc)")
