@@ -6,7 +6,7 @@ the dial past that for bug-hunting sessions (the in-process property at
 default settings found the round-10 compaction double-serve only after
 repeated runs — soak depth matters):
 
-    python tools/soak_lifecycle.py inproc [n_examples=200]
+    python tools/soak_lifecycle.py inproc [n_examples=200] [retention_s=0]
     python tools/soak_lifecycle.py xproc  [n_seeds=10] [seed_base=2000] [retention_s=0]
 
 ``inproc`` drives tests/test_corpus_store.py's model property verbatim
@@ -17,9 +17,9 @@ prints it for pinning (minimize, then add as @example / a fast-gate
 schedule pair — the protocol's regression ledger). Exit 0 = no
 violation found.
 
-Round-11 soak on this host: inproc 200 examples + xproc seeds
-2000-2009 (retention 0) + xproc seeds 3000-3005 under a 3600s
-orphan-retention window, all clean.
+Round-11 soak on this host: inproc 200 examples (retention 0) + 100
+examples under a 3600s orphan-retention window + xproc seeds 2000-2009
+(retention 0) + xproc seeds 3000-3005 (3600s window), all clean.
 """
 
 from __future__ import annotations
@@ -37,7 +37,7 @@ sys.path.insert(0, _REPO)
 sys.path.insert(0, os.path.join(_REPO, "tests"))
 
 
-def soak_inproc(n_examples: int) -> None:
+def soak_inproc(n_examples: int, retention: float = 0.0) -> None:
     from steam_data_engineer_project_spark.session import get_spark
     import pathlib
 
@@ -53,8 +53,9 @@ def soak_inproc(n_examples: int) -> None:
     os.makedirs(scratch, exist_ok=True)
     tmp = pathlib.Path(tempfile.mkdtemp(prefix="soak_", dir=scratch))
     try:
-        tcs._lifecycle_model_property(spark, tmp, n_examples)
-        print(f"INPROC SOAK OK: {n_examples} examples")
+        kwargs = {"orphan_retention_s": retention} if retention else None
+        tcs._lifecycle_model_property(spark, tmp, n_examples, kwargs)
+        print(f"INPROC SOAK OK: {n_examples} examples (retention={retention})")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         spark.stop()
@@ -141,7 +142,10 @@ def soak_xproc(n_seeds: int, seed_base: int, retention: float = 0.0) -> None:
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "inproc"
     if mode == "inproc":
-        soak_inproc(int(sys.argv[2]) if len(sys.argv) > 2 else 200)
+        soak_inproc(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 200,
+            float(sys.argv[3]) if len(sys.argv) > 3 else 0.0,
+        )
     elif mode == "xproc":
         soak_xproc(
             int(sys.argv[2]) if len(sys.argv) > 2 else 10,
