@@ -18,8 +18,9 @@ schedule pair — the protocol's regression ledger). Exit 0 = no
 violation found.
 
 Round-11 soak on this host: inproc 200 examples (retention 0) + 100
-examples under a 3600s orphan-retention window + xproc seeds 2000-2009
-(retention 0) + xproc seeds 3000-3005 (3600s window), all clean.
+under a 3600s orphan-retention window; xproc seed pairs 2000-2009 and
+5000-5007 (retention 0), 3000-3005 and 4000-4007 (3600s window) — 32
+random cross-process schedule pairs total, all clean.
 """
 
 from __future__ import annotations
