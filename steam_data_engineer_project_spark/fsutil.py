@@ -63,12 +63,17 @@ def swap_in(live: str, staged: str, displaced: str) -> None:
     never points at a partially-written directory and the old state is
     never destroyed before its replacement is in place.
 
-    ``displaced`` is trash by protocol whenever swap_in runs (a surviving
-    copy means a previous swap committed but its cleanup rmtree failed),
-    so it is swept first — otherwise the displace rename would raise
-    ENOTEMPTY on a caller that has no entry-time recovery sweep of its
-    own."""
-    shutil.rmtree(displaced, ignore_errors=True)
+    A surviving ``displaced`` dir at entry is handled by running
+    :func:`recover_swap` first — NOT a blind rmtree: with ``live``
+    present the displaced copy is committed trash (a previous swap's
+    cleanup rmtree failed) and is swept, which keeps the displace rename
+    from raising ENOTEMPTY for callers with no entry-time recovery of
+    their own; with ``live`` ABSENT the displaced dir is the ONLY copy
+    of the old state (crash between the two renames) and is restored —
+    deleting it there would destroy the old state before the
+    replacement's rename was even attempted, leaving NOTHING if that
+    rename then failed (round-11 ADVICE)."""
+    recover_swap(live, displaced)
     if os.path.exists(live):
         os.rename(live, displaced)
     os.rename(staged, live)

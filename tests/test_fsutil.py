@@ -128,3 +128,34 @@ def test_swap_in_sweeps_stale_displaced(tmp_path):
     _mkdir(disp, "stale-trash")
     swap_in(live, staged, disp)
     assert _tag(live) == "new" and not os.path.exists(disp)
+
+
+def test_swap_in_restores_displaced_only_torn_state(tmp_path):
+    """Entry-time handling of a leftover displaced dir must be
+    recover_swap, not a blind rmtree (round-11 ADVICE): in the
+    displaced-only torn state (crash BETWEEN the two renames) the
+    displaced dir holds the ONLY copy of the old state. A recovery-less
+    caller that goes straight to swap_in must still end with new state
+    installed — and if its staged rename FAILS, the old state must
+    survive (under the blind-rmtree version it was destroyed before the
+    install was even attempted)."""
+    # happy path: displaced-only + swap_in completes → new installed
+    live, staged, disp = _stage(tmp_path, with_live=True)
+    os.rename(live, disp)  # the torn state: live gone, old in displaced
+    swap_in(live, staged, disp)
+    assert _tag(live) == "new" and not os.path.exists(disp)
+
+    # failure path: displaced-only + a BROKEN staged rename → the old
+    # state must still be recoverable (it is back in displaced, where
+    # the next recover_swap restores it)
+    live, staged, disp = _stage(tmp_path, with_live=True)
+    os.rename(live, disp)
+    shutil.rmtree(staged)  # staged vanished: the install rename raises
+    try:
+        swap_in(live, staged, disp)
+    except OSError:
+        pass
+    else:  # pragma: no cover - the rename must fail
+        raise AssertionError("swap_in with missing staged did not raise")
+    recover_swap(live, disp)
+    assert _tag(live) == "old" and not os.path.exists(disp)
