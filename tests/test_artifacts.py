@@ -62,6 +62,25 @@ ARTIFACTS = {
     ),
 }
 
+# the per-round soak tally (SOAK_r12.json, SOAK_r13.json, ...): only the
+# LATEST one is held to freshness — earlier rounds' tallies are history,
+# correct for the commits they stamp.
+_soaks = sorted(
+    f
+    for f in os.listdir(REPO)
+    if f.startswith("SOAK_r") and f.endswith(".json")
+)
+if _soaks:
+    ARTIFACTS[_soaks[-1]] = (
+        "tools/soak_lifecycle.py record",
+        [
+            "steam_data_engineer_project_spark/corpus_store.py",
+            "steam_data_engineer_project_spark/fsutil.py",
+            "tools/soak_lifecycle.py",
+            "tests/cross_proc_lifecycle.py",
+        ],
+    )
+
 
 def _git(*args: str) -> subprocess.CompletedProcess:
     return subprocess.run(

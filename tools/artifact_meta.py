@@ -50,10 +50,17 @@ def provenance(out_path: str | None = None) -> dict:
         }
         if out_path:
             skip.add(os.path.basename(out_path))
+
+        def _is_artifact(name: str) -> bool:
+            # per-round soak tallies are outputs too (SOAK_r12.json, ...)
+            return name in skip or (
+                name.startswith("SOAK_r") and name.endswith(".json")
+            )
+
         dirty = any(
             line
             for line in status
-            if os.path.basename(line[3:].strip()) not in skip
+            if not _is_artifact(os.path.basename(line[3:].strip()))
         )
     except Exception:
         return {"generated_at_commit": None, "worktree_dirty": None}
