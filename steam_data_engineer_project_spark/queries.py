@@ -72,13 +72,12 @@ from .operators.clustering import (
     train_ivf_codebook,
 )
 from .operators.sampling import (
-    _shard_ord,
     deterministic_split,
+    export_shards_on_materialize,
     shard_manifest,
     stratified_sample_exact,
     temperature_resample,
     token_budget_cap,
-    write_shards,
 )
 from .functions.aggregates import davg, dsum
 from .functions.scalars import (
@@ -2960,16 +2959,19 @@ def sampling_split_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       first/last doc in the shard's deterministic read order — the
       KB-class summary a trainer validates its shards against. One
       map-side-combinable shuffle on shard_id.
-    - shard_export: the WRITTEN export round-tripped. write_shards
-      materializes the 64 shard directories (repartition on the content
-      hash, one sorted file per shard) into a fresh scratch dir, and
-      this leg recomputes the manifest FROM THE FILES with the shard
-      DIRECTORY as the grouping key: hash-equality with the shard
-      oracle arm proves the writer placed every row in its hash-correct
-      shard with its token count intact — the loader handoff the
-      manifest exists to validate. (Positional in-file order is pinned
-      separately by the pyarrow round-trip test; a registered query
-      returns a DataFrame, where file position is not observable.)
+    - shard_export: the WRITTEN export round-tripped, DEFERRED to first
+      materialization (operators/sampling.export_shards_on_materialize,
+      round-11 ADVICE 4): when the query executes, each task streams
+      its shards' sorted runs to disk (repartition on the content hash,
+      one atomically-renamed file per shard) and summarizes them FROM
+      THE WRITTEN BYTES — hash-equality with the shard oracle arm
+      proves the writer placed every row in its hash-correct shard with
+      its token count intact, the loader handoff the manifest exists to
+      validate. Building the DataFrame does zero I/O, so plan-only
+      consumers never pay the write. (Positional in-file order is
+      pinned separately by the pyarrow round-trip tests; a registered
+      query returns a DataFrame, where file position is not
+      observable.)
 
     All decisions are engine-portable md5/integer arithmetic (the α=0.5
     flattening is one exact-integer division + one IEEE sqrt), so the
@@ -3018,31 +3020,26 @@ def sampling_split_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cum_tokens").alias("n"),
     )
     # 16 export shards (vs the manifest's 64): the round-trip property is
-    # shard-count-independent and 16 keeps the per-invocation write cost
-    # (tasks + files) a quarter of the manifest-matched version
+    # shard-count-independent and 16 keeps the per-materialization write
+    # cost (tasks + files) a quarter of the manifest-matched version.
+    # DEFERRED (round-11 ADVICE 4): the export is written only when this
+    # DataFrame is MATERIALIZED — each task streams its shards to disk
+    # and summarizes them from the written bytes — so plan-only
+    # consumers (explain, exchange counting) pay zero filesystem I/O
+    # per build.
     export_dir = _scratch_dir("shard_export")
-    write_shards(with_tokens, "doc_id", "n_tokens", 16, export_dir)
-    shard_exp = (
-        spark.read.parquet(export_dir)
-        .withColumn("__ord", _shard_ord("doc_id"))
-        .groupBy("shard_id")
-        .agg(
-            F.count("*").cast("long").alias("n"),
-            F.sum("n_tokens").cast("long").alias("n_tokens"),
-            F.min_by("doc_id", "__ord").cast("long").alias("first_doc"),
-            F.max_by("doc_id", "__ord").cast("long").alias("last_doc"),
-        )
-        .select(
-            F.lit("shard_export").alias("part"),
-            F.lit(None).cast("string").alias("split"),
-            F.lit(None).cast("string").alias("lang"),
-            F.lit(None).cast("long").alias("doc_id"),
-            "n",
-            F.col("shard_id").cast("long").alias("shard_id"),
-            "n_tokens",
-            "first_doc",
-            "last_doc",
-        )
+    shard_exp = export_shards_on_materialize(
+        with_tokens, "doc_id", "n_tokens", 16, export_dir
+    ).select(
+        F.lit("shard_export").alias("part"),
+        F.lit(None).cast("string").alias("split"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.col("n_docs").alias("n"),
+        F.col("shard_id").cast("long").alias("shard_id"),
+        "n_tokens",
+        F.col("first_key").alias("first_doc"),
+        F.col("last_key").alias("last_doc"),
     )
     shard = shard_manifest(with_tokens, "doc_id", "n_tokens", 64).select(
         F.lit("shard").alias("part"),

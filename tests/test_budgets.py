@@ -170,7 +170,7 @@ TIME_BUDGET = {
     "quality_suite": 3.0,
     "rank_suite": 3.0,
     "rest_fetch_appdetails": 3.0,
-    "sampling_split_suite": 5.5,  # round 10: +shard_export round-trip leg — each invocation WRITES the 16-shard export to fresh scratch (a fixed ~1.5s side effect by design: the leg exists to hash-verify the written files) then aggregates the read-back (~2.2s steady at sf0.001)
+    "sampling_split_suite": 5.5,  # round 12 re-derivation after the shard_export leg went DEFERRED (ADVICE 4): a MATERIALIZED run still writes the 16-shard export (now in-plan, summarized from the written bytes in the write task — the old read-back aggregate pass is gone), so the measured steady run is unchanged (2.4s vs 2.2s at sf0.001; budget held). What moved is plan-only BUILDS: zero filesystem I/O, pinned by test_export_deferred_build_writes_nothing
     "sessionization": 3.0,
     "set_ops_suite": 3.0,
     "skew_salted_agg": 3.0,

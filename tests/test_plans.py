@@ -544,7 +544,7 @@ EXCHANGE_BUDGET = {
     "quality_suite": 5,
     "rank_suite": 1,
     "rest_fetch_appdetails": 0,
-    "sampling_split_suite": 14,  # +2 token_budget window leg; +5 temperature leg (two corpus passes — group sizing + budget cut — are intrinsic to mix rebalancing); +2 shard-manifest leg (its own spread scan + one map-side-combinable groupBy on 64 shard keys); +1 shard_export round-trip leg (groupBy over the read-back export — the write itself is an eager side effect outside this plan)
+    "sampling_split_suite": 15,  # +2 token_budget window leg; +5 temperature leg (two corpus passes — group sizing + budget cut — are intrinsic to mix rebalancing); +2 shard-manifest leg (its own spread scan + one map-side-combinable groupBy on 64 shard keys); +2 shard_export leg, now DEFERRED (round-11 ADVICE 4): its spread scan + the content-hash repartition(16) moved INSIDE the audited plan (they ran in the old eager write job, hidden from this count) while the old read-back groupBy exchange is gone — one MORE exchange visible here but one FEWER pass overall, since the per-shard summary now rides the write task instead of re-reading the export
     "sessionization": 1,
     "set_ops_suite": 4,
     "skew_salted_agg": 2,
