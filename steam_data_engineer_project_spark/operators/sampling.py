@@ -237,6 +237,7 @@ def export_shards_on_materialize(
 
         import pandas as pd
         import pyarrow as pa
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         attempt = uuid.uuid4().hex  # concurrent speculative attempts
@@ -249,14 +250,17 @@ def export_shards_on_materialize(
             )
             os.replace(tmp, final)  # atomic: one file per shard, always
             t = pq.read_table(final, columns=[key_col, tokens_col])
-            keys = t.column(key_col).to_pylist()
+            keys = t.column(key_col)  # Arrow-side: no per-row Python
+            # objects in the write task — shards are GB-class at 100 TB
             return pd.DataFrame(
                 {
                     shard_col: [int(sid)],
                     "n_docs": [len(keys)],
-                    "n_tokens": [int(sum(t.column(tokens_col).to_pylist()))],
-                    "first_key": [int(keys[0])],
-                    "last_key": [int(keys[-1])],
+                    "n_tokens": [
+                        int(pc.sum(t.column(tokens_col)).as_py() or 0)
+                    ],
+                    "first_key": [int(keys[0].as_py())],
+                    "last_key": [int(keys[len(keys) - 1].as_py())],
                 }
             )
 
