@@ -219,8 +219,10 @@ def export_shards_on_materialize(
     a retried or speculative task atomically overwrites with identical
     bytes rather than double-committing a second shard file, and a
     crashed attempt leaves only hidden temps. ``path`` must be
-    executor-visible (DFS/object store on a cluster), the same
-    requirement as any Spark write. Keys must be integral (the order
+    executor-visible AND rename-capable (POSIX/NFS/HDFS-class — the
+    atomic-replace commit is exactly what rename-less object stores
+    like raw S3 cannot provide; there, use :func:`write_shards` with a
+    cloud-native committer instead). Keys must be integral (the order
     encoding is :func:`_shard_ord`'s bias encoding, total over the full
     signed-long range)."""
     data_cols = list(df.columns)
