@@ -140,14 +140,19 @@ def test_artifact_provenance_is_fresh(name):
 
 def test_export_artifact_pins_minimal_shape():
     """EXPORT_sf1.json (tools/export_bench.py, committed) is the measured
-    cost/shape of the sharded export writer at sf1: the 'minimal export
+    cost/shape of the sharded export writers at sf1: the 'minimal export
     shape' claim in write_shards' docstring — ONE wide exchange on a
     content hash, each shard one sorted file — asserted from the event
     log and the written directory rather than argued, at EVERY measured
     shard count (64 and the 256 scale-up probe: a 100 TB export runs
     thousands of shards, and the invariants that must survive the
     scale-up are exactly 'still one exchange' and 'still one file per
-    shard'). Regenerate after touching the export writer."""
+    shard'). Since round 12 the artifact measures BOTH writers per shard
+    count — 'native' (write.partitionBy, committer commit) and
+    'deferred' (export_shards_on_materialize: pyarrow stream + rename
+    commit, summaries from the written bytes) — under the same
+    invariants, plus the deferred summaries' doc total equalling the
+    input rows. Regenerate after touching the export writers."""
     path = os.path.join(REPO, "EXPORT_sf1.json")
     if not os.path.exists(path):
         pytest.skip("EXPORT_sf1.json not generated yet")
@@ -158,7 +163,18 @@ def test_export_artifact_pins_minimal_shape():
     assert art["n_rows"] >= 50_000
     shard_counts = [r["n_shards"] for r in art["runs"]]
     assert 64 in shard_counts and max(shard_counts) >= 256, shard_counts
+    by_writer = {r.get("writer", "native") for r in art["runs"]}
+    if "deferred" in by_writer:  # regenerated from round 12 on
+        for n in set(shard_counts):
+            writers = {
+                r.get("writer", "native")
+                for r in art["runs"]
+                if r["n_shards"] == n
+            }
+            assert writers == {"native", "deferred"}, (n, writers)
     for run in art["runs"]:
+        if run.get("writer") == "deferred":
+            assert run["summary_docs_total"] == art["n_rows"], run
         # one wide exchange: exactly one stage in the run's job group
         # wrote shuffle data (the repartition(n_shards, shard)); a global
         # sort or a driver-side collect would add shuffle-writing rounds

@@ -1,16 +1,20 @@
-"""Measure the sharded export writer at sf1: wall, shuffle bytes, files.
+"""Measure the sharded export writers at sf1: wall, shuffle bytes, files.
 
-write_shards' scale claim (operators/sampling.py) is that the export
-pass is the MINIMAL shape: ONE wide exchange on a pure content hash —
-no global sort, no driver materialization — landing each shard as one
-positionally-sorted file. The driver gates its CORRECTNESS (the
-shard_export leg hash-verifies the written files at sf0.01/sf1); this
-tool commits the SHAPE and COST at sf1 into EXPORT_sf1.json, the same
-measured-artifact pattern as SKEW_sf1.json:
+The export scale claim (operators/sampling.py) is that the pass is the
+MINIMAL shape: ONE wide exchange on a pure content hash — no global
+sort, no driver materialization — landing each shard as one
+positionally-sorted file. BOTH writers are measured per shard count:
+``write_shards`` (native parquet write, committer-delegated commit) and
+``export_shards_on_materialize`` (the round-12 deferred twin the
+registered query uses: pyarrow stream + rename commit inside the
+post-repartition task, summaries from the written bytes). The driver
+gates their CORRECTNESS (the shard_export leg hash-verifies the written
+files at sf0.01/sf1); this tool commits the SHAPE and COST at sf1 into
+EXPORT_sf1.json, the same measured-artifact pattern as SKEW_sf1.json:
 
 - wall seconds per export of the sf1 documents table (50k rows), one
-  run per shard count (64 = the judge-asked config, 256 = the
-  scale-up probe: a 100 TB export runs thousands of shards);
+  run per (writer, shard count) pair (64 = the judge-asked config,
+  256 = the scale-up probe: a 100 TB export runs thousands of shards);
 - shuffle write/read bytes and the COUNT of shuffle-writing stages
   attributed to each run's job group — the "one wide exchange" claim is
   the assertion ``n_shuffle_write_stages == 1`` at EVERY shard count;
@@ -111,6 +115,7 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from steam_data_engineer_project_spark.operators.sampling import (
+        export_shards_on_materialize,
         write_shards,
     )
 
@@ -153,24 +158,34 @@ def main() -> None:
     sc = spark.sparkContext
     runs = []
     for n_shards in N_SHARDS:
-        group = f"export_write_{n_shards}"
-        dst = f"{export}_{n_shards}"
-        sc.setJobGroup(group, group)
-        t0 = time.time()
-        write_shards(df, "doc_id", "n_tokens", n_shards, dst)
-        wall = time.time() - t0
-        sc.setJobGroup("idle", "idle")
-        per_shard = {
-            d: len(glob.glob(os.path.join(dst, d, "*.parquet")))
-            for d in os.listdir(dst)
-            if d.startswith("shard_id=")
-        }
-        out_bytes = sum(
-            os.path.getsize(p)
-            for p in glob.glob(os.path.join(dst, "**", "*.parquet"), recursive=True)
-        )
-        runs.append(
-            {
+        for writer in ("native", "deferred"):
+            group = f"export_{writer}_{n_shards}"
+            dst = f"{export}_{writer}_{n_shards}"
+            sc.setJobGroup(group, group)
+            t0 = time.time()
+            if writer == "native":
+                write_shards(df, "doc_id", "n_tokens", n_shards, dst)
+                summary_docs = None
+            else:
+                rows = export_shards_on_materialize(
+                    df, "doc_id", "n_tokens", n_shards, dst
+                ).collect()  # n_shards manifest rows — bounded
+                summary_docs = sum(r.n_docs for r in rows)
+            wall = time.time() - t0
+            sc.setJobGroup("idle", "idle")
+            per_shard = {
+                d: len(glob.glob(os.path.join(dst, d, "*.parquet")))
+                for d in os.listdir(dst)
+                if d.startswith("shard_id=")
+            }
+            out_bytes = sum(
+                os.path.getsize(p)
+                for p in glob.glob(
+                    os.path.join(dst, "**", "*.parquet"), recursive=True
+                )
+            )
+            run = {
+                "writer": writer,
                 "n_shards": n_shards,
                 "group": group,
                 "wall_s": round(wall, 2),
@@ -179,8 +194,12 @@ def main() -> None:
                 "n_shard_dirs": len(per_shard),
                 "files_per_shard": sorted(set(per_shard.values())),
             }
-        )
-        shutil.rmtree(dst, ignore_errors=True)
+            if summary_docs is not None:
+                # the deferred writer's summaries come from the WRITTEN
+                # bytes — their doc total must equal the input row count
+                run["summary_docs_total"] = summary_docs
+            runs.append(run)
+            shutil.rmtree(dst, ignore_errors=True)
     spark.stop()  # flushes the event log
 
     for run in runs:
