@@ -361,7 +361,14 @@ class CorpusStore:
         (ignore_errors)."""
         nxt = self._m["next_gen"]
         cur_v = self._m.get("codebook_version")
-        retain = self.orphan_retention_s > 0
+
+        def sweep(p: str) -> None:
+            # ONE retention dispatch for all three orphan classes below
+            if self.orphan_retention_s > 0:
+                self._reap_if_expired(p)
+            else:
+                self._discard(p)
+
         for entry in os.listdir(self.root):
             p = os.path.join(self.root, entry)
             if not os.path.isdir(p):
@@ -373,7 +380,7 @@ class CorpusStore:
                 except ValueError:
                     continue
                 if g != self._m["tables"][name] and g < nxt:
-                    self._reap_if_expired(p) if retain else self._discard(p)
+                    sweep(p)
             elif entry.startswith("sem_state_v") and cur_v is not None:
                 try:
                     v = int(entry[len("sem_state_v"):])
@@ -381,7 +388,7 @@ class CorpusStore:
                     continue
                 # versions > current are in-flight swap retries; keep them
                 if v < cur_v:
-                    self._reap_if_expired(p) if retain else self._discard(p)
+                    sweep(p)
         # retired slices wait out their window inside live table dirs.
         # This loop runs at retention 0 too (round-11 ADVICE): a slice
         # orphan-marked under a PREVIOUS retention window would otherwise
@@ -403,7 +410,7 @@ class CorpusStore:
                     continue
                 if bid < floor:
                     p = os.path.join(tdir, d)
-                    self._reap_if_expired(p) if retain else self._discard(p)
+                    sweep(p)
 
     def _sweep_orphan_generations(self) -> None:
         """Open-time sweep. compact/swap_codebook/rebuild_bloom discard

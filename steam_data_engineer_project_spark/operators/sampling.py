@@ -138,6 +138,22 @@ def _shard_ord(key_col: str) -> Column:
     )
 
 
+def _sharded_sorted(
+    df: DataFrame, key_col: str, n_shards: int, shard_col: str
+) -> DataFrame:
+    """The SHARED physical prologue of both export writers — content-hash
+    shard assignment, the deterministic order key, ONE wide exchange on
+    the shard, and the per-partition sort. :func:`write_shards` and
+    :func:`export_shards_on_materialize` must keep the identical shape
+    (EXPORT_sf1.json asserts it for both), so the prologue lives once."""
+    return (
+        df.withColumn(shard_col, _hash_bucket(F.col(key_col), n_shards))
+        .withColumn("__ord", _shard_ord(key_col))
+        .repartition(n_shards, F.col(shard_col))
+        .sortWithinPartitions(shard_col, "__ord")
+    )
+
+
 def write_shards(
     df: DataFrame,
     key_col: str,
@@ -179,10 +195,7 @@ def write_shards(
     uuid temp + atomic replace), tested under planted torn attempts and
     an injected task retry in tests/test_operators.py."""
     (
-        df.withColumn(shard_col, _hash_bucket(F.col(key_col), n_shards))
-        .withColumn("__ord", _shard_ord(key_col))
-        .repartition(n_shards, F.col(shard_col))
-        .sortWithinPartitions(shard_col, "__ord")
+        _sharded_sorted(df, key_col, n_shards, shard_col)
         .drop("__ord")
         .write.partitionBy(shard_col)
         .mode("overwrite")
@@ -224,14 +237,26 @@ def export_shards_on_materialize(
     like raw S3 cannot provide; there, use :func:`write_shards` with a
     cloud-native committer instead). Keys must be integral (the order
     encoding is :func:`_shard_ord`'s bias encoding, total over the full
-    signed-long range)."""
+    signed-long range).
+
+    Two scope narrowings vs the eager twin, both consequences of
+    per-task commit (no job-level committer): (1) re-materializing onto
+    the SAME path only replaces the shard files this export writes —
+    unlike ``write_shards``' ``mode("overwrite")`` it never clears
+    stale files from a PREVIOUS export with different data or shard
+    count, so treat ``path`` as one export epoch's directory (re-runs
+    of the same export are the supported retry case). (2) The export is
+    complete only when the DataFrame is FULLY consumed (collect /
+    count / write); a limit-pushed partial scan cancels tasks
+    mid-stream and commits only the shards already finalized."""
     data_cols = list(df.columns)
-    prepared = (
-        df.withColumn(shard_col, _hash_bucket(F.col(key_col), n_shards))
-        .withColumn("__ord", _shard_ord(key_col))
-        .repartition(n_shards, F.col(shard_col))
-        .sortWithinPartitions(shard_col, "__ord")
-    )
+    # pin every shard file to the DataFrame's own schema — inferring
+    # from the first pandas chunk would type an all-null leading chunk
+    # as null and fail (or schema-skew) the rest of the run
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    arrow_schema = to_arrow_schema(df.select(*data_cols).schema)
+    prepared = _sharded_sorted(df, key_col, n_shards, shard_col)
 
     def write_and_summarize(batches):
         import os
@@ -247,10 +272,20 @@ def export_shards_on_materialize(
 
         def finalize(sid, writer, tmp):
             writer.close()
-            final = os.path.join(
-                path, f"{shard_col}={int(sid)}", "part-0.parquet"
-            )
+            d = os.path.join(path, f"{shard_col}={int(sid)}")
+            final = os.path.join(d, "part-0.parquet")
             os.replace(tmp, final)  # atomic: one file per shard, always
+            # best-effort sweep of sibling temps from crashed/cancelled
+            # attempts, so repeated retries don't leak GB-class hidden
+            # files; a CONCURRENT speculative attempt whose live temp we
+            # unlink fails its own replace and retries over the
+            # already-committed identical bytes — converges
+            for stale in os.listdir(d):
+                if stale.startswith(".part-0.") and stale.endswith(".tmp"):
+                    try:
+                        os.unlink(os.path.join(d, stale))
+                    except OSError:
+                        pass
             t = pq.read_table(final, columns=[key_col, tokens_col])
             keys = t.column(key_col)  # Arrow-side: no per-row Python
             # objects in the write task — shards are GB-class at 100 TB
@@ -274,7 +309,7 @@ def export_shards_on_materialize(
             # contiguous run, possibly spanning Arrow batches
             for sid, grp in pdf.groupby(shard_col, sort=False):
                 table = pa.Table.from_pandas(
-                    grp[data_cols], preserve_index=False
+                    grp[data_cols], schema=arrow_schema, preserve_index=False
                 )
                 if sid != cur_sid:
                     if writer is not None:
@@ -282,10 +317,8 @@ def export_shards_on_materialize(
                     d = os.path.join(path, f"{shard_col}={int(sid)}")
                     os.makedirs(d, exist_ok=True)
                     tmp = os.path.join(d, f".part-0.{attempt}.tmp")
-                    writer = pq.ParquetWriter(tmp, table.schema)
+                    writer = pq.ParquetWriter(tmp, arrow_schema)
                     cur_sid = sid
-                elif table.schema != writer.schema:
-                    table = table.cast(writer.schema)
                 writer.write_table(table)
         if writer is not None:
             yield finalize(cur_sid, writer, tmp)

@@ -66,9 +66,16 @@ ARTIFACTS = {
 # LATEST one is held to freshness — earlier rounds' tallies are history,
 # correct for the commits they stamp.
 _soaks = sorted(
-    f
-    for f in os.listdir(REPO)
-    if f.startswith("SOAK_r") and f.endswith(".json")
+    (
+        f
+        for f in os.listdir(REPO)
+        if f.startswith("SOAK_r") and f.endswith(".json")
+    ),
+    # numeric round order: lexicographic would rank SOAK_r9 after
+    # SOAK_r10 and pin freshness to the wrong 'latest' round
+    key=lambda f: (
+        int(n) if (n := f[len("SOAK_r"):-len(".json")]).isdigit() else -1
+    ),
 )
 if _soaks:
     ARTIFACTS[_soaks[-1]] = (

@@ -1277,6 +1277,45 @@ def test_export_deferred_commit_protocol_survives_torn_and_repeated_attempts(
     assert spark.read.parquet(path).count() == n
 
 
+def test_export_deferred_pins_schema_for_all_null_columns(spark, tmp_path):
+    """Shard files carry the DataFrame's OWN schema, not one inferred
+    from the first pandas chunk: a shard whose nullable string column is
+    entirely null must still write a string-typed column (inference
+    would type it null and schema-skew the export), and the read-back
+    union must round-trip every value."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from steam_data_engineer_project_spark.operators.sampling import (
+        export_shards_on_materialize,
+    )
+
+    n, shards = 400, 4
+    # half the rows carry NULL text; with 4 content-hash shards every
+    # shard holds a null-leading run somewhere
+    df = spark.createDataFrame(
+        [
+            (i, (i % 5) + 1, None if i % 2 == 0 else f"doc {i}")
+            for i in range(n)
+        ],
+        "doc_id long, n_tokens long, text string",
+    )
+    path = str(tmp_path / "nulls")
+    rows = export_shards_on_materialize(
+        df, "doc_id", "n_tokens", shards, path
+    ).collect()
+    assert sum(r.n_docs for r in rows) == n
+    for f in glob.glob(os.path.join(path, "shard_id=*", "*.parquet")):
+        field = pq.read_schema(f).field("text")
+        assert str(field.type) == "string", (f, field)
+    back = spark.read.parquet(path)
+    assert dict(back.dtypes)["text"] == "string"
+    assert back.filter("text is null").count() == n // 2
+    assert back.count() == n
+
+
 def test_export_deferred_survives_injected_task_retry(tmp_path):
     """A REAL Spark task retry composes with the deferred write: in a
     subprocess running ``local[2,2]`` (maxFailures=2) a flaky-once

@@ -197,8 +197,12 @@ def record(out_path: str, scale: float = 1.0) -> None:
         shuffle_partitions=8,
         extra_conf={"spark.driver.memory": "12g"},
     )
-    day = int(time.time() // 86400)
-    seed_base = 10_000 + (day % 1000) * 100
+    # minute-granular base: a purely day-derived one made same-day
+    # reruns replay IDENTICAL schedule pairs while tallying as fresh
+    # coverage (hit in round 12: the 1.0x and 2.0x record runs shared
+    # their raced-arm seeds)
+    minute = int(time.time() // 60)
+    seed_base = 100_000 + (minute % 1_000_000) * 100
     arms = []
     t0 = time.time()
     try:
