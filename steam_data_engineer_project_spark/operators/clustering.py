@@ -176,6 +176,172 @@ def _assign_to_centroids(
     return base.mapInPandas(fn, schema=schema)
 
 
+def _train_partials(
+    base: DataFrame,
+    id_col: str,
+    cur: list[tuple[int, list[int], int]],
+    *,
+    broadcast_state: bool = False,
+) -> DataFrame:
+    """One Lloyd TRAINING pass fused into a single Arrow task pass: assign
+    each vector to its nearest centroid (bit-identical distance math to
+    :func:`_assign_to_centroids` — same int64 D, same single division, same
+    first-minimum tie rule) and emit per-TASK partial sums
+    (cluster_id, c, s0..s{dim-1}) instead of per-row assignments.
+
+    Why (guide §2.3 / §4.2, measured round 12): the training update only
+    needs Σqv and the count per cluster. Aggregating the N assignment rows
+    JVM-side costs a 64-column sum whose 65 aggregate buffers exceed
+    ``spark.sql.codegen.maxFields`` (100), so the whole-stage falls back to
+    interpreted evaluation — measured 0.66 s per iteration on a 2000-row
+    cached base vs 0.15 s for the same agg shape with one buffer. Doing the
+    partial sums in numpy inside the SAME Arrow pass that already computed
+    the distance matrix shrinks the JVM agg input from N rows to
+    (#tasks)·k rows — at any scale the per-row work rides the vectorized
+    matmul and the shuffle carries k·dim longs per task (codebook-class).
+
+    Exactness: the partial sums are int64 numpy adds — exact, hence
+    associative, so task/batch boundaries cannot change the totals the
+    driver folds (same argument as the module docstring's ~2e8-vector
+    int64 bound)."""
+    import numpy as np
+
+    cids = np.array([cid for cid, _, _ in cur], dtype=np.int64)
+    S = np.array([s for _, s, _ in cur], dtype=np.int64)
+    C = np.array([c for _, _, c in cur], dtype=np.int64)
+    dim = S.shape[1] if S.ndim == 2 else 0
+    c_max = int(C.max()) if len(C) else 0
+    if dim * (2 * 127 * c_max) ** 2 >= 2**63:
+        raise ValueError(
+            f"kmeans int64 distance bound exceeded (dim={dim}, max cluster "
+            f"count={c_max}): shard the corpus (by language/source) before "
+            "clustering — see the module docstring's ~2e8-vector bound"
+        )
+    k = len(cur)
+    state = (cids, S, C, np.einsum("kd,kd->k", S, S), C * C)
+    if broadcast_state:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        bstate = spark.sparkContext.broadcast(state)
+        state = None  # keep the k×dim arrays OUT of the task closure
+    else:
+        bstate = None
+
+    def fn(batches):
+        # mapInArrow + flat-values reshape: each batch's qv ListArray is
+        # one contiguous int64 buffer (fixed dim per vector), so the N×dim
+        # matrix is a zero-copy reshape — no per-row ndarray wrapping
+        # (the pandas Series-of-arrays path measured slower than the JVM
+        # fold it replaced; guide §4.2's "hand whole batches to native
+        # code" only pays when the batch really is one buffer).
+        import pyarrow as pa
+
+        b_cids, b_S, b_C, b_ss, b_c2i = (
+            bstate.value if bstate is not None else state
+        )
+        c2f = b_c2i.astype(np.float64)
+        sums = np.zeros((k, dim), dtype=np.int64)
+        counts = np.zeros(k, dtype=np.int64)
+        seen = False
+        for rb in batches:
+            n = rb.num_rows
+            if not n:
+                continue
+            seen = True
+            X = np.asarray(rb.column(0).flatten()).reshape(n, dim)
+            dots = X @ b_S.T
+            xx = np.einsum("nd,nd->n", X, X)
+            D = (
+                b_c2i[None, :] * xx[:, None]
+                - 2 * b_C[None, :] * dots
+                + b_ss[None, :]
+            )
+            j = np.argmin(D.astype(np.float64) / c2f[None, :], axis=1)
+            counts += np.bincount(j, minlength=k)
+            np.add.at(sums, j, X)
+        if not seen:
+            return
+        nz = np.flatnonzero(counts)
+        cols = [pa.array(b_cids[nz]), pa.array(counts[nz])] + [
+            pa.array(sums[nz, i]) for i in range(dim)
+        ]
+        names = ["cluster_id", "c"] + [f"s{i}" for i in range(dim)]
+        yield pa.RecordBatch.from_arrays(cols, names=names)
+
+    schema = "cluster_id long, c long, " + ", ".join(
+        f"s{i} long" for i in range(dim)
+    )
+    return base.select("qv").mapInArrow(fn, schema=schema)
+
+
+def _pair_scores_arrow(
+    pairs_df: DataFrame, pass_cols: list[str], t_sq_104: int
+) -> DataFrame:
+    """Vectorized exact-integer pair scoring (Arrow-batched mapInArrow):
+    consumes candidate-pair rows carrying ``qa``/``qb`` (int8-quantized
+    vectors as array<long>) and their precomputed squared norms ``na``/
+    ``nb``, applies the exact-integer threshold test
+    ``dot > 0 ∧ 10⁴·dot² ≥ t_sq_104·na·nb``, and emits ``pass_cols`` +
+    ``cos_micro`` for the survivors.
+
+    Replaces the interpreted per-pair zip_with/aggregate fold (Spark's
+    higher-order functions are CodegenFallback — evaluated per element per
+    pair), which dominated the pair stage: the N×dim dot products become
+    one int64 numpy matmul per batch. Results are BIT-IDENTICAL to the
+    fold by construction, not by luck:
+
+    - the dot is int64 arithmetic — exact, hence associative, so the
+      accumulation order numpy picks cannot matter (the int64-overflow
+      bound is the module docstring's ~2e8-vector shard rule);
+    - the threshold test is pure int64 compares (10⁴·dot² ≤ ~1.1e16 and
+      t²·na·nb ≤ ~9.6e15 both sit far inside int64);
+    - cos_micro = floor(dot / sqrt(na·nb) · 10⁶ + 0.5) is the same
+      sequence of single correctly-rounded IEEE-754 double ops in numpy
+      as in the JVM (int64→double conversions are exact at these
+      magnitudes), so every engine floors the same double.
+    """
+    import numpy as np
+
+    cols_in = pass_cols + ["qa", "qb", "na", "nb"]
+
+    def fn(batches):
+        # mapInArrow + flat-values reshape — qa/qb arrive as ONE contiguous
+        # int64 buffer per batch (fixed dim), so the pair matrix is a
+        # zero-copy reshape; the pandas Series-of-ndarrays form of this
+        # pass measured SLOWER than the JVM fold it replaces.
+        import pyarrow as pa
+
+        ia, ib = len(pass_cols), len(pass_cols) + 1
+        ina, inb = len(pass_cols) + 2, len(pass_cols) + 3
+        for rb in batches:
+            n = rb.num_rows
+            if not n:
+                continue
+            A = np.asarray(rb.column(ia).flatten()).reshape(n, -1)
+            B = np.asarray(rb.column(ib).flatten()).reshape(n, -1)
+            dot = np.einsum("nd,nd->n", A, B)
+            na = np.asarray(rb.column(ina))
+            nb = np.asarray(rb.column(inb))
+            keep = (dot > 0) & (10_000 * dot * dot >= t_sq_104 * na * nb)
+            if not keep.any():
+                continue
+            cos_micro = np.floor(
+                dot[keep].astype(np.float64)
+                / np.sqrt((na[keep] * nb[keep]).astype(np.float64))
+                * 1e6
+                + 0.5
+            ).astype(np.int64)
+            cols = [
+                pa.array(np.asarray(rb.column(i))[keep])
+                for i in range(len(pass_cols))
+            ] + [pa.array(cos_micro)]
+            yield pa.RecordBatch.from_arrays(cols, names=pass_cols + ["cos_micro"])
+
+    schema = ", ".join(f"{c} long" for c in pass_cols) + ", cos_micro long"
+    return pairs_df.select(*cols_in).mapInArrow(fn, schema=schema)
+
+
 def quantized_vectors(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
     """(id, qv): the int8-quantized embedding as array<long> — the shared
     input of both halves (clustering and pair scoring must quantize the
@@ -276,14 +442,17 @@ def kmeans_int8(
 
     dim = len(cents[0][1])
     for _ in range(n_iter):
-        assigned = _assign_to_centroids(
-            base, id_col, cents, broadcast_state=broadcast_state
-        )
+        # fused assign + per-task partial sums (one Arrow pass; guide
+        # §2.3 map-side aggregation — see _train_partials for the measured
+        # rationale), reduced JVM-side over (#tasks)·k rows only
         rows = (
-            assigned.groupBy("cluster_id")
+            _train_partials(
+                base, id_col, cents, broadcast_state=broadcast_state
+            )
+            .groupBy("cluster_id")
             .agg(
-                *[F.sum(F.col("qv")[i]).alias(f"s{i}") for i in range(dim)],
-                F.count("*").alias("c"),
+                *[F.sum(F.col(f"s{i}")).alias(f"s{i}") for i in range(dim)],
+                F.sum("c").alias("c"),
             )
             .collect()  # ≤ k rows — codebook-class driver traffic
         )
@@ -362,11 +531,6 @@ def semantic_dedup_pairs(
     side = qdf.join(assigned, id_col)
 
     t_sq_104 = int(threshold * threshold * 10_000)  # ⌊10⁴·t²⌋
-    dot = F.aggregate(
-        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
 
     def _near_pairs(sides: DataFrame, join_keys: list[str]) -> DataFrame:
         a = sides.select(
@@ -381,31 +545,17 @@ def semantic_dedup_pairs(
             F.col("n2").alias("nb"),
             *join_keys,
         )
-        return (
+        # candidate pairs from the JVM equi-join; the per-pair dot/threshold
+        # moves to ONE Arrow pass (_pair_scores_arrow — the interpreted
+        # zip_with fold was the pair stage's cost, guide §4.2). The select
+        # projects exactly the scoring inputs before the opaque op
+        # (guide §2.3: project before the Python boundary).
+        cand = (
             a.join(b, join_keys)
             .filter(F.col("id_a") < F.col("id_b"))
-            .withColumn("dot", dot)
-            .filter(
-                (F.col("dot") > 0)
-                & (
-                    F.lit(10_000) * F.col("dot") * F.col("dot")
-                    >= F.lit(t_sq_104) * F.col("na") * F.col("nb")
-                )
-            )
-            .select(
-                "id_a",
-                "id_b",
-                "cluster_id",
-                F.floor(
-                    F.col("dot")
-                    / F.sqrt((F.col("na") * F.col("nb")).cast("double"))
-                    * F.lit(1e6)
-                    + F.lit(0.5)
-                )
-                .cast("long")
-                .alias("cos_micro"),
-            )
+            .select("id_a", "id_b", "cluster_id", "qa", "qb", "na", "nb")
         )
+        return _pair_scores_arrow(cand, ["id_a", "id_b", "cluster_id"], t_sq_104)
 
     if max_cluster_size is None:
         return _near_pairs(side, ["cluster_id"])
@@ -822,33 +972,21 @@ def incremental_semantic_verdicts(
         "cluster_id",
     )
     t_sq_104 = int(threshold * threshold * 10_000)  # ⌊10⁴·t²⌋
-    dot = F.aggregate(
-        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    matches = (
+    # per-pair scoring in ONE Arrow pass over the join output (same
+    # _pair_scores_arrow as the batch pair stage — the interpreted
+    # zip_with fold was per candidate pair); the stats agg then runs over
+    # surviving pairs' (inc_id, cos_micro) only.
+    cand = (
         F.broadcast(inc_side)
         .join(corp_side, "cluster_id")
-        .withColumn("dot", dot)
-        .filter(
-            (F.col("dot") > 0)
-            & (
-                F.lit(10_000) * F.col("dot") * F.col("dot")
-                >= F.lit(t_sq_104) * F.col("na") * F.col("nb")
-            )
-        )
+        .select("inc_id", "qa", "qb", "na", "nb")
+    )
+    matches = (
+        _pair_scores_arrow(cand, ["inc_id"], t_sq_104)
         .groupBy("inc_id")
         .agg(
             F.count("*").cast("long").alias("n_corpus_matches"),
-            F.max(
-                F.floor(
-                    F.col("dot")
-                    / F.sqrt((F.col("na") * F.col("nb")).cast("double"))
-                    * F.lit(1e6)
-                    + F.lit(0.5)
-                ).cast("long")
-            ).alias("max_cos_micro"),
+            F.max("cos_micro").alias("max_cos_micro"),
         )
     )
     return (

@@ -121,12 +121,22 @@ def embedding_near_dup_pairs(
     functions) and rounded to 6 dp before the threshold so engines agree on
     borderline pairs.
 
+    Each vector's norm is computed ONCE per row before the self-join (it
+    depends only on that row), so the per-candidate-pair work is a single
+    dot-product fold instead of three array folds — the interpreted-HOF
+    cost is per PAIR (~n²/2^n_planes of them), which made the per-row
+    hoist worth 3× on the pair stage. The cosine value is bit-identical:
+    the same fold over the same array yields the same double whether it
+    runs before or after the join, and the ``dot / (norm_l * norm_r)``
+    expression tree is unchanged.
+
     Returns (id_a, id_b, cosine) with id_a < id_b.
     """
     b = df.select(
         F.col(id_col),
         F.col(vec_col),
         lsh_bucket_id(F.col(vec_col), n_planes, stride).alias("bucket"),
+        _norm(F.col(vec_col)).alias("nrm"),
     )
     left = b.alias("l")
     right = b.alias("r")
@@ -138,7 +148,9 @@ def embedding_near_dup_pairs(
         F.col(f"l.{id_col}").alias("id_a"),
         F.col(f"r.{id_col}").alias("id_b"),
         F.round(
-            cosine_similarity(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")), 6
+            _dot(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}"))
+            / (F.col("l.nrm") * F.col("r.nrm")),
+            6,
         ).alias("cosine"),
     )
     return pairs.filter(F.col("cosine") >= F.lit(float(threshold)))

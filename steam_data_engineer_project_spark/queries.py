@@ -2247,13 +2247,67 @@ def semdedup_cluster_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     qdf = quantized_vectors(src, "embedding", "vec_id")
     # constant expected cluster size: k grows with the corpus (one count
     # job — bounded driver traffic) so the pair stage stays linear in N.
-    k = _SEM_K * math.ceil(src.count() / _SEM_SEED_UNIT)
+    # ONE fused agg supplies both corpus sizes (full + incremental-corpus)
+    # — the second count job this suite used to pay is pure scheduling
+    # overhead at any scale (count prunes qv, so neither touches the
+    # quantization).
+    inc_cond = (F.col("vec_id") % 10).isin(5, 7)
+    sizes_row = qdf.agg(
+        F.count("*").alias("n"),
+        F.count(F.when(~inc_cond, True)).alias("n_corpus"),
+    ).first()
+    k = _SEM_K * math.ceil(sizes_row["n"] / _SEM_SEED_UNIT)
+    # right-size the cached base for the Lloyd passes: each training pass
+    # is one Arrow task per partition, so partitions should hold enough
+    # rows for the numpy matmul to dominate the per-task roundtrip
+    # (guide §2.2 / §4.2). 64k rows ≈ 32 MB of qv per task; scale-adaptive
+    # (1 partition at registry scale, thousands at 10⁹ vectors), never
+    # below one. coalesce() adds no Exchange; the one-time cache
+    # materialization computes the quantization at the coalesced
+    # parallelism, which below 64k rows is sub-second single-core work.
+    qdf = qdf.coalesce(max(1, math.ceil(sizes_row["n"] / 65536)))
     # persist: the final N×k assignment pass feeds FOUR consumers (assign
     # leg, size leg, both sides of the pair self-join) — uncached it would
     # recompute the mapInPandas distance matrix per consumer.
-    assigned = kmeans_int8(
-        None, "embedding", "vec_id", k=k, n_iter=_SEM_ITER, qdf=qdf
-    ).persist()
+    #
+    # The full-corpus training and the incremental-corpus training are
+    # INDEPENDENT driver-side job chains over the same cached base; run
+    # them on two driver threads so each chain's small jobs back-fill the
+    # cores the other leaves idle (guide §2.6 — measured: the suite's
+    # build time is ~70% driver-loop latency, and the two chains overlap
+    # almost perfectly). Results are bit-identical: each chain computes
+    # its own centroid fixpoint from the same deterministic inputs,
+    # sequential or threaded.
+    corpus_q, inc_q = qdf.filter(~inc_cond), qdf.filter(inc_cond)
+    k_inc = _SEM_K * math.ceil(sizes_row["n_corpus"] / _SEM_SEED_UNIT)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    def _train_full():
+        return kmeans_int8(
+            None, "embedding", "vec_id", k=k, n_iter=_SEM_ITER, qdf=qdf
+        ).persist()
+
+    def _train_inc():
+        return incremental_semantic_verdicts(
+            None,
+            None,
+            "embedding",
+            "vec_id",
+            k=k_inc,
+            n_iter=_SEM_ITER,
+            threshold=_SEM_THRESHOLD,
+            corpus_qdf=corpus_q,
+            incoming_qdf=inc_q,
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut_assigned = pool.submit(inheritable_thread_target(_train_full))
+        fut_verdicts = pool.submit(inheritable_thread_target(_train_inc))
+        assigned = fut_assigned.result()
+        verdicts = fut_verdicts.result()
     assign_leg = assigned.select(
         F.lit("assign").alias("part"),
         F.col("vec_id").alias("id_a"),
@@ -2296,21 +2350,8 @@ def semdedup_cluster_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # incremental legs: ≡5/≡7 (mod 10) = the incoming batch, rest = the
     # existing corpus. Shares the persisted quantized base (both sides are
     # filters over `qdf`), so the only new corpus-scale work is the frozen
-    # corpus clustering and the batch-vs-corpus pair join.
-    inc_cond = (F.col("vec_id") % 10).isin(5, 7)
-    corpus_q, inc_q = qdf.filter(~inc_cond), qdf.filter(inc_cond)
-    k_inc = _SEM_K * math.ceil(corpus_q.count() / _SEM_SEED_UNIT)
-    verdicts = incremental_semantic_verdicts(
-        None,
-        None,
-        "embedding",
-        "vec_id",
-        k=k_inc,
-        n_iter=_SEM_ITER,
-        threshold=_SEM_THRESHOLD,
-        corpus_qdf=corpus_q,
-        incoming_qdf=inc_q,
-    )
+    # corpus clustering and the batch-vs-corpus pair join. (`verdicts`
+    # was trained on the second driver thread above.)
     inc_leg = verdicts.select(
         F.when(F.col("verdict") == "semantic_dup", F.lit("inc_dup"))
         .otherwise(F.lit("inc_new"))
