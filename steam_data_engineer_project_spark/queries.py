@@ -3310,8 +3310,25 @@ def dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE shingle pass per side, checkpointed (lineage-flat, same as the
     # e2e pipeline's stage frames) and shared by the contamination AND
     # bloom legs below — re-shingling mtext twice was ~25% of this suite.
-    tr_sh = shingle_table(train, "mtext", "doc_id", n=3).localCheckpoint()
-    ev_sh = shingle_table(ev, "mtext", "doc_id", n=3).localCheckpoint()
+    # the two shingle materializations are independent — overlap them on
+    # two driver threads (guide §2.6; the eval side is ~10% of the train
+    # side, so it rides entirely inside the train pass's tail)
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    with ThreadPoolExecutor(max_workers=2) as sh_pool:
+        fut_tr = sh_pool.submit(
+            inheritable_thread_target(
+                lambda: shingle_table(train, "mtext", "doc_id", n=3).localCheckpoint()
+            )
+        )
+        fut_ev = sh_pool.submit(
+            inheritable_thread_target(
+                lambda: shingle_table(ev, "mtext", "doc_id", n=3).localCheckpoint()
+            )
+        )
+        tr_sh, ev_sh = fut_tr.result(), fut_ev.result()
     pairs = cross_corpus_contamination(
         train, ev, "mtext", "doc_id", n=3, min_shared=2, max_doc_freq=200,
         train_shingles=tr_sh, eval_shingles=ev_sh,
@@ -4809,13 +4826,42 @@ def streaming_state_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _cached_fixture(sf_dir, "price_events", ("events",), _build), "events"
     )
 
-    out = run_price_pipeline(
-        spark,
-        events_dir,
-        os.path.join(work, "ext"),
-        max_files_per_trigger=4,
-        batch_shuffle_partitions=8,
-    )
+    # The two drains are INDEPENDENT streams over the same (read-only)
+    # event fixture into disjoint work dirs — run them on two driver
+    # threads (guide §2.6) so one drain's micro-batch tails back-fill the
+    # cores the other leaves idle. Each gets its OWN cloned session
+    # (shared SparkContext, separate SQLConf) so the per-drain
+    # ``batch_shuffle_partitions`` pin cannot race the other drain's
+    # save/restore of the session-global setting. Per-drain semantics,
+    # checkpoints, and outputs are untouched — results are identical to
+    # the sequential order.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    def _drain_ext():
+        return run_price_pipeline(
+            spark.newSession(),
+            events_dir,
+            os.path.join(work, "ext"),
+            max_files_per_trigger=4,
+            batch_shuffle_partitions=8,
+        )
+
+    def _drain_engine():
+        return run_crawl_state_to_table(
+            spark.newSession(),
+            events_dir,
+            os.path.join(work, "engine"),
+            max_files_per_trigger=4,
+            batch_shuffle_partitions=8,
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as drain_pool:
+        fut_ext = drain_pool.submit(inheritable_thread_target(_drain_ext))
+        fut_eng = drain_pool.submit(inheritable_thread_target(_drain_engine))
+        out = fut_ext.result()
+        updates_dir = fut_eng.result()
     ext = spark.read.parquet(out["crawl_state"]).select(
         F.lit("ext").alias("part"),
         "appid",
@@ -4825,13 +4871,6 @@ def streaming_state_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
     )
 
-    updates_dir = run_crawl_state_to_table(
-        spark,
-        events_dir,
-        os.path.join(work, "engine"),
-        max_files_per_trigger=4,
-        batch_shuffle_partitions=8,
-    )
     upd = spark.read.parquet(updates_dir)
     w = Window.partitionBy("appid").orderBy(F.col("batch_id").desc())
     eng = (
@@ -5776,6 +5815,22 @@ def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     train0 = d.filter(~is_eval)
     ev = d.filter(is_eval)
 
+    # Driver thread pool for the pipeline's INDEPENDENT work (guide §2.6):
+    # funnel counts launch as soon as their stage frame is materialized
+    # (instead of five serialized count jobs at the end), and the
+    # pair/quality chains fork after clean2. Shut down via the funnel
+    # gather below; on an exception path the pool is reaped by GC.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    pool = ThreadPoolExecutor(max_workers=4)
+
+    def _async_count(frame):
+        return pool.submit(inheritable_thread_target(frame.count))
+
+    n_input, n_eval = _async_count(train0), _async_count(ev)
+
     # min_shared=4 (≈ a ≥6-token verbatim quote): decontamination must
     # catch QUOTED benchmark material, not the incidental 2-shingle overlap
     # that word-soup corpora accumulate with scale (min_shared=2 measured
@@ -5789,27 +5844,47 @@ def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     clean1 = train0.join(contam_ids, "doc_id", "left_anti").localCheckpoint()
+    n_clean1 = _async_count(clean1)
 
     exact_keep = exact_dedup(clean1, "text", "doc_id").select("doc_id")
     clean2 = clean1.join(exact_keep, "doc_id").localCheckpoint()
+    n_clean2 = _async_count(clean2)
 
     # min_jaccard=0.5: "near-duplicate" means genuinely-similar documents
     # (the same truth definition the recall suite pins), not the 2-shared-
     # shingle accidents a word-soup corpus accumulates — without the
     # threshold, sf0.1 glued 99.6% of survivors into giant components
     # (80k pairs), collapsing the canonical-dedup and split stages.
-    pairs = ngram_jaccard_pairs(
-        clean2, "text", "doc_id", n=3, min_shared=2, min_jaccard=0.5,
-        max_doc_freq=100,
-    ).localCheckpoint()
-    comp = connected_components(pairs.select("id_a", "id_b"), "id_a", "id_b")
+    # The pair/component chain and the text-quality pass are INDEPENDENT
+    # consumers of checkpointed clean2 — overlap them on two driver
+    # threads (guide §2.6) so the quality scan back-fills cores the
+    # iterative component rounds leave idle. tq gains its own eager
+    # checkpoint so its materialization really runs on the second thread
+    # (identical rows — text_quality is a deterministic per-row
+    # projection; the feats join consumes the cached result either way).
+    def _pairs_chain():
+        pairs = ngram_jaccard_pairs(
+            clean2, "text", "doc_id", n=3, min_shared=2, min_jaccard=0.5,
+            max_doc_freq=100,
+        ).localCheckpoint()
+        comp = connected_components(
+            pairs.select("id_a", "id_b"), "id_a", "id_b"
+        )
+        return pairs, comp
+
+    def _tq_chain():
+        return text_quality(clean2, "text", "doc_id").select(
+            "doc_id", "n_tokens", "quality_score"
+        ).localCheckpoint()
+
+    fut_pairs = pool.submit(inheritable_thread_target(_pairs_chain))
+    fut_tq = pool.submit(inheritable_thread_target(_tq_chain))
+    pairs, comp = fut_pairs.result()
+    tq = fut_tq.result()
     keyed = clean2.join(
         comp.withColumnRenamed("node", "doc_id"), "doc_id", "left"
     ).withColumn("split_key", F.coalesce(F.col("component"), F.col("doc_id")))
 
-    tq = text_quality(clean2, "text", "doc_id").select(
-        "doc_id", "n_tokens", "quality_score"
-    )
     feats = keyed.join(tq, "doc_id").localCheckpoint()
     cut = group_quantiles(
         feats.select("lang", "n_tokens", "doc_id"),
@@ -5826,6 +5901,7 @@ def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
+    n_qual = _async_count(qual)
 
     spl = deterministic_split(
         qual, "split_key", {"train": 0.9, "valid": 0.1}
@@ -5885,18 +5961,19 @@ def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         return dfx.select(*sel)
 
-    # Funnel counts: the localCheckpoints above already materialized every
-    # stage eagerly (the same sharing fix as the earlier eager-count form —
-    # union arms sharing an un-materialized cache raced to compute it,
-    # measured 70s → 23s at sf0.1), so these .count() calls are cheap
-    # scans over checkpointed partitions, each returning one bounded long.
+    # Funnel counts: submitted to the driver pool as each stage frame
+    # materialized above (each is a cheap scan of checkpointed
+    # partitions), so the five count jobs overlapped later stage builds
+    # instead of serializing here — this gather usually returns
+    # immediately (guide §2.6).
     funnel_counts = [
-        ("input", train0.count()),
-        ("eval_heldout", ev.count()),
-        ("decontaminated", clean1.count()),
-        ("exact_canonical", clean2.count()),
-        ("quality_kept", qual.count()),
+        ("input", n_input.result()),
+        ("eval_heldout", n_eval.result()),
+        ("decontaminated", n_clean1.result()),
+        ("exact_canonical", n_clean2.result()),
+        ("quality_kept", n_qual.result()),
     ]
+    pool.shutdown(wait=True)
     funnel = spark.createDataFrame(
         funnel_counts, "stage string, __n long"
     )
