@@ -2304,8 +2304,8 @@ def semdedup_cluster_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     with ThreadPoolExecutor(max_workers=2) as pool:
-        fut_assigned = pool.submit(inheritable_thread_target(_train_full))
-        fut_verdicts = pool.submit(inheritable_thread_target(_train_inc))
+        fut_assigned = pool.submit(inheritable_thread_target(spark)(_train_full))
+        fut_verdicts = pool.submit(inheritable_thread_target(spark)(_train_inc))
         assigned = fut_assigned.result()
         verdicts = fut_verdicts.result()
     assign_leg = assigned.select(
@@ -3319,12 +3319,12 @@ def dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     with ThreadPoolExecutor(max_workers=2) as sh_pool:
         fut_tr = sh_pool.submit(
-            inheritable_thread_target(
+            inheritable_thread_target(spark)(
                 lambda: shingle_table(train, "mtext", "doc_id", n=3).localCheckpoint()
             )
         )
         fut_ev = sh_pool.submit(
-            inheritable_thread_target(
+            inheritable_thread_target(spark)(
                 lambda: shingle_table(ev, "mtext", "doc_id", n=3).localCheckpoint()
             )
         )
@@ -4858,8 +4858,8 @@ def streaming_state_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     with ThreadPoolExecutor(max_workers=2) as drain_pool:
-        fut_ext = drain_pool.submit(inheritable_thread_target(_drain_ext))
-        fut_eng = drain_pool.submit(inheritable_thread_target(_drain_engine))
+        fut_ext = drain_pool.submit(inheritable_thread_target(spark)(_drain_ext))
+        fut_eng = drain_pool.submit(inheritable_thread_target(spark)(_drain_engine))
         out = fut_ext.result()
         updates_dir = fut_eng.result()
     ext = spark.read.parquet(out["crawl_state"]).select(
@@ -5827,7 +5827,7 @@ def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     pool = ThreadPoolExecutor(max_workers=4)
 
     def _async_count(frame):
-        return pool.submit(inheritable_thread_target(frame.count))
+        return pool.submit(inheritable_thread_target(spark)(frame.count))
 
     n_input, n_eval = _async_count(train0), _async_count(ev)
 
@@ -5877,8 +5877,8 @@ def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "n_tokens", "quality_score"
         ).localCheckpoint()
 
-    fut_pairs = pool.submit(inheritable_thread_target(_pairs_chain))
-    fut_tq = pool.submit(inheritable_thread_target(_tq_chain))
+    fut_pairs = pool.submit(inheritable_thread_target(spark)(_pairs_chain))
+    fut_tq = pool.submit(inheritable_thread_target(spark)(_tq_chain))
     pairs, comp = fut_pairs.result()
     tq = fut_tq.result()
     keyed = clean2.join(

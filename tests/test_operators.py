@@ -2449,6 +2449,131 @@ def test_kmeans_broadcast_state_matches_closure_path(spark):
     assert base == bcast
 
 
+def test_train_partials_match_assignment_aggregation(spark):
+    """Round-12 optimization guard: the fused Arrow training pass
+    (_train_partials — assignment + per-task partial sums in one
+    mapInArrow) must produce EXACTLY the per-cluster (Σqv, count) that
+    aggregating _assign_to_centroids' per-row output yields — the two
+    formulations the Lloyd loop swapped between. int64 partial sums are
+    exact/associative, so any divergence is a real bug, not rounding."""
+    from steam_data_engineer_project_spark.operators.clustering import (
+        _assign_to_centroids,
+        _train_partials,
+        quantized_vectors,
+    )
+
+    rows = [
+        (i, [((i * 29 + j * 13) % 11 - 5) * 0.5 for j in range(6)])
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qdf = quantized_vectors(df, "embedding", "vec_id")
+    cents = sorted(
+        (int(r[0]), [int(v) for v in r[1]], 1)
+        for r in qdf.orderBy("vec_id").limit(5).collect()
+    )
+    dim = len(cents[0][1])
+
+    assigned = _assign_to_centroids(qdf, "vec_id", cents)
+    want = {
+        int(r["cluster_id"]): (
+            [int(r[f"s{i}"]) for i in range(dim)],
+            int(r["c"]),
+        )
+        for r in assigned.groupBy("cluster_id")
+        .agg(
+            *[F.sum(F.col("qv")[i]).alias(f"s{i}") for i in range(dim)],
+            F.count("*").alias("c"),
+        )
+        .collect()
+    }
+    for bstate in (False, True):
+        got = {
+            int(r["cluster_id"]): (
+                [int(r[f"s{i}"]) for i in range(dim)],
+                int(r["c"]),
+            )
+            for r in _train_partials(
+                qdf, "vec_id", cents, broadcast_state=bstate
+            )
+            .groupBy("cluster_id")
+            .agg(
+                *[F.sum(F.col(f"s{i}")).alias(f"s{i}") for i in range(dim)],
+                F.sum("c").alias("c"),
+            )
+            .collect()
+        }
+        assert got == want, f"broadcast_state={bstate}"
+
+
+def test_pair_scores_arrow_matches_jvm_fold(spark):
+    """Round-12 optimization guard: the Arrow pair-scoring pass
+    (_pair_scores_arrow) must emit exactly the pairs and cos_micro values
+    of the interpreted zip_with/aggregate fold it replaced — including
+    the threshold boundary and the dot<=0 rejection path."""
+    from steam_data_engineer_project_spark.operators.clustering import (
+        _pair_scores_arrow,
+    )
+
+    rows = []
+    pid = 0
+    for a in range(-3, 4):
+        for b in range(-3, 4):
+            qa = [a, 2 * a, -a, 3]
+            qb = [b, -b, 2 * b, 3]
+            rows.append(
+                (
+                    pid,
+                    pid + 1000,
+                    qa,
+                    qb,
+                    sum(v * v for v in qa),
+                    sum(v * v for v in qb),
+                )
+            )
+            pid += 1
+    cand = spark.createDataFrame(
+        rows,
+        "id_a long, id_b long, qa array<long>, qb array<long>, na long, nb long",
+    )
+    t_sq_104 = int(0.5 * 0.5 * 10_000)
+    dot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    want = {
+        (r.id_a, r.id_b): r.cos_micro
+        for r in cand.withColumn("dot", dot)
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.lit(10_000) * F.col("dot") * F.col("dot")
+                >= F.lit(t_sq_104) * F.col("na") * F.col("nb")
+            )
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.floor(
+                F.col("dot")
+                / F.sqrt((F.col("na") * F.col("nb")).cast("double"))
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("cos_micro"),
+        )
+        .collect()
+    }
+    assert want, "fixture must surface at least one passing pair"
+    got = {
+        (r.id_a, r.id_b): r.cos_micro
+        for r in _pair_scores_arrow(cand, ["id_a", "id_b"], t_sq_104).collect()
+    }
+    assert got == want
+
+
 def test_kmeans_hash_seed_spreads_correlated_id_prefix(spark):
     """A sorted-by-domain corpus (ids 0..7 all from ONE semantic cluster —
     the single-domain crawl-prefix failure mode) degenerates under id-order
