@@ -27,10 +27,10 @@ cluster sizes. Both halves live here:
     would be loaded the same way — as k literal rows).
 
   Scale shape: per iteration, ONE narrow assignment pass (an Arrow-batched
-  ``mapInPandas`` computing the N×k distance matrix as int64 numpy matrix
+  ``mapInArrow`` computing the N×k distance matrix as int64 numpy matrix
   algebra — no join, no shuffle; interpreted per-element expressions are
   ~1000× slower at k·dim ≈ 20k ops/row and this is exactly the
-  vectorized-linear-algebra case Pandas UDFs exist for) plus one
+  vectorized-linear-algebra case the Arrow batch APIs exist for) plus one
   map-side-combinable groupBy producing ≤ k rows. The only driver-side
   traffic is that k-row centroid state per iteration — the same
   bounded-collect class as loading an IVF codebook. Total cost:
@@ -82,10 +82,15 @@ def _assign_to_centroids(
     which is what makes cluster-scoped dedup robust to boundary splits —
     the measured recall knee in tools/codebook_drift.py.
 
-    Arrow-batched mapInPandas: the N×k distance matrix is int64 numpy
-    matrix algebra — the vectorized-linear-algebra case Pandas UDFs exist
-    for (interpreted per-element HOF expressions are ~1000× slower once
-    k·dim reaches 10⁴ ops per row).
+    Arrow-batched mapInArrow: the N×k distance matrix is int64 numpy
+    matrix algebra — the vectorized-linear-algebra case the Python batch
+    APIs exist for (interpreted per-element HOF expressions are ~1000×
+    slower once k·dim reaches 10⁴ ops per row). The qv ListArray arrives
+    as ONE contiguous int64 buffer per batch (fixed dim), so the N×dim
+    matrix is a zero-copy flat-buffer reshape and the id/qv columns pass
+    through untouched — the per-cell ndarray wrapping the earlier
+    mapInPandas form paid (round 12, guide §4.2) is gone; the distance
+    math and tie rules are unchanged, so assignments are bit-identical.
 
     ``broadcast_state=True`` ships the k×dim centroid state as a Spark
     broadcast variable instead of inside the task closure: with
@@ -126,54 +131,55 @@ def _assign_to_centroids(
     p = max(1, min(int(n_probe), len(cur)))
 
     def fn(batches):
-        import pandas as pd
+        import pyarrow as pa
 
         b_cids, b_S, b_C, b_ss, b_c2i = bstate.value if bstate is not None else state
         b_c2f = b_c2i.astype(np.float64)
-        for pdf in batches:
-            if not len(pdf):
+        b_dim = b_S.shape[1]
+        for rb in batches:
+            n = rb.num_rows
+            if not n:
                 continue
-            X = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["qv"]])
+            X = np.asarray(rb.column(1).flatten()).reshape(n, b_dim)
             dots = X @ b_S.T
             xx = np.einsum("nd,nd->n", X, X)
             D = b_c2i[None, :] * xx[:, None] - 2 * b_C[None, :] * dots + b_ss[None, :]
             dist = D.astype(np.float64) / b_c2f[None, :]
             if p == 1:
                 j = np.argmin(dist, axis=1)
-                yield pd.DataFrame(
-                    {
-                        id_col: pdf[id_col],
-                        "qv": pdf["qv"],
-                        "cluster_id": b_cids[j],
-                        "dist": dist[np.arange(len(j)), j],
-                    }
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        rb.column(0),
+                        rb.column(1),
+                        pa.array(b_cids[j]),
+                        pa.array(dist[np.arange(n), j]),
+                    ],
+                    names=[id_col, "qv", "cluster_id", "dist"],
                 )
             else:
                 # stable sort keeps the cid-ascending input order on ties
                 # (same tie rule as the argmin path's first-minimum)
                 J = np.argsort(dist, axis=1, kind="stable")[:, :p]
-                n = len(pdf)
                 rows = np.arange(n)[:, None]
-                yield pd.DataFrame(
-                    {
-                        id_col: np.repeat(
-                            pdf[id_col].to_numpy(), p
-                        ),
-                        "qv": [
-                            v for v in pdf["qv"] for _ in range(p)
-                        ],
-                        "cluster_id": b_cids[J].ravel(),
-                        "dist": dist[rows, J].ravel(),
-                        "probe_rank": np.tile(
-                            np.arange(p, dtype=np.int64), n
-                        ),
-                    }
+                idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), p))
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        rb.column(0).take(idx),
+                        rb.column(1).take(idx),
+                        pa.array(b_cids[J].ravel()),
+                        pa.array(dist[rows, J].ravel()),
+                        pa.array(np.tile(np.arange(p, dtype=np.int64), n)),
+                    ],
+                    names=[id_col, "qv", "cluster_id", "dist", "probe_rank"],
                 )
 
     schema = f"{id_col} long, qv array<long>, cluster_id long, dist double"
     if p > 1:
         schema += ", probe_rank long"
-    return base.mapInPandas(fn, schema=schema)
+    # explicit projection before the opaque op (guide §2.3): only the id
+    # and vector cross the Python boundary, whatever else the caller's
+    # frame carries.
+    return base.select(id_col, "qv").mapInArrow(fn, schema=schema)
 
 
 def _train_partials(
@@ -182,12 +188,20 @@ def _train_partials(
     cur: list[tuple[int, list[int], int]],
     *,
     broadcast_state: bool = False,
+    sum_col: str = "qv",
 ) -> DataFrame:
     """One Lloyd TRAINING pass fused into a single Arrow task pass: assign
     each vector to its nearest centroid (bit-identical distance math to
     :func:`_assign_to_centroids` — same int64 D, same single division, same
     first-minimum tie rule) and emit per-TASK partial sums
     (cluster_id, c, s0..s{dim-1}) instead of per-row assignments.
+
+    ``sum_col`` names the array<long> column whose per-cluster sums are
+    emitted — ``"qv"`` (the default) is the Lloyd update itself; the
+    trained-codebook build (:func:`train_ivf_codebook`) passes its
+    micro-unit NORMALIZED vectors instead, so the same fused pass that
+    assigns by qv-distance sums a different integer vector per row (the
+    assignment math never touches sum_col).
 
     Why (guide §2.3 / §4.2, measured round 12): the training update only
     needs Σqv and the count per cluster. Aggregating the N assignment rows
@@ -218,6 +232,7 @@ def _train_partials(
             "clustering — see the module docstring's ~2e8-vector bound"
         )
     k = len(cur)
+    two_cols = sum_col != "qv"
     state = (cids, S, C, np.einsum("kd,kd->k", S, S), C * C)
     if broadcast_state:
         from pyspark.sql import SparkSession
@@ -250,6 +265,11 @@ def _train_partials(
                 continue
             seen = True
             X = np.asarray(rb.column(0).flatten()).reshape(n, dim)
+            M = (
+                np.asarray(rb.column(1).flatten()).reshape(n, dim)
+                if two_cols
+                else X
+            )
             dots = X @ b_S.T
             xx = np.einsum("nd,nd->n", X, X)
             D = (
@@ -259,7 +279,7 @@ def _train_partials(
             )
             j = np.argmin(D.astype(np.float64) / c2f[None, :], axis=1)
             counts += np.bincount(j, minlength=k)
-            np.add.at(sums, j, X)
+            np.add.at(sums, j, M)
         if not seen:
             return
         nz = np.flatnonzero(counts)
@@ -272,7 +292,8 @@ def _train_partials(
     schema = "cluster_id long, c long, " + ", ".join(
         f"s{i} long" for i in range(dim)
     )
-    return base.select("qv").mapInArrow(fn, schema=schema)
+    cols_in = ("qv", sum_col) if two_cols else ("qv",)
+    return base.select(*cols_in).mapInArrow(fn, schema=schema)
 
 
 def _pair_scores_arrow(
@@ -595,13 +616,9 @@ def semantic_dedup_pairs(
     return star.unionByName(_near_pairs(blocked, ["cluster_id", "__sub"]))
 
 
-def unit_micro_vectors(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
-    """(id, m): each vector L2-normalized then quantized to integer
-    micro-units — m_i = ⌊(v_i / max(‖v‖, 1e-30))·10⁶ + 0.5⌋. Every step is
-    a single exactly-rounded IEEE op over an ORDERED fold (the norm is a
-    left fold over the array, mirrored by DuckDB's ``list_reduce``), so
-    the integers are bit-identical on any engine — which is what lets the
-    codebook built from their sums be oracle-hashed."""
+def _unit_micro_col(vec_col: str):
+    """The m column of :func:`unit_micro_vectors` as a bare expression, so
+    the fused codebook pass can derive it in the same projection as qv."""
     norm = F.sqrt(
         F.aggregate(
             F.col(vec_col),
@@ -609,16 +626,23 @@ def unit_micro_vectors(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
             lambda a, v: a + v.cast("double") * v.cast("double"),
         )
     )
-    return df.select(
-        F.col(id_col),
-        F.transform(
-            F.col(vec_col),
-            lambda v: F.floor(
-                v.cast("double") / F.greatest(norm, F.lit(1e-30)) * F.lit(1e6)
-                + F.lit(0.5)
-            ).cast("long"),
-        ).alias("m"),
+    return F.transform(
+        F.col(vec_col),
+        lambda v: F.floor(
+            v.cast("double") / F.greatest(norm, F.lit(1e-30)) * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("long"),
     )
+
+
+def unit_micro_vectors(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    """(id, m): each vector L2-normalized then quantized to integer
+    micro-units — m_i = ⌊(v_i / max(‖v‖, 1e-30))·10⁶ + 0.5⌋. Every step is
+    a single exactly-rounded IEEE op over an ORDERED fold (the norm is a
+    left fold over the array, mirrored by DuckDB's ``list_reduce``), so
+    the integers are bit-identical on any engine — which is what lets the
+    codebook built from their sums be oracle-hashed."""
+    return df.select(F.col(id_col), _unit_micro_col(vec_col).alias("m"))
 
 
 def train_ivf_codebook(
@@ -651,29 +675,111 @@ def train_ivf_codebook(
       ≤ 10⁶ in magnitude, so downstream integer cosine norms fit int64 at
       any cluster size.
 
-    One groupBy producing ≤ n_centroids rows; cosine is scale-invariant so
-    the floor-mean's 1e-6 granularity is noise. dim is probed from one row
-    (a bounded driver lookup, same class as loading the codebook itself)."""
+    Build shape (round 12, guide §2.3/§4.2): the old form joined the final
+    assignment frame back onto a separate unit-vector scan and paid a
+    64-column ``sum(m[i])`` aggregate over every row — 65 aggregate buffers
+    exceed ``spark.sql.codegen.maxFields`` (100), so that whole stage ran
+    INTERPRETED (the same fallback measured at 0.66 s vs 0.15 s per Lloyd
+    iteration before round 12's ``_train_partials`` fix). The fused form
+    derives qv and m in ONE projection (no join), assigns and partial-sums
+    per task inside the same Arrow pass Lloyd training uses
+    (``_train_partials(sum_col="m")``), and the JVM aggregate folds only
+    (#tasks)·k partial rows. Bit-identical output: the assignment math is
+    unchanged, the m sums are exact int64 (associative — task boundaries
+    can't change totals), and the final ⌊Σm/c⌋ divides the same two longs
+    through the same single IEEE division as the old per-row aggregate.
+
+    One groupBy producing ≤ n_centroids·#tasks partial rows; cosine is
+    scale-invariant so the floor-mean's 1e-6 granularity is noise. dim is
+    probed from one row (a bounded driver lookup, same class as loading
+    the codebook itself)."""
     first = df.select(vec_col).first()
     if first is None:
         raise ValueError("cannot train a codebook on an empty corpus")
     dim = len(first[0])
-    assigned = kmeans_int8(df, vec_col, id_col, k=n_centroids, n_iter=n_iter)
-    unit = unit_micro_vectors(df, vec_col, id_col)
+    st: list = []
+    # the returned assignment frame is lazy and unused — only the Lloyd
+    # training (driver-side, at build) and its final state are needed here
+    kmeans_int8(df, vec_col, id_col, k=n_centroids, n_iter=n_iter, state_out=st)
+    fused = df.select(
+        quantize_int8(F.col(vec_col)).alias("qv"),
+        _unit_micro_col(vec_col).alias("m"),
+    )
+    partials = _train_partials(fused, id_col, st, sum_col="m")
     return (
-        assigned.select(id_col, "cluster_id")
-        .join(unit, id_col)
-        .groupBy("cluster_id")
+        partials.groupBy("cluster_id")
         .agg(
+            F.sum("c").alias("c"),
+            *[F.sum(F.col(f"s{i}")).alias(f"s{i}") for i in range(dim)],
+        )
+        .select(
+            F.col("cluster_id").alias("centroid_id"),
             F.array(
                 *[
-                    F.floor(F.sum(F.col("m")[i]) / F.count("*")).cast("long")
+                    F.floor(F.col(f"s{i}") / F.col("c")).cast("long")
                     for i in range(dim)
                 ]
-            ).alias("cv")
+            ).alias("cv"),
         )
-        .select(F.col("cluster_id").alias("centroid_id"), "cv")
     )
+
+
+def _ivf_assign_arrow(
+    qdf: DataFrame, id_col: str, cb_rows: list[tuple[int, list[int], int]]
+) -> DataFrame:
+    """Serve-time IVF coarse assignment, vectorized: one mapInArrow pass
+    emitting (id, qv, nx, centroid_id) where centroid_id maximizes the
+    exact integer cosine against the k collected codebook rows
+    (centroid_id, cv, nc), cid-ascending.
+
+    Replaces the crossJoin(broadcast codebook) → interpreted
+    ``_int_cosine_score`` fold → groupBy(id) argmax chain (round 12, guide
+    §2.4/§4.2): the N×k score matrix becomes one int64 matmul per batch and
+    the argmax stays inside the task, so the N·k-row shuffle into the
+    argmax aggregate disappears — at 10⁹ vectors that exchange alone is
+    k× the corpus in rows. BIT-IDENTICAL to the JVM chain:
+
+    - the dot is exact int64 (associative; |dot| ≤ dim·127·10⁶ < 2⁵³, so
+      the int64→double conversion is exact);
+    - score = dot / (√nx · √nc) is the same three correctly-rounded IEEE
+      ops (two sqrts of exact integers, one multiply, one divide) the JVM
+      expression performs;
+    - ``max(struct(score, -cid))`` picks the highest score, ties to the
+      smallest cid — np.argmax returns the FIRST maximum and the rows are
+      cid-ascending, the same rule. The one divergence is the degenerate
+      zero-norm row (0/0): the old JVM chain RAISED under ANSI mode, while
+      this path scores it NaN everywhere and assigns the smallest cid —
+      strictly more defined, and unreachable from the registry (no input
+      quantizes to the zero vector; the oracle hash would convict drift).
+    """
+    import numpy as np
+
+    cids = np.array([c for c, _, _ in cb_rows], dtype=np.int64)
+    CV = np.array([v for _, v, _ in cb_rows], dtype=np.int64)
+    sq_nc = np.sqrt(np.array([n for _, _, n in cb_rows], dtype=np.int64).astype(np.float64))
+    dim = CV.shape[1]
+
+    def fn(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            n = rb.num_rows
+            if not n:
+                continue
+            X = np.asarray(rb.column(1).flatten()).reshape(n, dim)
+            nx = np.asarray(rb.column(2))
+            dots = (X @ CV.T).astype(np.float64)
+            denom = np.sqrt(nx.astype(np.float64))[:, None] * sq_nc[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                score = dots / denom
+            j = np.argmax(score, axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(0), rb.column(1), rb.column(2), pa.array(cids[j])],
+                names=[id_col, "qv", "nx", "centroid_id"],
+            )
+
+    schema = f"{id_col} long, qv array<long>, nx long, centroid_id long"
+    return qdf.select(id_col, "qv", "nx").mapInArrow(fn, schema=schema)
 
 
 def _int_cosine_score(qa: str, qb: str, na: str, nb: str):
@@ -712,8 +818,10 @@ def ivf_topk_trained(
        query after that is pure scan + broadcast joins (``n_centroids`` /
        ``n_iter`` are ignored on this path);
     2. assign every int8-quantized vector to its nearest centroid by exact
-       integer cosine (broadcast codebook join + max-struct argmax, ties →
-       smallest centroid id — one narrow pass, no wide shuffle);
+       integer cosine (one vectorized Arrow pass over the collected
+       k-row codebook — :func:`_ivf_assign_arrow`, bit-identical to the
+       broadcast-join + max-struct argmax it replaced but with ZERO
+       exchanges: the old groupBy(id) argmax shuffled N·k score rows);
     3. probe the ``n_probe`` centroids nearest the query (the ``query_id``
        row, int8-quantized from the same scan);
     4. exact-score only vectors assigned to probed centroids; report
@@ -736,20 +844,15 @@ def ivf_topk_trained(
         "nc",
         F.aggregate("cv", F.lit(0).cast("long"), lambda a, v: a + v * v),
     )
-    scored = qdf.crossJoin(F.broadcast(codebook)).select(
-        F.col(id_col),
-        "centroid_id",
-        _int_cosine_score("qv", "cv", "nx", "nc").alias("score"),
+    # bounded k-row collect — the codebook-LOAD class of driver traffic
+    # (same as kmeans' seed collect); the assignment then runs as one
+    # vectorized Arrow pass with no exchange instead of a broadcast
+    # crossJoin + N·k-row argmax shuffle (guide §2.4).
+    cb_rows = sorted(
+        (int(r["centroid_id"]), [int(v) for v in r["cv"]], int(r["nc"]))
+        for r in codebook.select("centroid_id", "cv", "nc").collect()
     )
-    assigned = (
-        scored.groupBy(id_col)
-        .agg(
-            F.max(
-                F.struct(F.col("score"), (-F.col("centroid_id")).alias("neg"))
-            ).alias("mx")
-        )
-        .select(F.col(id_col), (-F.col("mx.neg")).alias("centroid_id"))
-    )
+    assigned = _ivf_assign_arrow(qdf, id_col, cb_rows)
     qrow = qdf.filter(F.col(id_col) == query_id).select(
         F.col("qv").alias("qq"), F.col("nx").alias("nq")
     )
@@ -765,7 +868,6 @@ def ivf_topk_trained(
     )
     return (
         assigned.join(F.broadcast(probe), "centroid_id")
-        .join(qdf, id_col)
         .crossJoin(F.broadcast(qrow))
         .select(
             F.col(id_col),

@@ -2574,6 +2574,125 @@ def test_pair_scores_arrow_matches_jvm_fold(spark):
     assert got == want
 
 
+def test_train_ivf_codebook_fused_matches_join_aggregate_form(spark):
+    """Round-12 optimization guard: the fused codebook build (one Arrow
+    pass deriving qv+m, assigning, and partial-summing m per task —
+    _train_partials(sum_col='m')) must emit EXACTLY the codebook the old
+    formulation produced: kmeans assignment joined onto unit_micro_vectors
+    with a per-component floor-mean aggregate. int64 sums are exact and
+    the ⌊Σm/c⌋ divides the same longs, so any divergence is a bug."""
+    from steam_data_engineer_project_spark.operators.clustering import (
+        kmeans_int8,
+        train_ivf_codebook,
+        unit_micro_vectors,
+    )
+
+    rows = [
+        (i, [((i * 31 + j * 17) % 13 - 6) * 0.25 + (1.0 if j == i % 6 else 0.0) for j in range(6)])
+        for i in range(90)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    dim = 6
+
+    assigned = kmeans_int8(df, "embedding", "vec_id", k=5, n_iter=3)
+    unit = unit_micro_vectors(df, "embedding", "vec_id")
+    want = {
+        int(r["centroid_id"]): [int(v) for v in r["cv"]]
+        for r in assigned.select("vec_id", "cluster_id")
+        .join(unit, "vec_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.array(
+                *[
+                    F.floor(F.sum(F.col("m")[i]) / F.count("*")).cast("long")
+                    for i in range(dim)
+                ]
+            ).alias("cv")
+        )
+        .select(F.col("cluster_id").alias("centroid_id"), "cv")
+        .collect()
+    }
+    got = {
+        int(r["centroid_id"]): [int(v) for v in r["cv"]]
+        for r in train_ivf_codebook(
+            df, "embedding", "vec_id", n_centroids=5, n_iter=3
+        ).collect()
+    }
+    assert got == want
+
+
+def test_ivf_assign_arrow_matches_jvm_argmax_chain(spark):
+    """Round-12 optimization guard: the vectorized serve-time IVF
+    assignment (_ivf_assign_arrow) must reproduce the JVM
+    crossJoin(broadcast codebook) → _int_cosine_score →
+    max(struct(score, -cid)) argmax it replaced — including score ties
+    (identical vectors in the codebook tie on every row and must break to
+    the smallest centroid id). A zero-norm row is compared only against
+    the Arrow path's documented rule (smallest cid): under ANSI (this
+    engine's setting) the old JVM chain RAISED DIVIDE_BY_ZERO on 0/0, so
+    the Arrow path is strictly more defined there, and no registry input
+    quantizes to a zero vector (the oracle hash would convict drift)."""
+    from steam_data_engineer_project_spark.operators.clustering import (
+        _int_cosine_score,
+        _ivf_assign_arrow,
+        quantized_vectors,
+    )
+
+    rows = [
+        (i, [((i * 7 + j * 5) % 9 - 4) * 1.0 for j in range(4)])
+        for i in range(40)
+    ]
+    rows.append((40, [0.0, 0.0, 0.0, 0.0]))  # zero-norm → NaN score row
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qdf = quantized_vectors(df, "embedding", "vec_id").withColumn(
+        "nx",
+        F.aggregate("qv", F.lit(0).cast("long"), lambda a, v: a + v * v),
+    )
+    # centroid 2 duplicates centroid 1 → every row TIES on them and must
+    # resolve to cid 1 (the smaller), in both formulations.
+    cb = [
+        (0, [4, -3, 2, -1]),
+        (1, [-2, 5, -1, 3]),
+        (2, [-2, 5, -1, 3]),
+        (3, [1, 1, 1, 1]),
+    ]
+    cb_rows = [
+        (cid, cv, sum(v * v for v in cv)) for cid, cv in cb
+    ]
+    codebook = spark.createDataFrame(
+        [(cid, cv, nc) for cid, cv, nc in cb_rows],
+        "centroid_id long, cv array<long>, nc long",
+    )
+    want = {
+        int(r["vec_id"]): int(r["centroid_id"])
+        # the JVM reference chain only over well-defined rows: nx = 0
+        # divides 0/0, which ANSI mode rejects outright
+        for r in qdf.filter(F.col("nx") > 0)
+        .crossJoin(F.broadcast(codebook))
+        .select(
+            "vec_id",
+            "centroid_id",
+            _int_cosine_score("qv", "cv", "nx", "nc").alias("score"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(F.col("score"), (-F.col("centroid_id")).alias("neg"))
+            ).alias("mx")
+        )
+        .select("vec_id", (-F.col("mx.neg")).alias("centroid_id"))
+        .collect()
+    }
+    got = {
+        int(r["vec_id"]): int(r["centroid_id"])
+        for r in _ivf_assign_arrow(qdf, "vec_id", cb_rows).collect()
+    }
+    nan_cid = got.pop(40)  # zero-norm row: Arrow-path rule only (see doc)
+    assert got == want
+    assert nan_cid == 0  # NaN scores everywhere → first (smallest) cid
+    assert 2 not in set(got.values())  # ties always break to cid 1
+
+
 def test_kmeans_hash_seed_spreads_correlated_id_prefix(spark):
     """A sorted-by-domain corpus (ids 0..7 all from ONE semantic cluster —
     the single-domain crawl-prefix failure mode) degenerates under id-order

@@ -114,19 +114,26 @@ def test_flagship_agg_has_mapside_partial(plans):
 
 def test_ann_ivf_served_plan_has_no_training(plans):
     """The trained-IVF leg serves a STORED parquet codebook: the returned
-    plan must contain zero kmeans machinery — no Arrow-batched assignment
-    pass (MapInPandas) and no scan-time codebook aggregation — only the
-    embeddings scan, broadcast codebook/probe joins, and the argmax agg.
+    plan must contain zero kmeans machinery — no Lloyd pass and no
+    scan-time codebook aggregation — only the embeddings scan, the ONE
+    vectorized serve-time coarse assignment (round 12's _ivf_assign_arrow
+    MapInArrow), the broadcast probe join, and the exact-score top-k.
     Training runs once at the codebook WRITE action, never per driver
     action; a regression that drags the train back into the served plan
     re-runs Lloyd on every downstream consumer at 100 TB."""
     plan = plans["ann_ivf_topk"]
-    # before round 7 the trained leg embedded kmeans' Arrow assignment pass
-    # (MapInPandas) in the served plan; with the stored codebook it must be
-    # gone. (The codebook parquet scan itself sits below the tree-string
-    # truncation point, so its presence is pinned by the oracle's codebook
-    # leg instead — serving a wrong/missing store hash-fails.)
+    # Round 7 pinned "no MapInPandas" when kmeans' assignment pass was the
+    # only possible Python node. Round 12 moved both the training passes
+    # AND the serve-time coarse assignment to MapInArrow
+    # (_ivf_assign_arrow), so the pin is now a count: exactly ONE Arrow
+    # node — a leaked training pass would make it ≥ 2 (_train_partials
+    # plus the final _assign_to_centroids), and zero would mean the serve
+    # assignment regressed to the N·k-row argmax shuffle. (The codebook
+    # parquet scan itself sits below the tree-string truncation point, so
+    # its presence is pinned by the oracle's codebook leg instead —
+    # serving a wrong/missing store hash-fails.)
     assert "MapInPandas" not in plan, plan
+    assert plan.count("MapInArrow") == 1, plan
 
 
 def test_star_denorm_broadcasts_dimensions(spark):
