@@ -194,7 +194,7 @@ def _train_partials(
     each vector to its nearest centroid (bit-identical distance math to
     :func:`_assign_to_centroids` — same int64 D, same single division, same
     first-minimum tie rule) and emit per-TASK partial sums
-    (cluster_id, c, s0..s{dim-1}) instead of per-row assignments.
+    (cluster_id, c, s array<long>) instead of per-row assignments.
 
     ``sum_col`` names the array<long> column whose per-cluster sums are
     emitted — ``"qv"`` (the default) is the Lloyd update itself; the
@@ -210,9 +210,16 @@ def _train_partials(
     interpreted evaluation — measured 0.66 s per iteration on a 2000-row
     cached base vs 0.15 s for the same agg shape with one buffer. Doing the
     partial sums in numpy inside the SAME Arrow pass that already computed
-    the distance matrix shrinks the JVM agg input from N rows to
-    (#tasks)·k rows — at any scale the per-row work rides the vectorized
-    matmul and the shuffle carries k·dim longs per task (codebook-class).
+    the distance matrix shrinks the downstream input from N rows to at
+    most (#tasks)·k rows — at any scale the per-row work rides the
+    vectorized matmul and only k·dim longs leave each task
+    (codebook-class). Callers fold those bounded partials DRIVER-side
+    (:func:`kmeans_int8`, :func:`train_ivf_codebook`): a JVM
+    ``groupBy().agg(sum(s0)..sum(s63))`` over ≤ (#tasks)·k rows spent more
+    wall time on py4j construction of the 64 aggregate Columns (~0.3 s per
+    iteration) and the interpreted 65-buffer agg than the driver spends
+    summing the same rows in exact Python ints — measured round 12, the
+    same guide-§7.3 driver-overhead class as plan analysis.
 
     Exactness: the partial sums are int64 numpy adds — exact, hence
     associative, so task/batch boundaries cannot change the totals the
@@ -283,17 +290,24 @@ def _train_partials(
         if not seen:
             return
         nz = np.flatnonzero(counts)
-        cols = [pa.array(b_cids[nz]), pa.array(counts[nz])] + [
-            pa.array(sums[nz, i]) for i in range(dim)
-        ]
-        names = ["cluster_id", "c"] + [f"s{i}" for i in range(dim)]
-        yield pa.RecordBatch.from_arrays(cols, names=names)
+        # s as ONE list<int64> column (offsets over the flat sum buffer):
+        # 3 output columns regardless of dim, and the driver-side fold
+        # reads each row's vector as a single list instead of 64 fields.
+        offsets = pa.array(
+            np.arange(0, (len(nz) + 1) * dim, dim, dtype=np.int32)
+        )
+        s_col = pa.ListArray.from_arrays(
+            offsets, pa.array(sums[nz].ravel())
+        )
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(b_cids[nz]), pa.array(counts[nz]), s_col],
+            names=["cluster_id", "c", "s"],
+        )
 
-    schema = "cluster_id long, c long, " + ", ".join(
-        f"s{i} long" for i in range(dim)
-    )
     cols_in = ("qv", sum_col) if two_cols else ("qv",)
-    return base.select(*cols_in).mapInArrow(fn, schema=schema)
+    return base.select(*cols_in).mapInArrow(
+        fn, schema="cluster_id long, c long, s array<long>"
+    )
 
 
 def _pair_scores_arrow(
@@ -461,26 +475,25 @@ def kmeans_int8(
             stacklevel=2,
         )
 
-    dim = len(cents[0][1])
     for _ in range(n_iter):
         # fused assign + per-task partial sums (one Arrow pass; guide
         # §2.3 map-side aggregation — see _train_partials for the measured
-        # rationale), reduced JVM-side over (#tasks)·k rows only
-        rows = (
-            _train_partials(
-                base, id_col, cents, broadcast_state=broadcast_state
-            )
-            .groupBy("cluster_id")
-            .agg(
-                *[F.sum(F.col(f"s{i}")).alias(f"s{i}") for i in range(dim)],
-                F.sum("c").alias("c"),
-            )
-            .collect()  # ≤ k rows — codebook-class driver traffic
-        )
-        new = {
-            int(r["cluster_id"]): ([int(r[f"s{i}"]) for i in range(dim)], int(r["c"]))
-            for r in rows
-        }
+        # rationale), folded DRIVER-side over ≤ (#tasks)·k collected rows
+        # — the same bounded-collect class as this loop's own per-
+        # iteration state, and cheaper than the JVM groupBy it replaced
+        # (see _train_partials' docstring for the measured py4j/agg cost).
+        # Python ints are exact, so the fold order cannot change totals.
+        new: dict[int, tuple[list[int], int]] = {}
+        for r in _train_partials(
+            base, id_col, cents, broadcast_state=broadcast_state
+        ).collect():
+            cid, c, s = int(r[0]), int(r[1]), r[2]
+            prev = new.get(cid)
+            if prev is None:
+                new[cid] = ([int(v) for v in s], c)
+            else:
+                ps, pc = prev
+                new[cid] = ([a + int(b) for a, b in zip(ps, s)], pc + c)
         # an emptied cluster keeps its previous state (deterministic rule,
         # mirrored in the SQL oracle)
         cents = sorted(
@@ -675,28 +688,31 @@ def train_ivf_codebook(
       ≤ 10⁶ in magnitude, so downstream integer cosine norms fit int64 at
       any cluster size.
 
-    Build shape (round 12, guide §2.3/§4.2): the old form joined the final
-    assignment frame back onto a separate unit-vector scan and paid a
-    64-column ``sum(m[i])`` aggregate over every row — 65 aggregate buffers
-    exceed ``spark.sql.codegen.maxFields`` (100), so that whole stage ran
-    INTERPRETED (the same fallback measured at 0.66 s vs 0.15 s per Lloyd
-    iteration before round 12's ``_train_partials`` fix). The fused form
-    derives qv and m in ONE projection (no join), assigns and partial-sums
-    per task inside the same Arrow pass Lloyd training uses
-    (``_train_partials(sum_col="m")``), and the JVM aggregate folds only
-    (#tasks)·k partial rows. Bit-identical output: the assignment math is
-    unchanged, the m sums are exact int64 (associative — task boundaries
-    can't change totals), and the final ⌊Σm/c⌋ divides the same two longs
-    through the same single IEEE division as the old per-row aggregate.
+    Build shape (round 12, guide §2.3/§4.2/§7.3): the old form joined the
+    final assignment frame back onto a separate unit-vector scan and paid
+    a 64-column ``sum(m[i])`` aggregate over every row — 65 aggregate
+    buffers exceed ``spark.sql.codegen.maxFields`` (100), so that whole
+    stage ran INTERPRETED (the same fallback measured at 0.66 s vs 0.15 s
+    per Lloyd iteration before round 12's ``_train_partials`` fix). The
+    fused form derives qv and m in ONE projection (no join), assigns and
+    partial-sums per task inside the same Arrow pass Lloyd training uses
+    (``_train_partials(sum_col="m")``), then folds the ≤ (#tasks)·k
+    collected partials DRIVER-side — the same bounded-collect class as
+    the Lloyd loop's own per-iteration state, and cheaper than a JVM
+    groupBy whose 64 aggregate Columns cost ~0.3 s of py4j construction
+    per build. Bit-identical output: the assignment math is unchanged,
+    the m sums are exact ints (associative — task boundaries can't change
+    totals), and ⌊Σm/c⌋ divides the same two exactly-double-representable
+    integers through the same single correctly-rounded IEEE division
+    (|Σm| ≤ 10⁶·c ≪ 2⁵³) whether Python or the JVM performs it.
 
-    One groupBy producing ≤ n_centroids·#tasks partial rows; cosine is
-    scale-invariant so the floor-mean's 1e-6 granularity is noise. dim is
-    probed from one row (a bounded driver lookup, same class as loading
-    the codebook itself)."""
+    Cosine is scale-invariant so the floor-mean's 1e-6 granularity is
+    noise."""
+    import math
+
     first = df.select(vec_col).first()
     if first is None:
         raise ValueError("cannot train a codebook on an empty corpus")
-    dim = len(first[0])
     st: list = []
     # the returned assignment frame is lazy and unused — only the Lloyd
     # training (driver-side, at build) and its final state are needed here
@@ -705,22 +721,22 @@ def train_ivf_codebook(
         quantize_int8(F.col(vec_col)).alias("qv"),
         _unit_micro_col(vec_col).alias("m"),
     )
-    partials = _train_partials(fused, id_col, st, sum_col="m")
-    return (
-        partials.groupBy("cluster_id")
-        .agg(
-            F.sum("c").alias("c"),
-            *[F.sum(F.col(f"s{i}")).alias(f"s{i}") for i in range(dim)],
-        )
-        .select(
-            F.col("cluster_id").alias("centroid_id"),
-            F.array(
-                *[
-                    F.floor(F.col(f"s{i}") / F.col("c")).cast("long")
-                    for i in range(dim)
-                ]
-            ).alias("cv"),
-        )
+    agg: dict[int, tuple[list[int], int]] = {}
+    for r in _train_partials(fused, id_col, st, sum_col="m").collect():
+        cid, c, s = int(r[0]), int(r[1]), r[2]
+        prev = agg.get(cid)
+        if prev is None:
+            agg[cid] = ([int(v) for v in s], c)
+        else:
+            ps, pc = prev
+            agg[cid] = ([a + int(b) for a, b in zip(ps, s)], pc + c)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [
+            (cid, [int(math.floor(sv / c)) for sv in s])
+            for cid, (s, c) in sorted(agg.items())
+        ],
+        "centroid_id long, cv array<long>",
     )
 
 

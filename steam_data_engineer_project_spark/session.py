@@ -48,6 +48,20 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # Arrow for pandas_udf / mapInPandas / toPandas fast paths.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # PySpark 4's DataFrame debugging decorates EVERY DataFrame API
+        # call with call-site capture: an UNCACHED `conf.get` py4j round
+        # trip + a JVM origin set/clear pair + a Python stack walk per
+        # call — measured ~3 ms per wrapped call, ~half the py4j traffic
+        # of plan construction (round 12, guide §7.3 driver-overhead
+        # class: corpus_store_suite's build alone dropped 4.95 s → 2.34 s
+        # with it off). The only loss is the call-site line in SQL error
+        # messages; the cost is per API CALL, not per row, so the win is
+        # scale-independent (a 100 TB driver program builds the same
+        # plans). Env-overridable for interactive debugging sessions.
+        .config(
+            "spark.python.sql.dataFrameDebugging.enabled",
+            os.environ.get("SPARK_GRAFT_DF_DEBUGGING", "false"),
+        )
         # local mode: the driver is the only JVM; give it headroom but leave
         # space for the OS and Python workers (container has 128 GiB).
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))

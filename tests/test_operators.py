@@ -2488,21 +2488,19 @@ def test_train_partials_match_assignment_aggregation(spark):
         .collect()
     }
     for bstate in (False, True):
-        got = {
-            int(r["cluster_id"]): (
-                [int(r[f"s{i}"]) for i in range(dim)],
-                int(r["c"]),
-            )
-            for r in _train_partials(
-                qdf, "vec_id", cents, broadcast_state=bstate
-            )
-            .groupBy("cluster_id")
-            .agg(
-                *[F.sum(F.col(f"s{i}")).alias(f"s{i}") for i in range(dim)],
-                F.sum("c").alias("c"),
-            )
-            .collect()
-        }
+        # fold the per-task (cluster_id, c, s array) partials exactly the
+        # way kmeans_int8's driver loop does (round 12: the JVM groupBy
+        # was replaced by this bounded driver-side fold)
+        got: dict = {}
+        for r in _train_partials(
+            qdf, "vec_id", cents, broadcast_state=bstate
+        ).collect():
+            cid, c, s = int(r[0]), int(r[1]), [int(v) for v in r[2]]
+            if cid in got:
+                ps, pc = got[cid]
+                got[cid] = ([a + b for a, b in zip(ps, s)], pc + c)
+            else:
+                got[cid] = (s, c)
         assert got == want, f"broadcast_state={bstate}"
 
 
