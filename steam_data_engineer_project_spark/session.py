@@ -69,6 +69,20 @@ def get_spark(
         # Broadcast threshold: dims (region/nation/supplier-sized tables)
         # should always broadcast; 64 MB is safe with 48g driver.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Let the planner choose shuffled-hash join when its size
+        # conditions fit (guide §3.1/§9): SHJ skips both sort passes of a
+        # sort-merge join and was measured faster on EVERY query of an
+        # interleaved same-session A/B (8 join-heavy queries, min over 2
+        # passes per arm: 18.69 s → 17.06 s; e.g. dim_star_denorm
+        # 1.35→1.08, dedup_cross_corpus 8.31→7.61). This is a PLANNER
+        # preference, not a forced hint — it still requires one side to
+        # build a per-partition hash map within the planner's size
+        # conditions and falls back to sort-merge otherwise, so at 100 TB
+        # the big fact⋈fact joins keep the spill-graceful SMJ path.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():

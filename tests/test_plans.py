@@ -138,8 +138,10 @@ def test_ann_ivf_served_plan_has_no_training(plans):
 
 def test_star_denorm_broadcasts_dimensions(spark):
     """J1: after AQE finishes, every dim side of the 8-way star denorm is a
-    BroadcastHashJoin; the one SortMergeJoin is orders⋈lineitem — the
-    genuine large-large join, which SHOULD shuffle. (Final adaptive plan
+    BroadcastHashJoin; the one shuffled join is orders⋈lineitem — the
+    genuine large-large join, which SHOULD shuffle (sort-merge by
+    default; shuffled-hash under the round-12 session preference — if it
+    plans as SMJ, the key must be o_orderkey). (Final adaptive plan
     requires executing the query; sf0.001 keeps that cheap.)"""
     df = QUERIES["dim_star_denorm"].spark(spark, SF_DIR)
     df.collect()
@@ -173,10 +175,16 @@ def test_bucketed_tables_join_without_exchange(spark):
         for k in (
             "spark.sql.autoBroadcastJoinThreshold",
             "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            "spark.sql.join.preferSortMergeJoin",
         )
     }
     for k in saved:
-        spark.conf.set(k, "-1")
+        spark.conf.set(k, "-1" if "Broadcast" in k else "true")
+    # preferSortMergeJoin pinned true for this test only: the session
+    # default is false (round 12 — shuffled-hash wins on the registry's
+    # moderate-sized joins), but THIS test demonstrates the bucketed
+    # co-located SMJ story, where the sortBy metadata feeds the merge
+    # join with zero exchanges AND zero sorts.
     try:
         (
             orders.write.bucketBy(8, "o_orderkey")
