@@ -98,7 +98,12 @@ def _assign_to_centroids(
     carry multi-GB of centroid lists PER TASK, while a broadcast is sent
     once per executor over the torrent protocol. Results are bit-identical
     (differential-tested); the closure path stays the default because at
-    registry/test scale the broadcast round-trip is pure overhead."""
+    registry/test scale the broadcast round-trip is pure overhead.
+
+    ``id_col`` must be int64 (the emitted Arrow schema declares
+    ``{id_col} long`` and the column passes through untouched — a
+    narrower/string id would fail the strict Arrow schema check at
+    runtime; every caller in this codebase uses long ids)."""
     # lazy: keep numpy/pandas out of the operators package's import path —
     # every other operators module is pure pyspark.
     import numpy as np
@@ -212,14 +217,19 @@ def _train_partials(
     partial sums in numpy inside the SAME Arrow pass that already computed
     the distance matrix shrinks the downstream input from N rows to at
     most (#tasks)·k rows — at any scale the per-row work rides the
-    vectorized matmul and only k·dim longs leave each task
-    (codebook-class). Callers fold those bounded partials DRIVER-side
-    (:func:`kmeans_int8`, :func:`train_ivf_codebook`): a JVM
+    vectorized matmul and only min(rows-per-task, k)·dim longs leave each
+    task (codebook-class). Callers fold the collected partials DRIVER-side
+    via :func:`_collect_partials` (:func:`kmeans_int8`,
+    :func:`train_ivf_codebook`): a JVM
     ``groupBy().agg(sum(s0)..sum(s63))`` over ≤ (#tasks)·k rows spent more
     wall time on py4j construction of the 64 aggregate Columns (~0.3 s per
     iteration) and the interpreted 65-buffer agg than the driver spends
     summing the same rows in exact Python ints — measured round 12, the
-    same guide-§7.3 driver-overhead class as plan analysis.
+    same guide-§7.3 driver-overhead class as plan analysis. With
+    corpus-proportional k the raw collect stops being bounded once tasks
+    hold fewer rows than k (round-13: _collect_partials then reduces the
+    partials to ≤ k rows distributed — narrow shuffle + Arrow fold —
+    before collecting, keeping driver traffic O(k) at any task count).
 
     Exactness: the partial sums are int64 numpy adds — exact, hence
     associative, so task/batch boundaries cannot change the totals the
@@ -308,6 +318,88 @@ def _train_partials(
     return base.select(*cols_in).mapInArrow(
         fn, schema="cluster_id long, c long, s array<long>"
     )
+
+
+#: max partial rows the training loop will pull to the driver RAW. The
+#: fused pass emits ≤ min(rows-per-task, k) rows per task, so the collect
+#: is bounded by n_tasks·k — tiny at registry scale (one task, k ≈ N/62),
+#: but k itself grows with N under the corpus-proportional sizing rule, so
+#: once tasks hold fewer rows than k the partials stop reducing map-side
+#: and the raw collect approaches one row per input vector (round-12
+#: verdict finding #1). Past this bound the partials are reduced to ≤ k
+#: rows DISTRIBUTED first (:func:`_reduce_partials`); at 64-long vectors
+#: the bound caps raw driver traffic at ~35 MB per iteration.
+_DRIVER_FOLD_MAX_PARTIAL_ROWS = 1 << 16
+
+
+def _reduce_partials(partials: DataFrame, dim: int) -> DataFrame:
+    """Distributed reduction of :func:`_train_partials` output to ≤ one row
+    per cluster: shuffle the 3-column partials on ``cluster_id`` — narrow
+    rows, NOT the 64-column JVM agg whose 65 aggregate buffers fell out of
+    whole-stage codegen (``spark.sql.codegen.maxFields``) — and fold each
+    cluster's rows inside one Arrow task. Hash partitioning routes every
+    row of a cluster to one task, so the output is exactly one row per
+    non-empty cluster and the driver collect stays O(k) however many
+    upstream tasks emitted partials. Exactness: int64 adds are exact,
+    hence associative — shuffle/batch boundaries cannot change totals."""
+    import numpy as np
+
+    def fn(batches):
+        import pyarrow as pa
+
+        acc_s: dict[int, object] = {}
+        acc_c: dict[int, int] = {}
+        for rb in batches:
+            n = rb.num_rows
+            if not n:
+                continue
+            cids = np.asarray(rb.column(0))
+            cs = np.asarray(rb.column(1))
+            S = np.asarray(rb.column(2).flatten()).reshape(n, dim)
+            order = np.argsort(cids, kind="stable")
+            uc, starts = np.unique(cids[order], return_index=True)
+            sums_g = np.add.reduceat(S[order], starts, axis=0)
+            cnt_g = np.add.reduceat(cs[order], starts)
+            for i, cid in enumerate(uc):
+                cid = int(cid)
+                if cid in acc_s:
+                    acc_s[cid] += sums_g[i]
+                    acc_c[cid] += int(cnt_g[i])
+                else:
+                    acc_s[cid] = sums_g[i].copy()
+                    acc_c[cid] = int(cnt_g[i])
+        if not acc_s:
+            return
+        cids_out = sorted(acc_s)
+        sums = np.stack([acc_s[c] for c in cids_out])
+        counts = np.array([acc_c[c] for c in cids_out], dtype=np.int64)
+        offsets = pa.array(
+            np.arange(0, (len(cids_out) + 1) * dim, dim, dtype=np.int32)
+        )
+        s_col = pa.ListArray.from_arrays(offsets, pa.array(sums.ravel()))
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(np.array(cids_out, dtype=np.int64)), pa.array(counts), s_col],
+            names=["cluster_id", "c", "s"],
+        )
+
+    return partials.repartition("cluster_id").mapInArrow(
+        fn, schema="cluster_id long, c long, s array<long>"
+    )
+
+
+def _collect_partials(
+    partials: DataFrame, *, n_tasks: int, k: int, dim: int
+) -> list:
+    """Collect training partials with driver traffic kept O(k): when the
+    upstream pass could emit more than ``_DRIVER_FOLD_MAX_PARTIAL_ROWS``
+    rows (its per-task cap is min(rows-per-task, k), so n_tasks·k bounds
+    the total), reduce them to ≤ k rows DISTRIBUTED first. At registry
+    scale n_tasks·k is tiny and the raw collect skips the extra shuffle
+    stage; the callers' exact-integer driver fold is correct for either
+    form (partial or fully-reduced rows)."""
+    if n_tasks * k > _DRIVER_FOLD_MAX_PARTIAL_ROWS:
+        partials = _reduce_partials(partials, dim)
+    return partials.collect()
 
 
 def _pair_scores_arrow(
@@ -475,18 +567,29 @@ def kmeans_int8(
             stacklevel=2,
         )
 
+    # task count of the Arrow training passes (narrow over base — same
+    # partitioning); plan-only, no job. Decides per-iteration whether the
+    # partials collect is bounded enough to fold raw on the driver or must
+    # be reduced to ≤ k rows distributed first (_collect_partials).
+    n_tasks = base.rdd.getNumPartitions()
+    dim = len(cents[0][1])
     for _ in range(n_iter):
         # fused assign + per-task partial sums (one Arrow pass; guide
         # §2.3 map-side aggregation — see _train_partials for the measured
-        # rationale), folded DRIVER-side over ≤ (#tasks)·k collected rows
-        # — the same bounded-collect class as this loop's own per-
-        # iteration state, and cheaper than the JVM groupBy it replaced
-        # (see _train_partials' docstring for the measured py4j/agg cost).
-        # Python ints are exact, so the fold order cannot change totals.
+        # rationale), folded DRIVER-side over the collected rows — bounded
+        # at O(k) by _collect_partials (raw ≤ n_tasks·k rows when small,
+        # distributed-reduced to ≤ k rows past the bound), the same
+        # bounded-collect class as this loop's own per-iteration state and
+        # cheaper than the JVM groupBy it replaced (see _train_partials'
+        # docstring for the measured py4j/agg cost). Python ints are
+        # exact, so the fold order cannot change totals.
         new: dict[int, tuple[list[int], int]] = {}
-        for r in _train_partials(
-            base, id_col, cents, broadcast_state=broadcast_state
-        ).collect():
+        for r in _collect_partials(
+            _train_partials(base, id_col, cents, broadcast_state=broadcast_state),
+            n_tasks=n_tasks,
+            k=len(cents),
+            dim=dim,
+        ):
             cid, c, s = int(r[0]), int(r[1]), r[2]
             prev = new.get(cid)
             if prev is None:
@@ -722,7 +825,12 @@ def train_ivf_codebook(
         _unit_micro_col(vec_col).alias("m"),
     )
     agg: dict[int, tuple[list[int], int]] = {}
-    for r in _train_partials(fused, id_col, st, sum_col="m").collect():
+    for r in _collect_partials(
+        _train_partials(fused, id_col, st, sum_col="m"),
+        n_tasks=fused.rdd.getNumPartitions(),
+        k=len(st),
+        dim=len(st[0][1]),
+    ):
         cid, c, s = int(r[0]), int(r[1]), r[2]
         prev = agg.get(cid)
         if prev is None:

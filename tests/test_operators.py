@@ -2504,6 +2504,70 @@ def test_train_partials_match_assignment_aggregation(spark):
         assert got == want, f"broadcast_state={bstate}"
 
 
+def test_partials_reduced_distributed_when_collect_scales_with_tasks(
+    spark, monkeypatch
+):
+    """Round-13 guard (round-12 verdict finding #1): with corpus-
+    proportional k the raw partials collect is bounded only by n_tasks·k —
+    once tasks hold fewer rows than k, partials stop reducing map-side and
+    the raw collect approaches one row per input vector. Past
+    _DRIVER_FOLD_MAX_PARTIAL_ROWS the training loop must reduce the
+    partials to O(k) rows DISTRIBUTED before collecting (one narrow
+    shuffle + Arrow fold), with a bit-identical fold result — and
+    kmeans_int8 through the forced distributed path must emit exactly the
+    raw-path assignments."""
+    from steam_data_engineer_project_spark.operators import clustering as cl
+
+    # k (24) > rows-per-task (160/8 = 20): the raw collect is task-scaled
+    rows = [
+        (i, [((i * 31 + j * 13) % 23 - 11) * 0.5 for j in range(6)])
+        for i in range(160)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qdf = cl.quantized_vectors(df, "embedding", "vec_id").repartition(8)
+    cents = sorted(
+        (int(r[0]), [int(v) for v in r[1]], 1)
+        for r in qdf.orderBy("vec_id").limit(24).collect()
+    )
+    dim = len(cents[0][1])
+
+    raw = cl._train_partials(qdf, "vec_id", cents).collect()
+    reduced = cl._reduce_partials(
+        cl._train_partials(qdf, "vec_id", cents), dim
+    ).collect()
+    # O(k), not O(n_tasks·k): exactly one row per non-empty cluster
+    n_clusters = len({int(r[0]) for r in raw})
+    assert len(reduced) == n_clusters <= len(cents)
+    assert len(raw) > len(reduced)  # the raw form really was task-scaled
+
+    def fold(partial_rows):
+        acc: dict = {}
+        for r in partial_rows:
+            cid, c, s = int(r[0]), int(r[1]), [int(v) for v in r[2]]
+            if cid in acc:
+                ps, pc = acc[cid]
+                acc[cid] = ([a + b for a, b in zip(ps, s)], pc + c)
+            else:
+                acc[cid] = (s, c)
+        return acc
+
+    assert fold(reduced) == fold(raw)
+
+    def assignments():
+        return {
+            (int(r[0]), int(r[1]))
+            for r in cl.kmeans_int8(
+                None, "embedding", "vec_id", k=24, n_iter=3, qdf=qdf, cache=False
+            )
+            .select("vec_id", "cluster_id")
+            .collect()
+        }
+
+    want = assignments()  # raw driver fold (bound not exceeded)
+    monkeypatch.setattr(cl, "_DRIVER_FOLD_MAX_PARTIAL_ROWS", 1)
+    assert assignments() == want  # forced distributed reduce: bit-identical
+
+
 def test_pair_scores_arrow_matches_jvm_fold(spark):
     """Round-12 optimization guard: the Arrow pair-scoring pass
     (_pair_scores_arrow) must emit exactly the pairs and cos_micro values
