@@ -119,50 +119,83 @@ def bloom_probe_count(
     m_bits: int = 1 << 22,
     n_hashes: int = 4,
     salt: str = "bf",
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Probe (id, value) rows against a :func:`bloom_bitset` and return
     per-id hit counts: (id_col, n_probed, n_hits) where a value hits iff
     ALL ``n_hashes`` of its bit positions are set. (m_bits, n_hashes,
     salt) must match the build or membership is garbage.
 
-    Shape at scale: explode h positions per distinct (id, value), LEFT
-    broadcast-join the word table (the bitset is the small side by
-    construction), then two map-side-combinable aggregates — per-value
-    all-positions-set, per-id counts. The probed corpus itself never
-    crosses a shuffle; only (id, value-hash) residue does."""
-    probes = (
-        df.select(F.col(id_col), F.col(value_col).alias("__v"))
-        .where(F.col("__v").isNotNull())
-        .distinct()
-        .select(
-            id_col,
-            "__v",
-            F.explode(
-                _positions(F.col("__v"), m_bits, n_hashes, salt)
-            ).alias("pos"),
-        )
-        .select(
-            id_col,
-            "__v",
-            F.expr(f"pos DIV {_WORD_BITS}").alias("word_idx"),
+    Shape at scale (round 13, guide §2.4): each of the h positions probes
+    the word table through its OWN broadcast left join — h narrow joins
+    against the same ≤2 MB broadcast relation (built once, reused), and
+    the all-positions-set test is a row-wise conjunction. The earlier
+    form exploded h rows per (id, value) and re-grouped them back
+    per-value, paying a full exchange of the h×-amplified probe rows for
+    an aggregation the row itself can answer; that exchange is gone and
+    the ONLY remaining shuffle is the final per-id count, map-side
+    combinable. The probed corpus still never crosses a shuffle wider
+    than (id, hash-residue) rows. Membership is bit-identical: the same
+    h positions are tested against the same words, missing word == all
+    zeros (left join NULL) exactly as before.
+
+    ``assume_distinct=True`` skips the defensive (id, value) distinct —
+    pass it when the input is already a distinct-pairs table (e.g.
+    :func:`operators.dedup.shingle_table` output) and the probe then
+    runs shuffle-free up to the final count."""
+    probes = df.select(F.col(id_col), F.col(value_col).alias("__v")).where(
+        F.col("__v").isNotNull()
+    )
+    if not assume_distinct:
+        probes = probes.distinct()
+    pos = _positions(F.col("__v"), m_bits, n_hashes, salt)
+    probes = probes.select(
+        id_col, *[pos[j].alias(f"__p{j}") for j in range(n_hashes)]
+    ).select(
+        id_col,
+        *[
+            F.expr(f"__p{j} DIV {_WORD_BITS}").alias(f"__w{j}")
+            for j in range(n_hashes)
+        ],
+        *[
             F.expr(
-                f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {_WORD_BITS} AS INT))"
-            ).alias("__mask"),
+                f"shiftleft(CAST(1 AS BIGINT), CAST(__p{j} % {_WORD_BITS} AS INT))"
+            ).alias(f"__m{j}")
+            for j in range(n_hashes)
+        ],
+    )
+    # the word table is referenced once per hash join below: checkpoint it
+    # lazily (first consumer materializes, the rest reuse) so the plan
+    # embeds ONE ≤m/32-row table instead of h copies of the build subtree
+    # — h re-executions of the bitset aggregation would cost more than the
+    # explode form saved.
+    bitset = bitset.localCheckpoint(eager=False)
+    for j in range(n_hashes):
+        probes = probes.join(
+            F.broadcast(
+                bitset.select(
+                    F.col("word_idx").alias(f"__w{j}"),
+                    F.col("bits").alias(f"__b{j}"),
+                )
+            ),
+            f"__w{j}",
+            "left",
         )
-    )
-    joined = probes.join(F.broadcast(bitset), "word_idx", "left")
-    per_value = joined.groupBy(id_col, "__v").agg(
-        F.min(
-            F.when(
-                F.col("bits").isNotNull()
-                & (F.col("bits").bitwiseAND(F.col("__mask")) != 0),
-                F.lit(1),
-            ).otherwise(F.lit(0))
-        ).alias("__hit")
-    )
-    return per_value.groupBy(id_col).agg(
-        F.count("*").cast("long").alias("n_probed"),
-        F.sum("__hit").cast("long").alias("n_hits"),
+    hit = F.lit(True)
+    for j in range(n_hashes):
+        hit = hit & (
+            F.col(f"__b{j}").isNotNull()
+            & (F.col(f"__b{j}").bitwiseAND(F.col(f"__m{j}")) != 0)
+        )
+    return (
+        probes.select(
+            id_col, F.when(hit, F.lit(1)).otherwise(F.lit(0)).alias("__hit")
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_probed"),
+            F.sum("__hit").cast("long").alias("n_hits"),
+        )
     )
 
 

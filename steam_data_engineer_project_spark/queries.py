@@ -3408,6 +3408,10 @@ def dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             ev_bits,
             m_bits=1 << 22,
             n_hashes=4,
+            # tr_sh is shingle_table output — already distinct (id, value)
+            # pairs; skipping the defensive distinct removes the probe's
+            # only input-side exchange (guide §2.4)
+            assume_distinct=True,
         )
         .filter(F.col("n_hits") >= 3)
         .select(
@@ -6643,7 +6647,19 @@ def corpus_store_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = semantic_state_from_table(codebook_df)
     assigned = rd("sem_assigned")
 
-    def doc_leg(part: str, batch_df: DataFrame, upto: int) -> DataFrame:
+    # batch-2's shingle table feeds BOTH doc_b2's near tier and the bloom
+    # probe below — share ONE lazily-checkpointed pass (materialized by
+    # whichever consumer's tasks run first inside the union job, reused by
+    # the other) instead of two identical shingle subtrees recomputing
+    # concurrently (round-12 carried item 4; guide §2.4). Lazy, so a
+    # non-bloom consumer of the suite never pays an extra job for it.
+    b2_sh = shingle_table(b2, "stext", "doc_id", n=_ST_N).localCheckpoint(
+        eager=False
+    )
+
+    def doc_leg(
+        part: str, batch_df: DataFrame, upto: int, batch_shingles=None
+    ) -> DataFrame:
         return incremental_dedup_verdicts(
             None,
             batch_df,
@@ -6656,6 +6672,7 @@ def corpus_store_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             corpus_shingles=shingles.filter(F.col("batch_id") <= upto).select(
                 "doc_id", "shingle"
             ),
+            incoming_shingles=batch_shingles,
         ).select(
             F.lit(part).alias("part"),
             F.col("doc_id").alias("id"),
@@ -6665,7 +6682,10 @@ def corpus_store_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("max_jaccard").alias("x"),
         )
 
-    legs = [doc_leg("doc_b1", b1, 0), doc_leg("doc_b2", b2, 1)]
+    legs = [
+        doc_leg("doc_b1", b1, 0),
+        doc_leg("doc_b2", b2, 1, batch_shingles=b2_sh),
+    ]
 
     legs.append(
         incremental_duplicated_spans(
@@ -6697,12 +6717,14 @@ def corpus_store_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     bp = store.bloom_params()
     legs.append(
         bloom_probe_count(
-            shingle_table(b2, "stext", "doc_id", n=_ST_N),
+            b2_sh,
             "shingle",
             "doc_id",
             merged_bloom,
             m_bits=bp["m_bits"],
             n_hashes=bp["n_hashes"],
+            # shingle_table output is already distinct (id, value) pairs
+            assume_distinct=True,
         )
         .filter(F.col("n_hits") >= 3)
         .select(

@@ -3054,6 +3054,85 @@ def test_bloom_no_false_negatives_and_merge_equals_direct(spark):
     assert res.filter("n_hits != 1 OR n_probed != 1").count() == 0
 
 
+def test_bloom_probe_matches_explode_aggregate_form(spark):
+    """Round-13 optimization guard: the per-hash broadcast-join probe
+    (h narrow joins + row-wise conjunction) must emit exactly the
+    (n_probed, n_hits) of the explode+min-aggregate formulation it
+    replaced — including duplicate (id, value) inputs (the defensive
+    distinct), values whose h positions collide into one word, and
+    missing-word (NULL bits) misses."""
+    from steam_data_engineer_project_spark.operators.bloom import (
+        _WORD_BITS,
+        _positions,
+        bloom_bitset,
+        bloom_probe_count,
+    )
+
+    kw = dict(m_bits=1 << 10, n_hashes=4, salt="g")  # tiny m: forced collisions
+    built = spark.createDataFrame(
+        [(f"v{i}",) for i in range(60)], "v string"
+    )
+    bits = bloom_bitset(built, "v", **kw)
+    # probe mix: built values (hits), unseen values (mostly misses), and a
+    # duplicated (id, value) row that the defensive distinct must collapse
+    probe = spark.createDataFrame(
+        [(i % 7, f"v{i}") for i in range(120)] + [(0, "v0")],
+        "id long, v string",
+    )
+
+    def reference():
+        probes = (
+            probe.select("id", F.col("v").alias("__v"))
+            .where(F.col("__v").isNotNull())
+            .distinct()
+            .select(
+                "id",
+                "__v",
+                F.explode(
+                    _positions(F.col("__v"), kw["m_bits"], kw["n_hashes"], kw["salt"])
+                ).alias("pos"),
+            )
+            .select(
+                "id",
+                "__v",
+                F.expr(f"pos DIV {_WORD_BITS}").alias("word_idx"),
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {_WORD_BITS} AS INT))"
+                ).alias("__mask"),
+            )
+        )
+        joined = probes.join(F.broadcast(bits), "word_idx", "left")
+        per_value = joined.groupBy("id", "__v").agg(
+            F.min(
+                F.when(
+                    F.col("bits").isNotNull()
+                    & (F.col("bits").bitwiseAND(F.col("__mask")) != 0),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ).alias("__hit")
+        )
+        return per_value.groupBy("id").agg(
+            F.count("*").cast("long").alias("n_probed"),
+            F.sum("__hit").cast("long").alias("n_hits"),
+        )
+
+    want = sorted(map(tuple, reference().collect()))
+    got = sorted(map(tuple, bloom_probe_count(probe, "v", "id", bits, **kw).collect()))
+    assert got == want
+    # a hit actually occurs in the fixture (not vacuously all-miss)
+    assert any(h > 0 for _, _, h in want)
+    # assume_distinct over a genuinely distinct input: identical
+    got_ad = sorted(
+        map(
+            tuple,
+            bloom_probe_count(
+                probe.distinct(), "v", "id", bits, assume_distinct=True, **kw
+            ).collect(),
+        )
+    )
+    assert got_ad == want
+
+
 def test_bloom_planted_contamination_always_surfaces(spark):
     """Decontamination shape: every shingle of a doc QUOTING benchmark
     material hits the benchmark-side filter, so the quoting doc's hit
