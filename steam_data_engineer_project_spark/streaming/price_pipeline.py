@@ -195,8 +195,30 @@ def run_price_pipeline(
             # batch_id=N partition directory and overwrites it, so a
             # replayed batch replaces its own rows instead of appending
             # duplicates (idempotent under at-least-once foreachBatch).
-            batch_df.write.mode("overwrite").parquet(
-                os.path.join(prices_dir, f"batch_id={batch_id}")
+            # The write depends only on batch_df — independent of the
+            # state/notification chain below — so it runs on a driver
+            # thread and its write tail back-fills cores the chain leaves
+            # idle (guide §2.6). New torn state this introduces (state
+            # merged, prices not yet written) converges on replay the same
+            # way the old one (prices written, state not merged) did: the
+            # prices dir is overwritten idempotently, the merge is a
+            # marker no-op.
+            from concurrent.futures import ThreadPoolExecutor
+
+            from pyspark import inheritable_thread_target
+
+            def _write_prices():
+                batch_df.write.mode("overwrite").parquet(
+                    os.path.join(prices_dir, f"batch_id={batch_id}")
+                )
+
+            prices_pool = ThreadPoolExecutor(max_workers=1)
+        except BaseException:
+            batch_df.unpersist()
+            raise
+        try:
+            prices_fut = prices_pool.submit(
+                inheritable_thread_target(spark)(_write_prices)
             )
             batch_state = batch_crawl_state(batch_df).persist()
             # The buckets this batch's keys hash into — notifications and
@@ -243,7 +265,11 @@ def run_price_pipeline(
                 touched=touched,
             )
             batch_state.unpersist()
+            prices_fut.result()  # surface a prices-write failure to the engine
         finally:
+            # join the writer thread even when the chain raised — the engine
+            # must not see the batch "done" with a write still in flight
+            prices_pool.shutdown(wait=True)
             batch_df.unpersist()
 
     saved = spark.conf.get("spark.sql.shuffle.partitions")

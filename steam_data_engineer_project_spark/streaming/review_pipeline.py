@@ -151,17 +151,6 @@ def run_review_pipeline(
                 F.col("s_last.last_voted_up").alias("last_voted_up"),
                 F.col("n_reviews").cast("long").alias("n_reviews"),
             )
-            merge_bucketed(
-                spark,
-                store_dir,
-                latest_batch,
-                list(_KEY),
-                latest_aggs,
-                latest_back,
-                batch_id,
-                num_buckets=num_state_buckets,
-                touched=touched,
-            )
             # S11: first-wins INSERT IGNORE summaries.
             first_batch = combined.select(
                 *_KEY,
@@ -170,17 +159,43 @@ def run_review_pipeline(
                     "first_recommendationid"
                 ),
             )
-            merge_bucketed(
-                spark,
-                summary_dir,
-                first_batch,
-                list(_KEY),
-                first_aggs,
-                first_back,
-                batch_id,
-                num_buckets=num_state_buckets,
-                touched=touched,
-            )
+            # The two stores live in disjoint directories, merge disjoint
+            # artifacts of the same persisted per-key frame, and are each
+            # independently replay-safe (per-bucket _last_batch markers), so
+            # their merges run on two driver threads — one merge's write/
+            # rename tail back-fills the cores the other leaves idle
+            # (guide §2.6). A crash with either store ahead of the other
+            # converges on replay exactly as the sequential order did: the
+            # behind store's markers are still behind, the ahead store's
+            # merge is a marker no-op.
+            from concurrent.futures import ThreadPoolExecutor
+
+            from pyspark import inheritable_thread_target
+
+            def _merge(args):
+                target_dir, batch_state, aggs, back = args
+                merge_bucketed(
+                    spark,
+                    target_dir,
+                    batch_state,
+                    list(_KEY),
+                    aggs,
+                    back,
+                    batch_id,
+                    num_buckets=num_state_buckets,
+                    touched=touched,
+                )
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                futs = [
+                    pool.submit(inheritable_thread_target(spark)(_merge), a)
+                    for a in (
+                        (store_dir, latest_batch, latest_aggs, latest_back),
+                        (summary_dir, first_batch, first_aggs, first_back),
+                    )
+                ]
+                for f in futs:
+                    f.result()
         finally:
             combined.unpersist()
 
