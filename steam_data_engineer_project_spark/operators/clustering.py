@@ -818,12 +818,27 @@ def train_ivf_codebook(
         raise ValueError("cannot train a codebook on an empty corpus")
     st: list = []
     # the returned assignment frame is lazy and unused — only the Lloyd
-    # training (driver-side, at build) and its final state are needed here
-    kmeans_int8(df, vec_col, id_col, k=n_centroids, n_iter=n_iter, state_out=st)
+    # training (driver-side, at build) and its final state are needed here.
+    # The training base persist is released right after: the fused pass
+    # below re-derives qv in its own projection, so the cache has no
+    # further consumer (a codebook is trained once per corpus release —
+    # leaking its cache entry would shadow serve-time memory for nothing).
+    ph: list = []
+    kmeans_int8(
+        df,
+        vec_col,
+        id_col,
+        k=n_centroids,
+        n_iter=n_iter,
+        state_out=st,
+        persisted_out=ph,
+    )
     fused = df.select(
         quantize_int8(F.col(vec_col)).alias("qv"),
         _unit_micro_col(vec_col).alias("m"),
     )
+    for _p in ph:
+        _p.unpersist()
     agg: dict[int, tuple[list[int], int]] = {}
     for r in _collect_partials(
         _train_partials(fused, id_col, st, sum_col="m"),

@@ -723,6 +723,7 @@ def boilerplate_lines(
     top_m: int = 20,
     n_shards: int = 16,
     line_delim: str = "\n",
+    group_col: str | None = None,
 ) -> DataFrame:
     """Sharded heavy-hitter LINES — the corpus-wide boilerplate REPORT that
     :func:`corpus_line_dedup` acts on implicitly: (shard, line, n_docs,
@@ -743,12 +744,21 @@ def boilerplate_lines(
     per-shard window whose WindowGroupLimit prunes to top_m per partition
     BEFORE the second (n_shards-row) shuffle. Lines are counted by
     DISTINCT containing doc, not occurrences, so a single doc repeating
-    its own header can't fake corpus-wide boilerplate."""
+    its own header can't fake corpus-wide boilerplate.
+
+    ``group_col`` builds MANY reports in the single pass — one per group
+    value, (group_col, shard, line, n_docs, rank) with counts, shards and
+    ranks all computed per group — bit-identical per group to separate
+    builds (every step is per-group keyed; the shard hash is content-only).
+    A per-shard/per-day report build then scans its corpus once instead of
+    once per day (round 13, guide §2.4)."""
     import re
 
     from pyspark.sql import Window
 
+    g = [group_col] if group_col else []
     lines = df.select(
+        *g,
         F.col(id_col).alias("__id"),
         F.explode(
             F.array_distinct(
@@ -763,7 +773,7 @@ def boilerplate_lines(
         ).alias("line"),
     )
     counts = (
-        lines.groupBy("line")
+        lines.groupBy(*g, "line")
         .agg(F.count("*").cast("long").alias("n_docs"))
         .filter(F.col("n_docs") >= min_docs)
         .withColumn(
@@ -776,11 +786,17 @@ def boilerplate_lines(
             ),
         )
     )
-    w = Window.partitionBy("shard").orderBy(F.col("n_docs").desc(), "line")
+    w = Window.partitionBy(*g, "shard").orderBy(F.col("n_docs").desc(), "line")
     return (
         counts.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top_m)
-        .select("shard", "line", "n_docs", F.col("rank").cast("long").alias("rank"))
+        .select(
+            *g,
+            "shard",
+            "line",
+            "n_docs",
+            F.col("rank").cast("long").alias("rank"),
+        )
     )
 
 

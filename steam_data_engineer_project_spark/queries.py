@@ -456,6 +456,30 @@ _dsum = dsum
 _davg = davg
 
 
+#: the PREVIOUS invocation's persisted frames, per query slot. Spark's
+#: CacheManager matches persists by canonicalized plan, so without this a
+#: bench pass N+1 would silently serve pass N's InMemoryRelation instead of
+#: recomputing from the parquet inputs — min-over-passes must stay a
+#: cold-cache signal (round-12 verdict hygiene item 5). Within ONE
+#: invocation the persists keep serving their multi-consumer purpose.
+_LIVE_PERSISTS: dict[str, list] = {}
+
+
+def _rotate_persists(slot: str, handles: list) -> None:
+    """Unpersist the previous invocation's persisted frames for ``slot``,
+    then register ``handles`` (if any) as the new generation. Query bodies
+    call this at ENTRY with ``[]`` — before their own persists exist, so
+    the new generation starts cold — and assign ``_LIVE_PERSISTS[slot]``
+    directly once the new frames are persisted."""
+    for df in _LIVE_PERSISTS.pop(slot, []):
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    if handles:
+        _LIVE_PERSISTS[slot] = handles
+
+
 # --------------------------------------------------------------------------
 # Relational core (SURVEY §2.2-§2.8 mapped onto the TPC-H-ish testdata)
 # --------------------------------------------------------------------------
@@ -2281,6 +2305,11 @@ def semdedup_cluster_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_q, inc_q = qdf.filter(~inc_cond), qdf.filter(inc_cond)
     k_inc = _SEM_K * math.ceil(sizes_row["n_corpus"] / _SEM_SEED_UNIT)
 
+    # drop the PREVIOUS invocation's caches before this one persists: a
+    # later bench pass must recompute from the parquet inputs, not
+    # plan-match the earlier pass's InMemoryRelation (see _rotate_persists)
+    _rotate_persists("dedup_embedding_cosine", [])
+
     from concurrent.futures import ThreadPoolExecutor
 
     from pyspark import inheritable_thread_target
@@ -2308,6 +2337,12 @@ def semdedup_cluster_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         fut_verdicts = pool.submit(inheritable_thread_target(spark)(_train_inc))
         assigned = fut_assigned.result()
         verdicts = fut_verdicts.result()
+    # this invocation's persisted frames: the shared quantized base (qdf,
+    # persisted inside kmeans_int8), the corpus-side base the incremental
+    # training persisted (corpus_q — persist() is in-place, the handle is
+    # the frame itself), and the 4-consumer assignment frame. Registered
+    # for unpersist at the NEXT invocation's entry.
+    _LIVE_PERSISTS["dedup_embedding_cosine"] = [qdf, corpus_q, assigned]
     assign_leg = assigned.select(
         F.lit("assign").alias("part"),
         F.col("vec_id").alias("id_a"),
@@ -6234,9 +6269,17 @@ def sketch_merge_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     All four merge operators are ALSO pinned merge==direct by unit tests;
     this suite upgrades the merge paths to driver-hashed correctness rows.
+
+    Build shape (round 13, guide §2.4): each family's three per-day
+    summaries come from ONE day-keyed pass (group key extended by
+    doc_id % 3, lazily checkpointed) sliced per day for the merge — the
+    merge operators still consume exactly the three per-day artifacts, the
+    per-day summary values are bit-identical (each family's distinct /
+    min-k / bit_or / count math is per-group), but the corpus is scanned
+    and tokenized once per family instead of once per family per day.
     """
     d = _docs(spark, sf_dir)
-    days = [d.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    day = (F.col("doc_id") % 3).cast("long").alias("day")
 
     nulls = dict(
         txt=F.lit(None).cast("string"),
@@ -6251,10 +6294,32 @@ def sketch_merge_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         return dfx.select(*sel)
 
+    # Every family's three per-day summaries are built in ONE day-keyed
+    # pass (group key extended by `day`), lazily checkpointed, and SLICED
+    # per day for the merge path — so the merge operators still consume
+    # exactly the three stored per-day artifacts (the mergeability this
+    # suite proves), but the corpus is scanned/tokenized once per family
+    # instead of once per family per day (round 13, guide §2.4; the
+    # checkpoint keeps the three slice readers from re-running the pass).
+    # Per-day summary VALUES are bit-identical: each family's
+    # distinct/min-k/bit_or math is per-group, and (day, g) grouping ≡
+    # grouping each day's rows by g.
     k_sketch = 32
+    allsk = kmv_sketch(
+        d.select(
+            F.struct(day, F.col("lang").alias("lang")).alias("g"), "text"
+        ),
+        "g",
+        "text",
+        k=k_sketch,
+    ).localCheckpoint(eager=False)
     merged_sk = kmv_merge(
-        [kmv_sketch(di.select("lang", "text"), "lang", "text", k=k_sketch)
-         for di in days],
+        [
+            allsk.filter(F.col("g.day") == i).select(
+                F.col("g.lang").alias("lang"), "kmv_h"
+            )
+            for i in range(3)
+        ],
         "lang",
         k=k_sketch,
     )
@@ -6266,11 +6331,17 @@ def sketch_merge_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_b=F.col("sketch_size"),
     )
 
-    def day_tokens(di):
-        return di.select(F.explode(_norm_tokens()).alias("token"))
-
     bkw = dict(m_bits=1 << 16, n_hashes=3, salt="sm")
-    b0, b1, b2 = [bloom_bitset(day_tokens(di), "token", **bkw) for di in days]
+    allbits = bloom_bitset(
+        d.select(day, F.explode(_norm_tokens()).alias("token")),
+        "token",
+        group_col="day",
+        **bkw,
+    ).localCheckpoint(eager=False)
+    b0, b1, b2 = [
+        allbits.filter(F.col("day") == i).select("word_idx", "bits")
+        for i in range(3)
+    ]
     bloom_leg = leg(
         "bloom",
         bloom_merge(bloom_merge(b0, b1), b2),
@@ -6278,28 +6349,31 @@ def sketch_merge_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_a=F.col("bits"),
     )
 
-    def day_report(di):
-        mtext = F.concat_ws(
-            "\n",
-            F.when(
-                F.col("doc_id") % 2 == 0,
-                F.lit("subscribe to our newsletter today"),
-            ),
-            F.col("text"),
-            F.concat(F.lit("footer for "), F.col("source")),
-        )
-        return boilerplate_lines(
-            di.select("doc_id", mtext.alias("mtext")),
-            "mtext",
-            "doc_id",
-            min_docs=1,
-            top_m=10**9,
-            n_shards=8,
-        )
-
+    mtext = F.concat_ws(
+        "\n",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.lit("subscribe to our newsletter today"),
+        ),
+        F.col("text"),
+        F.concat(F.lit("footer for "), F.col("source")),
+    )
+    allrep = boilerplate_lines(
+        d.select(day, "doc_id", mtext.alias("mtext")),
+        "mtext",
+        "doc_id",
+        min_docs=1,
+        top_m=10**9,
+        n_shards=8,
+        group_col="day",
+    ).localCheckpoint(eager=False)
+    day_reports = [
+        allrep.filter(F.col("day") == i).select("shard", "line", "n_docs", "rank")
+        for i in range(3)
+    ]
     bp_leg = leg(
         "boilerplate",
-        boilerplate_merge([day_report(di) for di in days], top_m=10),
+        boilerplate_merge(day_reports, top_m=10),
         key=F.col("shard").cast("string"),
         txt=F.col("line"),
         n_a=F.col("n_docs"),
@@ -6307,21 +6381,27 @@ def sketch_merge_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     k_sample = 48
-
-    def day_sample(di):
-        return kmv_row_sample(
-            di.select(
-                "lang",
-                "doc_id",
-                F.size(_norm_tokens()).cast("long").alias("n_tokens"),
-            ),
+    allsamp = kmv_row_sample(
+        d.select(
+            F.struct(day, F.col("lang").alias("lang")).alias("g"),
             "lang",
             "doc_id",
-            k=k_sample,
-        )
-
+            F.size(_norm_tokens()).cast("long").alias("n_tokens"),
+        ),
+        "g",
+        "doc_id",
+        k=k_sample,
+    ).localCheckpoint(eager=False)
     ms = kmv_row_sample_merge(
-        [day_sample(di) for di in days], "lang", "doc_id", k=k_sample
+        [
+            allsamp.filter(F.col("g.day") == i).select(
+                "lang", "doc_id", "n_tokens", "__kmv_rh"
+            )
+            for i in range(3)
+        ],
+        "lang",
+        "doc_id",
+        k=k_sample,
     )
     qk = group_quantiles(
         ms.select("lang", "n_tokens", "doc_id"),
@@ -6584,6 +6664,7 @@ def corpus_store_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         kk = _SEM_K * math.ceil(n_base / _SEM_SEED_UNIT)
         qb = quantized_vectors(vbase, "embedding", "vec_id")
         st: list = []
+        build_persists: list = []
         assign_base = kmeans_int8(
             None,
             "embedding",
@@ -6592,6 +6673,7 @@ def corpus_store_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_iter=_SEM_ITER,
             qdf=qb,
             state_out=st,
+            persisted_out=build_persists,
         )
         store.write_codebook(semantic_state_table(spark, st))
 
@@ -6633,6 +6715,12 @@ def corpus_store_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 },
                 batch_id=bid,
             )
+        # the quantized training base served its last consumer when batch 0's
+        # sem slice was admitted above — release it (the store build runs
+        # once per session; a leaked cache entry would shadow every later
+        # pass's memory for nothing)
+        for _p in build_persists:
+            _p.unpersist()
         per[ckey] = root
     else:
         # refresh the live store's mtime so the cross-process scratch

@@ -3133,6 +3133,77 @@ def test_bloom_probe_matches_explode_aggregate_form(spark):
     assert got_ad == want
 
 
+def test_grouped_single_pass_builds_match_per_group_builds(spark):
+    """Round-13 guard: the day-keyed single-pass builds
+    (bloom_bitset(group_col=...), boilerplate_lines(group_col=...)) must
+    emit, per group, exactly the artifact the ungrouped operator builds on
+    that group's rows alone — counts, shards, ranks, words and bits all
+    per-group identical (what lets sketch_merge_suite scan the corpus once
+    per family instead of once per family per day)."""
+    from steam_data_engineer_project_spark.operators.bloom import bloom_bitset
+    from steam_data_engineer_project_spark.operators.dedup import (
+        boilerplate_lines,
+    )
+
+    rows = [
+        (i, i % 3, f"header line\nbody {i % 7} text\nfooter {i % 2}")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, day long, txt string")
+
+    grouped = boilerplate_lines(
+        df, "txt", "doc_id", min_docs=1, top_m=10**9, n_shards=4,
+        group_col="day",
+    )
+    for i in range(3):
+        want = sorted(
+            map(
+                tuple,
+                boilerplate_lines(
+                    df.filter(F.col("day") == i),
+                    "txt",
+                    "doc_id",
+                    min_docs=1,
+                    top_m=10**9,
+                    n_shards=4,
+                ).collect(),
+            )
+        )
+        got = sorted(
+            map(
+                tuple,
+                grouped.filter(F.col("day") == i)
+                .select("shard", "line", "n_docs", "rank")
+                .collect(),
+            )
+        )
+        assert got == want, f"boilerplate day {i}"
+
+    toks = df.select(
+        "day", F.explode(F.split("txt", "\\s+")).alias("token")
+    )
+    bkw = dict(m_bits=1 << 12, n_hashes=3, salt="t")
+    gbits = bloom_bitset(toks, "token", group_col="day", **bkw)
+    for i in range(3):
+        want = sorted(
+            map(
+                tuple,
+                bloom_bitset(
+                    toks.filter(F.col("day") == i), "token", **bkw
+                ).collect(),
+            )
+        )
+        got = sorted(
+            map(
+                tuple,
+                gbits.filter(F.col("day") == i)
+                .select("word_idx", "bits")
+                .collect(),
+            )
+        )
+        assert got == want, f"bloom day {i}"
+
+
 def test_bloom_planted_contamination_always_surfaces(spark):
     """Decontamination shape: every shingle of a doc QUOTING benchmark
     material hits the benchmark-side filter, so the quoting doc's hit

@@ -525,7 +525,7 @@ def test_packing_costs_exactly_one_shuffle(spark):
 #: fixture and justify in the commit).
 EXCHANGE_BUDGET = {
     "ann_exact_suite": 4,  # round 7: the two standalone exact-scoring queries folded (2 + 2) to free a registry slot for corpus_store_suite
-    "ann_ivf_topk": 5,  # round 7: trained leg now SERVES a stored parquet codebook — kmeans train + codebook build run once at the write action, so the audited plan is scan + broadcast joins + the integer-cosine assignment argmax agg (and the codebook leg reads the store with zero exchanges)
+    "ann_ivf_topk": 7,  # round 7: trained leg SERVES a stored parquet codebook (train runs once at the write action). Round 13: +2 — the one-time train's quantized-base persist is now RELEASED after training (cache hygiene), so the served plan honestly recomputes the _spread repartition + quantization from parquet instead of plan-matching the training's leaked InMemoryRelation; the two "new" exchanges were always executed on the first pass and merely hidden from warm plans before
     "ann_lsh_suite": 2,
     "cdc_suite": 3,
     "crawl_state_registry": 2,
