@@ -94,6 +94,11 @@ from pyspark.sql import functions as F
 
 from .fsutil import exclusive_flock
 
+#: per-(store root, table) parquet schema, learned at first read — artifact
+#: schemas are fixed by their writers for the life of a store, so later
+#: reads skip the eager footer-inference driver cost (see CorpusStore.read).
+_SCHEMA_CACHE: dict[tuple[str, str], object] = {}
+
 #: manifest file name — the store's single source of truth for table
 #: generations and codebook version; every structural change is one atomic
 #: replace of this file.
@@ -615,7 +620,23 @@ class CorpusStore:
             raise ValueError(
                 f"store table {name} has no committed slices at {tdir}"
             )
-        return spark.read.option("basePath", tdir).parquet(*sorted(dirs))
+        # an artifact table's schema is fixed by its writer for the life of
+        # the store, so cache it after the first read and pass it explicitly
+        # thereafter: parquet schema inference reads file footers EAGERLY at
+        # DataFrame creation, a per-invocation driver cost the serve path
+        # pays once per table (guide §7.3 driver-overhead class). The slice
+        # LISTING above stays fresh on every read — only the schema is
+        # reused (it includes the batch_id partition column, so partition
+        # value parsing is unchanged).
+        key = (self.root, name)
+        reader = spark.read.option("basePath", tdir)
+        cached = _SCHEMA_CACHE.get(key)
+        if cached is not None:
+            reader = reader.schema(cached)
+        df = reader.parquet(*sorted(dirs))
+        if cached is None:
+            _SCHEMA_CACHE[key] = df.schema
+        return df
 
     def _retained_ids(self) -> list[int]:
         """Committed batch ids at or above the retention watermark — the

@@ -57,6 +57,16 @@ from pyspark.sql import functions as F
 from .similarity import quantize_int8
 
 
+def _int_norm_sq(col: str):
+    """Σv² over an array<long> column, built by ONE SQL-parser call — the
+    HOF builder form costs dozens of py4j round trips per construction
+    (guide §7.3 driver-overhead class; measured ~3× cheaper round 13).
+    Identical expression tree, exact int64 fold either way."""
+    return F.expr(
+        f"aggregate(`{col}`, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)"
+    )
+
+
 def _assign_to_centroids(
     base: DataFrame,
     id_col: str,
@@ -473,7 +483,7 @@ def quantized_vectors(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
     """(id, qv): the int8-quantized embedding as array<long> — the shared
     input of both halves (clustering and pair scoring must quantize the
     same way or the distance spaces disagree)."""
-    return df.select(F.col(id_col), quantize_int8(F.col(vec_col)).alias("qv"))
+    return df.select(F.col(id_col), quantize_int8(vec_col).alias("qv"))
 
 
 def kmeans_int8(
@@ -661,9 +671,7 @@ def semantic_dedup_pairs(
         assignments = kmeans_int8(
             None, vec_col, id_col, k=k, n_iter=n_iter, qdf=qdf
         )
-    qdf = qdf.withColumn(
-        "n2", F.aggregate("qv", F.lit(0).cast("long"), lambda a, v: a + v * v)
-    )
+    qdf = qdf.withColumn("n2", _int_norm_sq("qv"))
     assigned = assignments.select(F.col(id_col), "cluster_id")
     side = qdf.join(assigned, id_col)
 
@@ -734,20 +742,15 @@ def semantic_dedup_pairs(
 
 def _unit_micro_col(vec_col: str):
     """The m column of :func:`unit_micro_vectors` as a bare expression, so
-    the fused codebook pass can derive it in the same projection as qv."""
-    norm = F.sqrt(
-        F.aggregate(
-            F.col(vec_col),
-            F.lit(0.0),
-            lambda a, v: a + v.cast("double") * v.cast("double"),
-        )
-    )
-    return F.transform(
-        F.col(vec_col),
-        lambda v: F.floor(
-            v.cast("double") / F.greatest(norm, F.lit(1e-30)) * F.lit(1e6)
-            + F.lit(0.5)
-        ).cast("long"),
+    the fused codebook pass can derive it in the same projection as qv.
+    One SQL-parser call (see _int_norm_sq); double literals explicit so no
+    DECIMAL sneaks into the engine-exact IEEE chain."""
+    c = f"`{vec_col}`"
+    return F.expr(
+        f"transform({c}, v -> CAST(floor(CAST(v AS DOUBLE) / "
+        f"greatest(sqrt(aggregate({c}, 0.0D, "
+        f"(a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 1E-30) "
+        f"* 1.0E6 + 0.5D) AS BIGINT))"
     )
 
 
@@ -834,7 +837,7 @@ def train_ivf_codebook(
         persisted_out=ph,
     )
     fused = df.select(
-        quantize_int8(F.col(vec_col)).alias("qv"),
+        quantize_int8(vec_col).alias("qv"),
         _unit_micro_col(vec_col).alias("m"),
     )
     for _p in ph:
@@ -924,14 +927,14 @@ def _ivf_assign_arrow(
 def _int_cosine_score(qa: str, qb: str, na: str, nb: str):
     """Engine-exact cosine of two INTEGER vectors: exact int64 dot over a
     zip_with fold, divided by the product of two correctly-rounded sqrts of
-    exact integer norms — every step identically rounded on every engine."""
-    dot = F.aggregate(
-        F.zip_with(F.col(qa), F.col(qb), lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    return dot / (
-        F.sqrt(F.col(na).cast("double")) * F.sqrt(F.col(nb).cast("double"))
+    exact integer norms — every step identically rounded on every engine.
+    Built by ONE SQL-parser call (the HOF builders cost dozens of py4j
+    round trips per construction — guide §7.3, measured ~3× round 13);
+    the parsed tree is the same fold."""
+    return F.expr(
+        f"aggregate(zip_with(`{qa}`, `{qb}`, (x, y) -> x * y), "
+        f"CAST(0 AS BIGINT), (acc, v) -> acc + v) "
+        f"/ (sqrt(CAST(`{na}` AS DOUBLE)) * sqrt(CAST(`{nb}` AS DOUBLE)))"
     )
 
 
@@ -972,17 +975,13 @@ def ivf_topk_trained(
     identical shape to similarity.ivf_cosine_topk_pruned, which accepts
     this codebook directly."""
     qdf = quantized_vectors(df, vec_col, id_col).withColumn(
-        "nx",
-        F.aggregate("qv", F.lit(0).cast("long"), lambda a, v: a + v * v),
+        "nx", _int_norm_sq("qv")
     )
     if codebook is None:
         codebook = train_ivf_codebook(
             df, vec_col, id_col, n_centroids=n_centroids, n_iter=n_iter
         )
-    codebook = codebook.withColumn(
-        "nc",
-        F.aggregate("cv", F.lit(0).cast("long"), lambda a, v: a + v * v),
-    )
+    codebook = codebook.withColumn("nc", _int_norm_sq("cv"))
     # bounded k-row collect — the codebook-LOAD class of driver traffic
     # (same as kmeans' seed collect); the assignment then runs as one
     # vectorized Arrow pass with no exchange instead of a broadcast
@@ -1186,7 +1185,7 @@ def incremental_semantic_verdicts(
         else inc_probe
     )
 
-    n2 = F.aggregate("qv", F.lit(0).cast("long"), lambda a, v: a + v * v)
+    n2 = _int_norm_sq("qv")
     inc_side = (inc_probe if n_probe > 1 else inc_assign).select(
         F.col(id_col).alias("inc_id"),
         F.col("qv").alias("qa"),

