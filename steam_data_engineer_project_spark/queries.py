@@ -6300,11 +6300,17 @@ def sketch_merge_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per day for the merge path — so the merge operators still consume
     # exactly the three stored per-day artifacts (the mergeability this
     # suite proves), but the corpus is scanned/tokenized once per family
-    # instead of once per family per day (round 13, guide §2.4; the
-    # checkpoint keeps the three slice readers from re-running the pass).
-    # Per-day summary VALUES are bit-identical: each family's
-    # distinct/min-k/bit_or math is per-group, and (day, g) grouping ≡
-    # grouping each day's rows by g.
+    # instead of once per family per day (round 13, guide §2.4). Lazy
+    # localCheckpoint, not persist, deliberately (interleaved A/B, round
+    # 13): the checkpoint converts the pass to ONE shared RDD whose shuffle
+    # stages every slice arm reuses — computed once per union job — while
+    # a persist left three re-planned copies of the subtree racing to fill
+    # the same cache inside the one job (measured ~0.7 s/pass slower
+    # overall despite persist's cheaper build; the RDD conversion pays
+    # ~0.6 s of eager physical planning at build time instead). Per-day
+    # summary VALUES are bit-identical: each family's distinct/min-k/bit_or
+    # math is per-group, and (day, g) grouping ≡ grouping each day's rows
+    # by g.
     k_sketch = 32
     allsk = kmv_sketch(
         d.select(
@@ -6737,11 +6743,11 @@ def corpus_store_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = rd("sem_assigned")
 
     # batch-2's shingle table feeds BOTH doc_b2's near tier and the bloom
-    # probe below — share ONE lazily-checkpointed pass (materialized by
-    # whichever consumer's tasks run first inside the union job, reused by
-    # the other) instead of two identical shingle subtrees recomputing
-    # concurrently (round-12 carried item 4; guide §2.4). Lazy, so a
-    # non-bloom consumer of the suite never pays an extra job for it.
+    # probe below — share ONE lazily-checkpointed pass (one shared RDD:
+    # both consumers reuse its shuffle stages inside the union job, unlike
+    # a persist whose re-planned subtree copies race to fill the cache —
+    # the round-13 sketch_merge A/B) instead of two identical shingle
+    # subtrees recomputing concurrently (round-12 carried item 4, §2.4).
     b2_sh = shingle_table(b2, "stext", "doc_id", n=_ST_N).localCheckpoint(
         eager=False
     )
